@@ -1,13 +1,500 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{RobustZ, TimeOps}
+import graft.operators._
+
+/** Driver contract — one entry per implemented operator from SURVEY.md §2,
+  * with the DuckDB oracle SQL alongside. Column names/aliases match the SQL
+  * exactly; every query ends in a deterministic ORDER BY (unique sort keys)
+  * so row order is reproducible across engines.
+  *
+  * Floating-point policy: per-row arithmetic (+,-,*,/) is IEEE-identical in
+  * Spark and DuckDB and stays unrounded; anything order-dependent (sums,
+  * stddev, corr) or transcendental (log) is rounded — 6 dp for ~unit-scale
+  * values, 2 dp for large sums — so accumulation-order ulp noise can't flip
+  * the hash compare.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flagship: multi-join regional revenue (TPC-H Q5 shape) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q22_regional_revenue")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1 + P3/P19 (metrics.py:15-24): per-group metrics, sample stddev.
+    "q01_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+             round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+             round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+             round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+             round(avg(col("l_quantity")), 6).as("avg_qty"),
+             round(avg(col("l_extendedprice")), 6).as("avg_price"),
+             round(avg(col("l_discount")), 6).as("avg_disc"),
+             count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // A1 exact shape (metrics.py): avg price / stddev / total volume.
+    "q02_market_metrics" -> ((s, d) =>
+      AggOps.marketMetrics(t(s, d, "events"), "event_type", col("value"), col("value"))),
+
+    // A2 + P12: daily summary.
+    "q03_daily_summary" -> ((s, d) =>
+      AggOps.dailySummary(t(s, d, "events"), col("ts"), col("value"))),
+
+    // A3 + P13: monthly rollup.
+    "q04_monthly_rollup" -> ((s, d) =>
+      AggOps.monthlyRollup(t(s, d, "events"), col("ts"), col("value"))),
+
+    // A4 + P10: hour-of-day profile.
+    "q05_hour_profile" -> ((s, d) =>
+      AggOps.hourProfile(t(s, d, "events"), col("ts"), col("value"))),
+
+    // A5 + P11: day-of-week profile in calendar order.
+    "q06_dow_profile" -> ((s, d) =>
+      AggOps.dowProfile(t(s, d, "events"), col("ts"), col("value"))),
+
+    // A6: weekday × hour heat matrix (pivot).
+    "q07_heatmap_pivot" -> ((s, d) =>
+      AggOps.weekdayHourHeatmap(t(s, d, "events"), col("ts"), col("value"))),
+
+    // A7/A8: correlation scalars.
+    "q08_corr" -> ((s, d) =>
+      t(s, d, "lineitem").agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(corr(col("l_discount"), col("l_tax")), 6).as("corr_disc_tax"))),
+
+    // A9/A10: overall summary with exact percentiles/median.
+    "q09_overall_summary" -> ((s, d) =>
+      AggOps.overallSummary(t(s, d, "events"), col("value"))),
+
+    // A11/S10: distinct + sort.
+    "q10_distinct_types" -> ((s, d) =>
+      t(s, d, "events").select(col("event_type")).distinct().orderBy(col("event_type"))),
+
+    // A12: coverage / gap counting.
+    "q11_coverage" -> ((s, d) =>
+      AggOps.coverage(t(s, d, "events"), col("ts"))),
+
+    // A13/A16: table stats.
+    "q12_table_stats" -> ((s, d) =>
+      AggOps.tableStats(t(s, d, "orders"), col("o_orderdate"), col("o_totalprice"))),
+
+    // A14: conditional aggregation (best bid/ask shape).
+    "q13_best_bid_ask" -> ((s, d) =>
+      AggOps.bestBidAsk(t(s, d, "events"), col("event_type"), "click", "view", col("value"))),
+
+    // A15 + W4: top-N depth per side.
+    "q14_depth_topn" -> ((s, d) =>
+      AggOps.depthTopN(t(s, d, "lineitem"), "l_returnflag", col("l_extendedprice"),
+        col("l_quantity"), 100, Seq(col("l_orderkey"), col("l_linenumber")))),
+
+    // W1: per-group lag difference.
+    "q15_lag_diff" -> ((s, d) =>
+      WindowOps.lagDiff(t(s, d, "events"),
+          Seq(col("user_id")), Seq(col("ts"), col("event_id")), col("value"), "diff")
+        .select(col("user_id"), col("event_id"), col("value"), col("diff"))
+        .orderBy(col("event_id"))),
+
+    // W2: rolling stddev with min_periods gate.
+    "q16_rolling_std" -> ((s, d) =>
+      WindowOps.rollingStd(t(s, d, "events"),
+          Seq(col("event_type")), Seq(col("ts"), col("event_id")), col("value"),
+          window = 60, minPeriods = 30, out = "vol60")
+        .select(col("event_type"), col("event_id"), col("vol60"))
+        .orderBy(col("event_id"))),
+
+    // W3/P24: forward leads + forward log-returns.
+    "q17_forward_returns" -> ((s, d) =>
+      WindowOps.forwardReturns(t(s, d, "events"),
+          Seq(col("event_type")), Seq(col("ts"), col("event_id")), col("value"), Seq(5, 15))
+        .select(col("event_id"), col("value"),
+                col("lead_5"), col("fwd_ret_5"), col("lead_15"), col("fwd_ret_15"))
+        .orderBy(col("event_id"))),
+
+    // W4: per-partition level numbering, top-100 levels.
+    "q18_book_levels" -> ((s, d) =>
+      WindowOps.levelNumbers(t(s, d, "lineitem"),
+          Seq(col("l_returnflag")),
+          Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")), "level")
+        .where(col("level") <= 100)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+                col("l_extendedprice"), col("level"))
+        .orderBy(col("l_returnflag"), col("level"))),
+
+    // W5/O2/O3 + P7: global top-k by notional (TakeOrderedAndProject).
+    "q19_topk_notional" -> ((s, d) =>
+      WindowOps.topK(
+          t(s, d, "lineitem").withColumn("notional", col("l_extendedprice") * col("l_quantity")),
+          Seq(col("notional").desc, col("l_orderkey"), col("l_linenumber")), 50)
+        .select(col("l_orderkey"), col("l_linenumber"), col("notional"))),
+
+    // O4: deterministic cross-engine sample.
+    "q20_deterministic_sample" -> ((s, d) =>
+      WindowOps.deterministicSample(t(s, d, "lineitem"),
+          col("l_orderkey") * 10 + col("l_linenumber"), 1000)
+        .select(col("l_orderkey"), col("l_linenumber"))),
+
+    // J1: bucket-alignment equi-join (facts → enriched).
+    "q21_join_enrich" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders").select(col("o_orderkey").as("l_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      JoinOps.bucketAlignJoin(li, o, Seq("l_orderkey"), "inner")
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_orderdate"),
+                col("o_totalprice"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Multi-join + agg (flagship): revenue per region/nation.
+    "q22_regional_revenue" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val n = t(s, d, "nation"); val r = t(s, d, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // J2: cross-group time alignment (pivot + fill 0).
+    "q23_pivot_align" -> ((s, d) =>
+      JoinOps.pivotAlign(t(s, d, "events"), TimeOps.minuteFloor(col("ts")),
+        "event_type", eventTypes, col("value"))),
+
+    // J3/K4-K7: idempotent last-write-wins upsert.
+    "q24_upsert" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"), col("value"))
+      val updates = ev.where(col("event_id") % 10 === 0)
+        .withColumn("value", col("value") + 1000)
+      SetOps.upsert(ev, updates, Seq("event_id")).orderBy(col("event_id"))
+    }),
+
+    // Semi-join (EXISTS).
+    "q25_semi_join" -> ((s, d) => {
+      val big = t(s, d, "lineitem").where(col("l_quantity") >= 49)
+        .select(col("l_orderkey").as("o_orderkey"))
+      JoinOps.semiJoin(t(s, d, "orders"), big, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice")).orderBy(col("o_orderkey"))
+    }),
+
+    // Anti-join (NOT EXISTS).
+    "q26_anti_join" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_custkey").as("c_custkey"))
+      JoinOps.antiJoin(t(s, d, "customer"), o, Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_name")).orderBy(col("c_custkey"))
+    }),
+
+    // As-of join (union + last-value window — one shuffle, no range blowup).
+    "q27_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val left = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val right = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("view_value"))
+      JoinOps.asofJoin(left, right, "user_id", "ts", Seq("view_value"))
+        .select(col("user_id"), col("event_id"), col("value"), col("asof_view_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // U1/U2: union of slices.
+    "q28_union_slices" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      SetOps.unionAligned(Seq(li.where(col("l_quantity") <= 2), li.where(col("l_quantity") >= 49)))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Intersect (set semantics).
+    "q29_intersect" -> ((s, d) =>
+      t(s, d, "orders").select(col("o_custkey").as("custkey"))
+        .intersect(t(s, d, "customer").where(col("c_acctbal") > 0)
+          .select(col("c_custkey").as("custkey")))
+        .orderBy(col("custkey"))),
+
+    // Except (set semantics).
+    "q30_except" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_custkey").as("custkey"))
+        .except(t(s, d, "orders").select(col("o_custkey").as("custkey")))
+        .orderBy(col("custkey"))),
+
+    // P22: column-global robust z-score (median/MAD, degenerate branch).
+    "q31_robust_z" -> ((s, d) =>
+      RobustZ.withRobustZ(t(s, d, "events"), "value", "z")
+        .select(col("event_id"), col("value"), round(col("z"), 6).as("z_value"))
+        .orderBy(col("event_id"))),
+
+    // P22/P23 + O2/O3: anomaly score top-200.
+    "q32_anomaly_topk" -> ((s, d) => {
+      val ev = t(s, d, "events").withColumn("log_value", log1p(col("value")))
+      val scored = RobustZ.withAnomalyScore(ev, Seq("value", "log_value"), "anomaly")
+        .withColumn("anomaly_score", round(col("anomaly"), 6))
+      WindowOps.topK(scored, Seq(col("anomaly_score").desc, col("event_id")), 200)
+        .select(col("event_id"), col("value"), col("anomaly_score"))
+    }),
+
+    // Beyond-reference: ROLLUP grouping sets.
+    "q33_rollup_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // Streaming-shape batch parity: 5-minute tumbling window aggregation.
+    "q34_tumbling_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))),
+
+    // Streaming-shape batch parity: session windows (30-min gap).
+    "q35_session_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"), col("sw.start").as("session_start"), col("n"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start")))
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  private def heatmapSql: String = {
+    val cols = (0 to 23).map(h =>
+      s"round(avg(CASE WHEN CAST(hour(ts) AS INTEGER) = $h THEN value END), 6) AS h$h").mkString(", ")
+    s"SELECT CAST(isodow(ts) - 1 AS INTEGER) AS weekday, $cols FROM events " +
+      "GROUP BY 1 ORDER BY weekday"
+  }
+
+  private def pivotAlignSql: String = {
+    val cols = eventTypes.map(e =>
+      s"coalesce(round(avg(CASE WHEN event_type = '$e' THEN value END), 6), 0.0) AS $e").mkString(", ")
+    s"SELECT date_trunc('minute', ts) AS bucket, $cols FROM events GROUP BY 1 ORDER BY bucket"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+         round(avg(l_quantity), 6) AS avg_qty,
+         round(avg(l_extendedprice), 6) AS avg_price,
+         round(avg(l_discount), 6) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_market_metrics" ->
+      """SELECT event_type, round(avg(value), 6) AS avg_price,
+         round(stddev_samp(value), 6) AS stddev_price,
+         round(sum(value), 2) AS total_volume, count(*) AS n_rows
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q03_daily_summary" ->
+      """SELECT CAST(ts AS DATE) AS date, round(avg(value), 6) AS avg_value,
+         round(sum(value), 2) AS sum_value, round(max(value), 6) AS max_value,
+         count(*) AS n
+         FROM events GROUP BY 1 ORDER BY date""",
+    "q04_monthly_rollup" ->
+      """SELECT strftime(ts, '%Y-%m') AS month, round(sum(value), 2) AS sum_value,
+         count(*) AS n FROM events GROUP BY 1 ORDER BY month""",
+    "q05_hour_profile" ->
+      """SELECT CAST(hour(ts) AS INTEGER) AS hour, round(avg(value), 6) AS avg_value,
+         count(*) AS n FROM events GROUP BY 1 ORDER BY hour""",
+    "q06_dow_profile" ->
+      """SELECT CAST(isodow(ts) - 1 AS INTEGER) AS weekday, dayname(ts) AS weekday_name,
+         round(avg(value), 6) AS avg_value, count(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY weekday""",
+    "q07_heatmap_pivot" -> heatmapSql,
+    "q08_corr" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+         round(corr(l_discount, l_tax), 6) AS corr_disc_tax FROM lineitem""",
+    "q09_overall_summary" ->
+      """SELECT round(avg(value), 6) AS avg_value, round(median(value), 6) AS median_value,
+         round(sum(value), 2) AS sum_value, count(*) AS n,
+         round(quantile_cont(value, 0.95), 6) AS p95,
+         round(quantile_cont(value, 0.99), 6) AS p99
+         FROM events""",
+    "q10_distinct_types" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+    "q11_coverage" ->
+      """SELECT min(ts) AS min_ts, max(ts) AS max_ts, count(*) AS n_rows,
+         count(DISTINCT date_trunc('minute', ts)) AS n_minutes,
+         CAST(floor(date_diff('second', min(ts), max(ts)) / 60) + 1 AS BIGINT) AS expected_minutes,
+         CAST(floor(date_diff('second', min(ts), max(ts)) / 60) + 1 AS BIGINT)
+           - count(DISTINCT date_trunc('minute', ts)) AS missing_minutes
+         FROM events""",
+    "q12_table_stats" ->
+      """SELECT count(*) AS n, min(o_orderdate) AS min_ts, max(o_orderdate) AS max_ts,
+         round(sum(o_totalprice), 2) AS sum_value FROM orders""",
+    "q13_best_bid_ask" ->
+      """SELECT max(CASE WHEN event_type = 'click' THEN value END) AS best_bid,
+         min(CASE WHEN event_type = 'view' THEN value END) AS best_ask,
+         min(CASE WHEN event_type = 'view' THEN value END)
+           - max(CASE WHEN event_type = 'click' THEN value END) AS spread,
+         (min(CASE WHEN event_type = 'view' THEN value END)
+           + max(CASE WHEN event_type = 'click' THEN value END)) / 2 AS mid
+         FROM events""",
+    "q14_depth_topn" ->
+      """WITH ranked AS (
+           SELECT l_returnflag, l_extendedprice, l_quantity,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+           FROM lineitem)
+         SELECT l_returnflag, round(sum(l_quantity), 2) AS depth_qty,
+           round(sum(l_quantity * l_extendedprice), 2) AS depth_notional,
+           count(*) AS n_levels
+         FROM ranked WHERE rn <= 100 GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q15_lag_diff" ->
+      """SELECT user_id, event_id, value,
+         value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS diff
+         FROM events ORDER BY event_id""",
+    "q16_rolling_std" ->
+      """SELECT event_type, event_id,
+         CASE WHEN count(value) OVER w >= 30
+              THEN round(stddev_samp(value) OVER w * sqrt(60.0), 6) END AS vol60
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    "q17_forward_returns" ->
+      """SELECT event_id, value,
+         lead(value, 5) OVER w AS lead_5,
+         round(ln(lead(value, 5) OVER w / value), 6) AS fwd_ret_5,
+         lead(value, 15) OVER w AS lead_15,
+         round(ln(lead(value, 15) OVER w / value), 6) AS fwd_ret_15
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+         ORDER BY event_id""",
+    "q18_book_levels" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, level FROM (
+           SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS level
+           FROM lineitem) WHERE level <= 100
+         ORDER BY l_returnflag, level""",
+    "q19_topk_notional" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice * l_quantity AS notional
+         FROM lineitem ORDER BY notional DESC, l_orderkey, l_linenumber LIMIT 50""",
+    "q20_deterministic_sample" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+         ORDER BY md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)) LIMIT 1000""",
+    "q21_join_enrich" ->
+      """SELECT l_orderkey, l_linenumber, o_orderdate, o_totalprice, l_extendedprice
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         ORDER BY l_orderkey, l_linenumber""",
+    "q22_regional_revenue" ->
+      """SELECT r_name, n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q23_pivot_align" -> pivotAlignSql,
+    "q24_upsert" ->
+      """WITH base AS (SELECT event_id, value, 0 AS r FROM events),
+         upd AS (SELECT event_id, value + 1000 AS value, 1 AS r FROM events
+                 WHERE event_id % 10 = 0),
+         u AS (SELECT * FROM base UNION ALL SELECT * FROM upd),
+         rk AS (SELECT event_id, value,
+                  row_number() OVER (PARTITION BY event_id ORDER BY r DESC) AS rn
+                FROM u)
+         SELECT event_id, value FROM rk WHERE rn = 1 ORDER BY event_id""",
+    "q25_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE EXISTS (SELECT 1 FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+         ORDER BY o_orderkey""",
+    "q26_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         ORDER BY c_custkey""",
+    "q27_asof_join" ->
+      """WITH l AS (SELECT user_id, ts, event_id, value FROM events
+                    WHERE event_type = 'purchase'),
+         r AS (SELECT user_id, ts, max(value) AS view_value FROM events
+               WHERE event_type = 'view' GROUP BY 1, 2)
+         SELECT l.user_id, l.event_id, l.value, r.view_value AS asof_view_value
+         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY event_id""",
+    "q28_union_slices" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM (
+           SELECT * FROM lineitem WHERE l_quantity <= 2
+           UNION ALL
+           SELECT * FROM lineitem WHERE l_quantity >= 49)
+         ORDER BY l_orderkey, l_linenumber""",
+    "q29_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders
+         INTERSECT
+         SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 0
+         ORDER BY custkey""",
+    "q30_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+         EXCEPT
+         SELECT o_custkey AS custkey FROM orders
+         ORDER BY custkey""",
+    "q31_robust_z" ->
+      """WITH m AS (SELECT median(value) AS med FROM events),
+         md AS (SELECT median(abs(value - (SELECT med FROM m))) AS mad FROM events)
+         SELECT event_id, value,
+           round(CASE WHEN (SELECT mad FROM md) = 0
+                      THEN value - (SELECT med FROM m)
+                      ELSE 0.6745 * (value - (SELECT med FROM m)) / (SELECT mad FROM md)
+                 END, 6) AS z_value
+         FROM events ORDER BY event_id""",
+    "q32_anomaly_topk" ->
+      """WITH ev AS (SELECT event_id, value, ln(1 + value) AS log_value FROM events),
+         m1 AS (SELECT median(value) AS med FROM ev),
+         d1 AS (SELECT median(abs(value - (SELECT med FROM m1))) AS mad FROM ev),
+         m2 AS (SELECT median(log_value) AS med FROM ev),
+         d2 AS (SELECT median(abs(log_value - (SELECT med FROM m2))) AS mad FROM ev),
+         z AS (SELECT event_id, value,
+                 CASE WHEN (SELECT mad FROM d1) = 0 THEN value - (SELECT med FROM m1)
+                      ELSE 0.6745 * (value - (SELECT med FROM m1)) / (SELECT mad FROM d1) END AS z1,
+                 CASE WHEN (SELECT mad FROM d2) = 0 THEN log_value - (SELECT med FROM m2)
+                      ELSE 0.6745 * (log_value - (SELECT med FROM m2)) / (SELECT mad FROM d2) END AS z2
+               FROM ev)
+         SELECT event_id, value,
+           round(greatest(abs(z1), abs(z2)), 6) AS anomaly_score
+         FROM z ORDER BY anomaly_score DESC, event_id LIMIT 200""",
+    "q33_rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q34_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, event_type,
+         count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+    "q35_session_window" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         sess AS (
+           SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged)
+         SELECT user_id, min(ts) AS session_start, count(*) AS n,
+           round(sum(value), 2) AS sum_value
+         FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start"""
+  )
 }

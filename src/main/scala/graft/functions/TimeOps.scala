@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Time normalization & calendar projections.
+  *
+  * Reference semantics: dual-format timestamp sniffing
+  * (`src/analytics/binance_analysis.py:108-119`, `src/etl/load_postgres.py:29-36`),
+  * hour/weekday parts (`binance_analysis.py:224-230`), date/month keys
+  * (`:655,670`), minute floor (`:395`). All functions are pure `Column`
+  * expressions — codegen'd, no UDFs, safe inside whole-stage codegen.
+  */
+object TimeOps {
+
+  /** Normalize a column holding EITHER unix-epoch milliseconds (numeric or
+    * numeric string) OR an ISO-8601 timestamp string into a proper
+    * TimestampType. Mirrors the reference heuristic "numeric and > 1e10 ⇒
+    * epoch-ms" (binance_analysis.py:108-119); session TZ must be UTC.
+    */
+  def tsMillisOrIso(c: Column): Column = {
+    val asLong = c.cast("long")
+    when(asLong.isNotNull && asLong > lit(10000000000L), timestamp_millis(asLong))
+      .otherwise(to_timestamp(c))
+  }
+
+  /** 0 = Monday .. 6 = Sunday — the sort key that keeps day-of-week results
+    * in calendar order instead of alphabetical (binance_analysis.py:225-230). */
+  def weekdayNum(ts: Column): Column = weekday(ts)
+
+  /** Localized day name for display, paired with [[weekdayNum]] for ordering. */
+  def weekdayName(ts: Column): Column = date_format(ts, "EEEE")
+
+  /** "YYYY-MM" month bucket (binance_analysis.py:670). */
+  def monthStr(ts: Column): Column = date_format(ts, "yyyy-MM")
+
+  /** Floor to minute — the bucket key of the trades→candles alignment join
+    * (binance_analysis.py:395). */
+  def minuteFloor(ts: Column): Column = date_trunc("minute", ts)
+
+  /** Floor to an arbitrary epoch-aligned bucket of `seconds` width.
+    * Equivalent of a tumbling-window assignment done as a projection, so it
+    * can be a grouping key without the struct produced by `window()`. */
+  def timeBucket(ts: Column, seconds: Long): Column =
+    timestamp_seconds(floor(unix_timestamp(ts) / seconds) * seconds)
+}

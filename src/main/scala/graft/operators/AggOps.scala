@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TimeOps
+
+/** Generic aggregate operators (reference §2.5 A1–A16).
+  *
+  * All are plain `groupBy().agg()` programs: Spark's hash aggregate gives
+  * partial (map-side) + final aggregation automatically, so every one of
+  * these shuffles only the (small) per-group partial states, never raw rows.
+  * At 100 TB the cardinality of every grouping key here (symbol/date/hour/
+  * weekday/…) is tiny relative to input, so the exchanges stay negligible.
+  */
+object AggOps {
+
+  /** A1 (`src/analytics/metrics.py:15-24`): per-group market metrics.
+    * Postgres STDDEV = sample stddev = Spark `stddev_samp`. */
+  def marketMetrics(df: DataFrame, key: String, price: Column, volume: Column): DataFrame =
+    df.groupBy(col(key))
+      .agg(round(avg(price), 6).as("avg_price"),
+           round(stddev_samp(price), 6).as("stddev_price"),
+           round(sum(volume), 2).as("total_volume"),
+           count(lit(1)).as("n_rows"))
+      .orderBy(col(key))
+
+  /** A2 (`binance_analysis.py:655-667`): daily summary. */
+  def dailySummary(df: DataFrame, ts: Column, value: Column): DataFrame =
+    df.groupBy(to_date(ts).as("date"))
+      .agg(round(avg(value), 6).as("avg_value"),
+           round(sum(value), 2).as("sum_value"),
+           round(max(value), 6).as("max_value"),
+           count(lit(1)).as("n"))
+      .orderBy(col("date"))
+
+  /** A3 (`binance_analysis.py:669-672`): monthly rollup. */
+  def monthlyRollup(df: DataFrame, ts: Column, value: Column): DataFrame =
+    df.groupBy(TimeOps.monthStr(ts).as("month"))
+      .agg(round(sum(value), 2).as("sum_value"), count(lit(1)).as("n"))
+      .orderBy(col("month"))
+
+  /** A4 (`binance_analysis.py:676-684`): hour-of-day profile. */
+  def hourProfile(df: DataFrame, ts: Column, value: Column): DataFrame =
+    df.groupBy(hour(ts).as("hour"))
+      .agg(round(avg(value), 6).as("avg_value"), count(lit(1)).as("n"))
+      .orderBy(col("hour"))
+
+  /** A5 (`binance_analysis.py:686-687`): day-of-week profile in CALENDAR
+    * order (Monday first) via the int sort key — the ordered-categorical
+    * trap called out in SURVEY §7.5. */
+  def dowProfile(df: DataFrame, ts: Column, value: Column): DataFrame =
+    df.groupBy(TimeOps.weekdayNum(ts).as("weekday"),
+               TimeOps.weekdayName(ts).as("weekday_name"))
+      .agg(round(avg(value), 6).as("avg_value"), count(lit(1)).as("n"))
+      .orderBy(col("weekday"))
+
+  /** A6 (`binance_analysis.py:689-690`): weekday × hour heat matrix as a
+    * pivot. `pivot` with explicit values list ⇒ single aggregation pass, no
+    * second job to discover the pivot domain. */
+  def weekdayHourHeatmap(df: DataFrame, ts: Column, value: Column): DataFrame = {
+    val p = df.groupBy(TimeOps.weekdayNum(ts).as("weekday"))
+      .pivot(hour(ts).cast("int"), 0 to 23)
+      .agg(round(avg(value), 6))
+    p.select(col("weekday") +: (0 to 23).map(h => col(s"$h").as(s"h$h")): _*)
+      .orderBy(col("weekday"))
+  }
+
+  /** A9/A10 (`binance_analysis.py:638-651`): one-row overall summary with
+    * EXACT percentiles (linear interpolation — matches pandas/DuckDB;
+    * `percentile_approx` would drift, SURVEY §7.5). */
+  def overallSummary(df: DataFrame, value: Column): DataFrame =
+    df.agg(round(avg(value), 6).as("avg_value"),
+           round(median(value), 6).as("median_value"),
+           round(sum(value), 2).as("sum_value"),
+           count(lit(1)).as("n"),
+           round(percentile(value, lit(0.95)), 6).as("p95"),
+           round(percentile(value, lit(0.99)), 6).as("p99"))
+
+  /** A12 (`binance_analysis.py:606-621`): coverage / gap counting. */
+  def coverage(df: DataFrame, ts: Column): DataFrame =
+    df.agg(min(ts).as("min_ts"), max(ts).as("max_ts"), count(lit(1)).as("n_rows"),
+           count_distinct(TimeOps.minuteFloor(ts)).as("n_minutes"))
+      .withColumn("expected_minutes",
+        (floor((unix_timestamp(col("max_ts")) - unix_timestamp(col("min_ts"))) / 60) + 1).cast("long"))
+      .withColumn("missing_minutes", col("expected_minutes") - col("n_minutes"))
+
+  /** A13 (`src/dashboard/app.py:118`): table stats. */
+  def tableStats(df: DataFrame, ts: Column, value: Column): DataFrame =
+    df.agg(count(lit(1)).as("n"), min(ts).as("min_ts"), max(ts).as("max_ts"),
+           round(sum(value), 2).as("sum_value"))
+
+  /** A14 (`binance_analysis.py:499-502`): best-bid/best-ask style
+    * conditional aggregation — max over one side, min over the other,
+    * spread and mid derived. One pass, no join. */
+  def bestBidAsk(df: DataFrame, side: Column, bidVal: String, askVal: String,
+                 price: Column): DataFrame =
+    df.agg(max(when(side === bidVal, price)).as("best_bid"),
+           min(when(side === askVal, price)).as("best_ask"))
+      .withColumn("spread", col("best_ask") - col("best_bid"))
+      .withColumn("mid", (col("best_ask") + col("best_bid")) / 2)
+
+  /** A15 (`binance_analysis.py:505-512`): top-N book depth per side — rank
+    * window limited to N, then per-side sums. The rank window shuffles once
+    * by `side`; with explicit tiebreakers the result is deterministic. */
+  def depthTopN(df: DataFrame, side: String, price: Column, qty: Column, n: Int,
+                tiebreak: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(side)).orderBy(price.desc +: tiebreak: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n)
+      .groupBy(col(side))
+      .agg(round(sum(qty), 2).as("depth_qty"),
+           round(sum(qty * price), 2).as("depth_notional"),
+           count(lit(1)).as("n_levels"))
+      .orderBy(col(side))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function operators (reference §2.6 W1–W5).
+  *
+  * All frames are ROWS-based, matching the reference exactly. Every window
+  * here partitions by a group key, so at scale each partition's state is
+  * bounded by that group's row count — no global sort. Tiebreaker columns
+  * are threaded through every `orderBy` so results are deterministic even
+  * with duplicate timestamps.
+  */
+object WindowOps {
+
+  private def w(part: Seq[Column], order: Seq[Column]) =
+    Window.partitionBy(part: _*).orderBy(order: _*)
+
+  /** W1 (`binance_analysis.py:220`): per-group time-ordered lag difference
+    * (log-return shape): out = value − lag(value, 1); first row null. */
+  def lagDiff(df: DataFrame, part: Seq[Column], order: Seq[Column],
+              value: Column, out: String): DataFrame =
+    df.withColumn(out, value - lag(value, 1).over(w(part, order)))
+
+  /** W2 (`binance_analysis.py:232-239`): rolling sample-stddev over the
+    * trailing `window` ROWS with a `minPeriods` gate (null until enough
+    * observations), scaled by sqrt(window) — the rolling-volatility shape.
+    * Frame is (−(window−1), 0) — the off-by-one trap of SURVEY §7.5. */
+  def rollingStd(df: DataFrame, part: Seq[Column], order: Seq[Column],
+                 value: Column, window: Int, minPeriods: Int, out: String): DataFrame = {
+    val frame = w(part, order).rowsBetween(-(window - 1), 0)
+    df.withColumn(out,
+      when(count(value).over(frame) >= minPeriods,
+           round(stddev_samp(value).over(frame) * sqrt(lit(window.toDouble)), 6)))
+  }
+
+  /** W3/P24 (`binance_analysis.py:404-415`): forward values k rows ahead and
+    * the forward log-return ln(lead/current); null past the partition end. */
+  def forwardReturns(df: DataFrame, part: Seq[Column], order: Seq[Column],
+                     value: Column, horizons: Seq[Int]): DataFrame =
+    horizons.foldLeft(df) { (d, k) =>
+      val led = lead(value, k).over(w(part, order))
+      d.withColumn(s"lead_$k", led)
+        .withColumn(s"fwd_ret_$k", round(log(led / value), 6))
+    }
+
+  /** W4 (`binance_analysis.py:490-494`): per-partition level numbering
+    * (row_number), ordering direction supplied by the caller (bids desc /
+    * asks asc in the reference). */
+  def levelNumbers(df: DataFrame, part: Seq[Column], order: Seq[Column],
+                   out: String): DataFrame =
+    df.withColumn(out, row_number().over(w(part, order)))
+
+  /** W5/O2/O3 (`binance_analysis.py:418,701`): global top-k by sort key.
+    * `orderBy(...).limit(k)` compiles to TakeOrderedAndProject — each
+    * partition keeps only k rows, the driver merges k·p rows: no full sort,
+    * no full shuffle, scale-safe for small k. */
+  def topK(df: DataFrame, order: Seq[Column], k: Int): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** Per-group top-k (rank window ≤ k): shuffles once by the group key. */
+  def topKPerGroup(df: DataFrame, part: Seq[Column], order: Seq[Column], k: Int,
+                   out: String = "rank"): DataFrame =
+    df.withColumn(out, row_number().over(w(part, order))).where(col(out) <= k)
+
+  /** O4 (`binance_analysis.py:713`): deterministic exact-n sample. Contract
+    * is "deterministic given seed", not "same rows as numpy" (SURVEY §7.5);
+    * keying on md5 of the row id makes it reproducible across engines too. */
+  def deterministicSample(df: DataFrame, idExpr: Column, n: Int): DataFrame =
+    df.orderBy(md5(idExpr.cast("string"))).limit(n)
+}
