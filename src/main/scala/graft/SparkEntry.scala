@@ -2,8 +2,12 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{RobustZ, TimeOps}
+import graft.functions.{RobustZ, TextOps, TimeOps}
 import graft.operators._
+import graft.dedup.Dedup
+import graft.similarity.Ann
+import graft.multimodal.Multimodal
+import graft.plans.Expressions
 
 /** Driver contract — one entry per implemented operator from SURVEY.md §2,
   * with the DuckDB oracle SQL alongside. Column names/aliases match the SQL
@@ -268,7 +272,107 @@ object SparkEntry {
         .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
         .select(col("user_id"), col("sw.start").as("session_start"), col("n"), col("sum_value"))
-        .orderBy(col("user_id"), col("session_start")))
+        .orderBy(col("user_id"), col("session_start"))),
+
+    // Text analysis: char/token/punct counting (whitespace + BPE-ish regex).
+    "q36_text_stats" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      doc.select(col("doc_id"),
+          length(col("text")).as("n_chars"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.bpeishTokenCount(col("text")).as("n_bpeish"),
+          TextOps.punctCount(col("text")).as("n_punct"),
+          TextOps.nonWsCharCount(col("text")).as("n_nonws"))
+        .withColumn("avg_token_len",
+          round(col("n_nonws").cast("double") / col("n_tokens"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Text analysis: n-gram-heuristic language ID (stopword scoring).
+    "q37_lang_id" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), col("lang"),
+          TextOps.langId(col("text")).as("pred_lang"),
+          TextOps.langScore(col("text"), TextOps.LangMarkers.head._2).cast("long").as("score_en"))
+        .orderBy(col("doc_id"))),
+
+    // Text analysis: composite quality score (integer milli-scale — immune
+    // to cross-engine float-rounding boundary disagreements).
+    "q38_quality_score" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+          TextOps.qualityScoreMilli(col("text")).as("quality_milli"))
+        .orderBy(col("doc_id"))),
+
+    // Text analysis: portable content fingerprint (md5 of normalized text).
+    "q39_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+          TextOps.contentFingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))),
+
+    // Dedup: exact (keep lowest id per identical text).
+    "q40_dedup_exact" -> ((s, d) =>
+      Dedup.exactDedup(t(s, d, "documents"), Seq("text"), "doc_id")
+        .select(col("doc_id"), col("n_chars")).orderBy(col("doc_id"))),
+
+    // Dedup: fingerprint groups.
+    "q41_dedup_fingerprint" -> ((s, d) =>
+      Dedup.fingerprintDedup(t(s, d, "documents"), "text", "doc_id")
+        .orderBy(col("fingerprint"))),
+
+    // Dedup: n-gram (3-shingle) Jaccard pairs via inverted-index join.
+    "q42_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          n = 3, minJaccard = 0.05)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Dedup: MinHash + LSH candidate pairs (8 hashes, 4 bands).
+    "q43_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshCandidates(t(s, d, "documents"), "doc_id", "text",
+          n = 3, numHashes = 8, bands = 4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Dedup: SimHash near-dup candidates (custom Catalyst expression;
+    // no SQL oracle — validated in SimHashSpec against exact Hamming).
+    "q44_simhash_dedup" -> ((s, d) =>
+      Dedup.simhashCandidates(t(s, d, "documents"), "doc_id", "text",
+          bands = 4, maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Dedup: embedding-cosine near-dup pairs, blocked by label.
+    "q45_embedding_dedup" -> ((s, d) =>
+      Dedup.embeddingCosinePairs(t(s, d, "embeddings"), "vec_id", "embedding",
+          "label", minSim = 0.1)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Similarity search: exact brute-force cosine top-k.
+    "q46_ann_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Ann.bruteForceTopK(emb.where(col("vec_id") < 20), emb, "vec_id", "embedding", 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Similarity search: LSH-bucketed ANN (no SQL oracle — recall measured
+    // against brute force in AnnSpec).
+    "q47_ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Ann.lshTopK(emb.where(col("vec_id") < 20), emb, "vec_id", "embedding",
+          k = 10, numPlanes = 8, dim = 64)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Multimodal: binary payload + metadata plumbing (column variant).
+    "q48_multimodal_meta" -> ((s, d) =>
+      Multimodal.fakeMetaColumns(Multimodal.withPayload(t(s, d, "documents"), "text"))
+        .select(col("doc_id"), col("byte_len"), col("width"), col("height"), col("channels"))
+        .orderBy(col("doc_id"))),
+
+    // Document fingerprinting via custom rolling-hash expression
+    // (no SQL oracle — cross-checked in ExpressionsSpec).
+    "q49_rolling_hash" -> ((s, d) => {
+      Expressions.register(s)
+      t(s, d, "documents").select(col("doc_id"),
+          Expressions.rollingHash(col("text")).as("rhash"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -278,6 +382,51 @@ object SparkEntry {
       s"round(avg(CASE WHEN CAST(hour(ts) AS INTEGER) = $h THEN value END), 6) AS h$h").mkString(", ")
     s"SELECT CAST(isodow(ts) - 1 AS INTEGER) AS weekday, $cols FROM events " +
       "GROUP BY 1 ORDER BY weekday"
+  }
+
+  /** DuckDB occurrence count of ` w ` in ` lower(text) ` — mirrors
+    * TextOps.wordOccurrences exactly (same replace/length arithmetic). */
+  private def occSql(w: String): String = {
+    val pat = s" $w "
+    s"(length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', '$pat', ''))) / ${pat.length}"
+  }
+
+  private def langScoreSql(words: Seq[String]): String =
+    words.map(occSql).mkString("(", " + ", ")")
+
+  private def langIdSql: String = {
+    val scores = TextOps.LangMarkers.map { case (l, ws) => l -> s"s_$l" }
+    val scoreDefs = TextOps.LangMarkers.map { case (l, ws) =>
+      s"${langScoreSql(ws)} AS s_$l" }.mkString(", ")
+    val mx = scores.map(_._2).mkString("greatest(", ", ", ")")
+    val pred = scores.map { case (l, s) => s"WHEN $s = $mx THEN '$l'" }
+      .mkString("CASE ", " ", " END")
+    s"""WITH sc AS (SELECT doc_id, lang, $scoreDefs FROM documents)
+       SELECT doc_id, lang, $pred AS pred_lang, CAST(s_en AS BIGINT) AS score_en
+       FROM sc ORDER BY doc_id"""
+  }
+
+  /** Shared DuckDB CTE: distinct 3-gram shingles per doc + exploded view. */
+  private val shinglesCte =
+    """sh AS (SELECT doc_id AS id,
+         list_distinct(list_transform(range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 2, 0) + 1),
+           i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'), i, i + 2), ' '))) AS sh_arr
+       FROM documents),
+       e AS (SELECT id, len(sh_arr) AS n_sh, unnest(sh_arr) AS sh FROM sh)"""
+
+  private def minhashSql: String = {
+    val sigCols = (0 until 8).map(s =>
+      s"min(CAST('0x' || substring(md5('$s:' || sh), 1, 8) AS BIGINT)) AS mh$s").mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      val bv = (0 until 2).map(r => s"CAST(mh${b * 2 + r} AS VARCHAR)").mkString(" || '_' || ")
+      s"SELECT id, $b AS bi, $bv AS bv FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH $shinglesCte,
+       sig AS (SELECT id, $sigCols FROM e GROUP BY id),
+       bands AS ($bandSelects)
+       SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id
+       ORDER BY id_a, id_b"""
   }
 
   private def pivotAlignSql: String = {
@@ -495,6 +644,83 @@ object SparkEntry {
            FROM flagged)
          SELECT user_id, min(ts) AS session_start, count(*) AS n,
            round(sum(value), 2) AS sum_value
-         FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start"""
+         FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "q36_text_stats" ->
+      """SELECT doc_id,
+         CAST(length(text) AS INTEGER) AS n_chars,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpeish,
+         CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS INTEGER) AS n_punct,
+         CAST(length(regexp_replace(text, '\s', '', 'g')) AS INTEGER) AS n_nonws,
+         round(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\s+')), 6) AS avg_token_len
+         FROM documents ORDER BY doc_id""",
+    "q37_lang_id" -> langIdSql,
+    "q38_quality_score" -> {
+      val stop = langScoreSql(Seq("the", "a", "of", "and", "is"))
+      """WITH f AS (SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS nc,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt,
+           CAST(STOP AS BIGINT) AS stop,
+           CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS pu
+         FROM documents)
+         SELECT doc_id,
+           (400 * least(nc, 500)) // 500
+           + (300 * least(stop * 5, nt)) // nt
+           + 300 - (300 * least(pu * 10, nc)) // nc AS quality_milli
+         FROM f ORDER BY doc_id""".replace("STOP", stop)
+    },
+    "q39_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+         FROM documents ORDER BY doc_id""",
+    "q40_dedup_exact" ->
+      """SELECT doc_id, n_chars FROM (
+           SELECT doc_id, n_chars,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           FROM documents) WHERE rn = 1 ORDER BY doc_id""",
+    "q41_dedup_fingerprint" ->
+      """SELECT md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint,
+         min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY 1 ORDER BY fingerprint""",
+    "q42_ngram_jaccard" ->
+      s"""WITH $shinglesCte,
+         pairs AS (
+           SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             count(*) AS inter
+           FROM e a JOIN e b ON a.sh = b.sh AND a.id < b.id
+           GROUP BY 1, 2, 3, 4),
+         j AS (SELECT id_a, id_b,
+                 round(inter / (n_a + n_b - inter), 6) AS jaccard FROM pairs)
+         SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.05
+         ORDER BY id_a, id_b""",
+    "q43_minhash_lsh" -> minhashSql,
+    "q45_embedding_dedup" ->
+      """WITH v AS (SELECT label AS block, vec_id AS id,
+                      CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         n AS (SELECT block, id, vec,
+                 sqrt(list_dot_product(vec, vec)) AS norm FROM v),
+         p AS (SELECT a.block AS block, a.id AS id_a, b.id AS id_b,
+                 round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 6) AS cosine
+               FROM n a JOIN n b ON a.block = b.block AND a.id < b.id)
+         SELECT block, id_a, id_b, cosine FROM p WHERE cosine >= 0.1
+         ORDER BY id_a, id_b""",
+    "q46_ann_topk" ->
+      """WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM p),
+         q AS (SELECT * FROM n WHERE vec_id < 20),
+         sims AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                    round(list_dot_product(q.vec, c.vec) / (q.norm * c.norm), 6) AS cosine
+                  FROM n c, q WHERE q.vec_id <> c.vec_id),
+         r AS (SELECT query_id, corpus_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, corpus_id) AS "rank" FROM sims)
+         SELECT query_id, corpus_id, cosine, "rank" FROM r WHERE "rank" <= 10
+         ORDER BY query_id, "rank"""",
+    "q48_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+         CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS width,
+         CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INTEGER) AS height,
+         3 AS channels
+         FROM documents ORDER BY doc_id"""
   )
 }

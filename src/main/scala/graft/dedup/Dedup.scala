@@ -1,0 +1,167 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import graft.plans.Expressions
+
+/** Deduplication operators for training-data pipelines: exact,
+  * fingerprint, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+  *
+  * Scale design: every candidate-generation step is a bucket-equality join
+  * (hash shuffle on a short key) — never an all-pairs cross join. The only
+  * quadratic work is WITHIN a bucket/band, which the banding parameters keep
+  * small. Skewed buckets (stop-shingles shared by everything) are handled by
+  * the optional document-frequency cap.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per exact key (hash groupBy —
+    * one shuffle on the dedup key, map-side partial aggregation). */
+  def exactDedup(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Fingerprint dedup groups: normalize → md5 → group; returns one row per
+    * distinct content with the keeper id and duplicate count. */
+  def fingerprintDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("fingerprint", TextOps.contentFingerprint(col(textCol)))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct word n-gram shingles of a text column. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextOps.tokens(text)
+    array_distinct(
+      transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+  }
+
+  /** Exploded (id, shingle) pairs with per-doc distinct-shingle counts. */
+  private def explodedShingles(df: DataFrame, idCol: String, textCol: String,
+                               n: Int): DataFrame =
+    df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh_arr"))
+      .withColumn("n_sh", size(col("sh_arr")))
+      .select(col("id"), col("n_sh"), explode(col("sh_arr")).as("sh"))
+
+  /** All-pairs n-gram Jaccard similarity ≥ minJaccard, via inverted-index
+    * join on shingles (shuffle keyed by shingle, quadratic only within a
+    * shingle's posting list). `maxDocFreq` drops shingles that occur in more
+    * than that many documents — the skew guard that keeps hot shingles from
+    * exploding the join at corpus scale (they contribute almost no
+    * discriminative signal anyway).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+                        minJaccard: Double, maxDocFreq: Option[Long] = None): DataFrame = {
+    val e = explodedShingles(df, idCol, textCol, n)
+    val filtered = maxDocFreq match {
+      case Some(cap) =>
+        val hot = e.groupBy(col("sh")).agg(count(lit(1)).as("df")).where(col("df") > cap)
+        e.join(hot, Seq("sh"), "left_anti")
+      case None => e
+    }
+    val a = filtered.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("sh"))
+    val b = filtered.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("sh"))
+    a.join(b, Seq("sh")).where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 6))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Cross-engine-stable shingle hash: first 8 hex chars of md5("seed:sh")
+    * parsed as a long — so the DuckDB oracle reproduces signatures exactly. */
+  def portableHash(c: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), c).cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+
+  /** MinHash signatures: per doc, min of each seeded hash over its shingle
+    * set. One aggregation pass over the exploded shingles. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int,
+                        numHashes: Int): DataFrame =
+    explodedShingles(df, idCol, textCol, n)
+      .groupBy(col("id"))
+      .agg(min(portableHash(col("sh"), 0)).as("mh0"),
+        (1 until numHashes).map(s => min(portableHash(col("sh"), s)).as(s"mh$s")): _*)
+
+  /** MinHash + LSH candidate pairs: band the signature, bucket-join on
+    * (band index, band value). Docs agreeing on ANY band become candidates —
+    * the classic S-curve trade-off; verify candidates with
+    * [[ngramJaccardPairs]] or exact comparison downstream. */
+  def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String, n: Int,
+                           numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands evenly")
+    val rows = numHashes / bands
+    val sig = minhashSignatures(df, idCol, textCol, n, numHashes)
+    val bandStructs = array((0 until bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*).as("band_val"))
+    }: _*)
+    val banded = sig.select(col("id"), explode(bandStructs).as("band"))
+      .select(col("id"), col("band.band_idx").as("band_idx"),
+              col("band.band_val").as("band_val"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** SimHash per doc (custom Catalyst expression — single projection pass,
+    * no shuffle) plus the band columns used for Hamming-bucket joins. */
+  def withSimhash(df: DataFrame, textCol: String, out: String = "simhash"): DataFrame = {
+    Expressions.register(df.sparkSession)
+    df.withColumn(out, Expressions.simhash64(TextOps.tokens(col(textCol))))
+  }
+
+  /** SimHash near-dup candidates: split the 64-bit hash into `bands` chunks;
+    * two docs within Hamming distance (bands − 1) share ≥1 identical chunk
+    * (pigeonhole), so bucket-joining chunks finds them with NO pairwise scan.
+    * Exact Hamming distance is then checked on the candidates only. */
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    val bits = 64 / bands
+    val sim = withSimhash(df, textCol).select(col(idCol).as("id"), col("simhash"))
+    val chunks = array((0 until bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        (shiftrightunsigned(col("simhash"), b * bits) bitwiseAND lit((1L << bits) - 1))
+          .as("band_val"))
+    }: _*)
+    val banded = sim.select(col("id"), col("simhash"), explode(chunks).as("c"))
+      .select(col("id"), col("simhash"), col("c.band_idx").as("bi"), col("c.band_val").as("bv"))
+    banded.as("a").join(banded.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              bit_count(col("a.simhash") bitwiseXOR col("b.simhash")).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup pairs within a blocking key (e.g. a cluster/label
+    * column): cosine similarity over float vectors, computed in double
+    * precision. Blocking keeps the pair space linear-ish; for unblocked
+    * corpora use [[graft.similarity.Ann]] LSH buckets as the blocker. */
+  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                           blockCol: String, minSim: Double): DataFrame = {
+    val v = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("vec"))
+    val withNorm = v.withColumn("norm",
+      sqrt(aggregate(col("vec"), lit(0.0d), (acc, x) => acc + x * x)))
+    val a = withNorm.select(col("block"), col("id").as("id_a"),
+      col("vec").as("vec_a"), col("norm").as("norm_a"))
+    val b = withNorm.select(col("block"), col("id").as("id_b"),
+      col("vec").as("vec_b"), col("norm").as("norm_b"))
+    a.join(b, Seq("block")).where(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(
+        aggregate(zip_with(col("vec_a"), col("vec_b"), (x, y) => x * y),
+          lit(0.0d), (acc, x) => acc + x) / (col("norm_a") * col("norm_b")), 6))
+      .where(col("cosine") >= minSim)
+      .select(col("block"), col("id_a"), col("id_b"), col("cosine"))
+  }
+}

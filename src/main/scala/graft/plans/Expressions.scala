@@ -1,0 +1,118 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the operators Spark's built-ins can't
+  * express efficiently: content rolling-hash fingerprints and SimHash.
+  *
+  * Both are single-pass scalar expressions evaluated inside the projection
+  * (no shuffle, no UDF serialization of Row objects); the SimHash variant
+  * replaces what would otherwise be an explode + 64 conditional sums +
+  * re-aggregate (a full extra shuffle per document corpus).
+  */
+object Expressions {
+
+  /** Polynomial rolling hash of a string, mod the Mersenne prime 2^61−1.
+    * The "document fingerprinting (rolling hash)" primitive: equal strings
+    * ⇒ equal hashes; cheap to compute incrementally at 100 TB scale.
+    */
+  case class RollingHash(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(v: Any): Any =
+      Hashing.rollingHash(v.asInstanceOf[UTF8String].getBytes)
+    override protected def withNewChildInternal(c: Expression): RollingHash = copy(c)
+    override def prettyName: String = "rolling_hash"
+  }
+
+  /** 64-bit SimHash over an array of tokens: per-token FNV-1a 64 hash,
+    * per-bit ±1 majority vote. Near-duplicate documents land within a few
+    * bits of Hamming distance; dedup then bands the 64 bits and bucket-joins
+    * (see graft.dedup.Dedup.simhashCandidates).
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val counts = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val h = Hashing.fnv1a64(arr.getUTF8String(i).getBytes)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+    override def prettyName: String = "simhash64"
+  }
+
+  /** Registers the expressions as SQL functions on the session (idempotent);
+    * the Column helpers below route through the registry. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("rolling_hash", es => RollingHash(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
+  }
+
+  def rollingHash(c: Column): Column = call_function("rolling_hash", c)
+  def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+}
+
+/** Deterministic, JVM-stable hash primitives (no RNG, no locale). */
+object Hashing {
+  private val Mod = (1L << 61) - 1
+  private val Base = 1000003L
+
+  /** Polynomial rolling hash mod 2^61−1 (multiplication via Math.multiplyHigh
+    * to stay exact in 128 bits). */
+  def rollingHash(bytes: Array[Byte]): Long = {
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = mulMod(h, Base)
+      h = (h + (bytes(i) & 0xffL)) % Mod
+      i += 1
+    }
+    h
+  }
+
+  private def mulMod(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    // (hi * 2^64 + lo) mod (2^61 - 1): fold 2^64 ≡ 8 (mod p) pieces.
+    val lo61 = lo & Mod
+    val rest = (hi << 3) | (lo >>> 61)
+    val s = lo61 + rest
+    if (s >= Mod) s - Mod else s
+  }
+
+  /** FNV-1a 64-bit — stable, allocation-free token hash. */
+  def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+}
