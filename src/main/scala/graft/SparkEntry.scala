@@ -355,7 +355,7 @@ object SparkEntry {
     "q47_ann_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Ann.lshTopK(emb.where(col("vec_id") < 20), emb, "vec_id", "embedding",
-          k = 10, numPlanes = 8, dim = 64)
+          k = 10, numPlanes = 6, dim = 64, multiProbe = 1)
         .orderBy(col("query_id"), col("rank"))
     }),
 

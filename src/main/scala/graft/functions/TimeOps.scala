@@ -19,9 +19,11 @@ object TimeOps {
     * epoch-ms" (binance_analysis.py:108-119); session TZ must be UTC.
     */
   def tsMillisOrIso(c: Column): Column = {
-    val asLong = c.cast("long")
+    // try_cast, not cast: ANSI mode (Spark 4 default) makes plain cast THROW
+    // on non-numeric strings; the sniffer's whole point is permissiveness.
+    val asLong = c.try_cast("long")
     when(asLong.isNotNull && asLong > lit(10000000000L), timestamp_millis(asLong))
-      .otherwise(to_timestamp(c))
+      .otherwise(try_to_timestamp(c))
   }
 
   /** 0 = Monday .. 6 = Sunday — the sort key that keeps day-of-week results

@@ -66,18 +66,29 @@ object Ann {
     }.reduce(_ + _)
 
   /** Approximate top-k: bucket corpus and queries by signature, exact rerank
-    * inside the bucket. Recall < 1 by construction; measure against
-    * [[bruteForceTopK]] (see AnnSpec). */
+    * inside the bucket. `multiProbe` = Hamming radius probed on the QUERY
+    * side (0 ⇒ own bucket only; 1 ⇒ also every bucket one bit-flip away) —
+    * the standard recall/scan-fraction dial: probing radius 1 scans
+    * (numPlanes+1)/2^numPlanes of the corpus in expectation. Recall < 1 by
+    * construction; measured against [[bruteForceTopK]] in AnnSpec. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, numPlanes: Int, dim: Int): DataFrame = {
+              vecCol: String, k: Int, numPlanes: Int, dim: Int,
+              multiProbe: Int = 1): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
+    val probeOffsets: Seq[Long] =
+      0L +: (if (multiProbe >= 1) (0 until numPlanes).map(p => 1L << p) else Seq.empty)
     val q = prepared(queries, idCol, vecCol, "query_id", "qv", "qn")
-      .withColumn("bucket", signature(col("qv"), planes))
+      .withColumn("sig", signature(col("qv"), planes))
+      .withColumn("bucket", explode(array(probeOffsets.map(o =>
+        col("sig").bitwiseXOR(lit(o))): _*)))
+      .drop("sig")
     val c = prepared(corpus, idCol, vecCol, "corpus_id", "cv", "cn")
       .withColumn("bucket", signature(col("cv"), planes))
     val sims = c.join(broadcast(q), Seq("bucket"))
       .where(col("query_id") =!= col("corpus_id"))
-      .withColumn("cosine", round(cosine(col("qv"), col("qn"), col("cv"), col("cn")), 6))
+      .select(col("query_id"), col("corpus_id"),
+        round(cosine(col("qv"), col("qn"), col("cv"), col("cn")), 6).as("cosine"))
+      .distinct() // multi-probe can reach the same (query, corpus) twice
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))
     sims.withColumn("rank", row_number().over(w)).where(col("rank") <= k)

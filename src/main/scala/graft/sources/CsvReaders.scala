@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TimeOps
+
+/** Permissive CSV ingestion (reference §2.1 S7/S8, §1.3).
+  *
+  * Reference behaviors reproduced:
+  *  - dual-format timestamp sniffing — epoch-ms ints OR ISO strings in the
+  *    same column (`binance_analysis.py:108-119`, `load_postgres.py:29-36`)
+  *  - permissive numeric coercion — bad cells become null, then required
+  *    columns are na-dropped (`load_postgres.py:49`)
+  *  - column aliasing — e.g. the trades count arriving as any of
+  *    trades|num_trades|trade_count|count (`load_postgres.py:39-49`)
+  *  - symbol/timeframe recovered from the FILENAME when absent as columns
+  *    (`binance_analysis.py:75-90`) — via `input_file_name()`, so the
+  *    recovery stays distributed and works across a multi-file glob
+  *  - multi-file union is a single multi-path scan, not a driver loop
+  *    (`binance_analysis.py:99-145`).
+  */
+object CsvReaders {
+
+  /** Rename the first alias present in `df` to `target`; if none present,
+    * add `target` as `default` (with the reference's warning semantics left
+    * to the caller). */
+  def resolveAlias(df: DataFrame, target: String, aliases: Seq[String],
+                   default: Option[Column] = None): DataFrame = {
+    val present = aliases.find(df.columns.contains)
+    present match {
+      case Some(a) if a == target => df
+      case Some(a) => df.withColumnRenamed(a, target)
+      case None => default match {
+        case Some(c) => df.withColumn(target, c)
+        case None => df
+      }
+    }
+  }
+
+  /** Klines CSV glob → normalized candles frame. Columns: symbol, tf,
+    * open_time (sniffed), open/high/low/close/volume (coerced double),
+    * num_trades (aliased, default 0).
+    *
+    * Files may have HETEROGENEOUS headers (the reference reads per-file and
+    * concats by name, `binance_analysis.py:99-145`), so each file is planned
+    * as its own scan, normalized, then unioned by name — the file COUNT is
+    * driver-side, the file CONTENTS stay fully distributed. Same-header
+    * fleets can pass one glob per schema to keep the plan small. */
+  def readKlinesCsv(spark: SparkSession, pathGlob: String): DataFrame = {
+    val frames = globPaths(spark, pathGlob).map(p => normalizeKlines(
+      spark.read.option("header", "true").csv(p)))
+    require(frames.nonEmpty, s"no files match $pathGlob")
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+      .na.drop(Seq("symbol", "open_time", "close"))
+      .select("symbol", "tf", "open_time", "open", "high", "low", "close",
+        "volume", "num_trades")
+  }
+
+  private def globPaths(spark: SparkSession, pathGlob: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(pathGlob)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matched = fs.globStatus(p)
+    if (matched == null) Seq.empty else matched.map(_.getPath.toString).toSeq
+  }
+
+  private def normalizeKlines(raw: DataFrame): DataFrame = {
+    val fileName = regexp_extract(input_file_name(), """klines_([A-Z0-9]+)_([a-z0-9]+)\.csv""", 1)
+    val fileTf = regexp_extract(input_file_name(), """klines_([A-Z0-9]+)_([a-z0-9]+)\.csv""", 2)
+    val withIds = Seq(
+      ("symbol", fileName), ("tf", fileTf)).foldLeft(raw) { case (d, (c, fromFile)) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, fromFile)
+    }
+    val aliased = resolveAlias(
+      resolveAlias(withIds, "open_time", Seq("open_time", "timestamp", "ts")),
+      "num_trades", Seq("num_trades", "trades", "trade_count", "count"),
+      default = Some(lit(0L)))
+    aliased
+      .withColumn("open_time", TimeOps.tsMillisOrIso(col("open_time")))
+      .withColumn("open", col("open").try_cast("double"))
+      .withColumn("high", col("high").try_cast("double"))
+      .withColumn("low", col("low").try_cast("double"))
+      .withColumn("close", col("close").try_cast("double"))
+      .withColumn("volume", col("volume").try_cast("double"))
+      .withColumn("num_trades", col("num_trades").try_cast("long"))
+  }
+
+  /** Trades CSV: permissive read with time-column aliasing
+    * (`binance_analysis.py:358-375`). */
+  def readTradesCsv(spark: SparkSession, pathGlob: String): DataFrame = {
+    val raw = spark.read.option("header", "true").csv(pathGlob)
+    resolveAlias(raw, "trade_time", Seq("trade_time", "timestamp", "ts"))
+      .withColumn("trade_time", TimeOps.tsMillisOrIso(col("trade_time")))
+      .withColumn("price", col("price").try_cast("double"))
+      .withColumn("qty", col("qty").try_cast("double"))
+      .na.drop(Seq("trade_time", "price", "qty"))
+  }
+
+  /** Orderbook CSV: side normalization + CHECK-constraint filter
+    * (`binance_analysis.py:465-494`, `db/schema.sql:33`). */
+  def readOrderbookCsv(spark: SparkSession, pathGlob: String): DataFrame = {
+    val raw = spark.read.option("header", "true").csv(pathGlob)
+    resolveAlias(raw, "update_time", Seq("update_time", "timestamp", "ts"))
+      .withColumn("update_time", TimeOps.tsMillisOrIso(col("update_time")))
+      .withColumn("price", col("price").try_cast("double"))
+      .withColumn("qty", col("qty").try_cast("double"))
+      .withColumn("side", lower(trim(col("side"))))
+      .where(col("side").isin("bid", "ask"))
+      .na.drop(Seq("update_time", "price", "qty"))
+  }
+}

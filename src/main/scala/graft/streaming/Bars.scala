@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+import graft.operators.UpsertWriter
+
+/** Structured Streaming layer (§2.9): supersedes the reference's polling
+  * loops with a real micro-batch pipeline — trades stream → watermarked
+  * 1-minute tumbling bars → idempotent upsert sink.
+  *
+  * The reference has no streaming; its own upsert-on-overlap ETL design is
+  * exactly what makes this layer safe: late/replayed data re-upserts the
+  * same (symbol, tf, open_time) key (K4 idempotency), so at-least-once
+  * delivery composes into effectively-once table state.
+  */
+object Bars {
+
+  /** Tumbling 1-minute OHLCV bars from a (streaming or batch) trades frame
+    * with columns (symbol, trade_time, price, qty). Watermark bounds state:
+    * bars older than the allowed lateness are finalized and evicted —
+    * the knob that keeps state O(symbols × lateness) at any scale. */
+  def oneMinuteBars(trades: DataFrame, watermark: String = "2 minutes"): DataFrame =
+    trades
+      .withWatermark("trade_time", watermark)
+      .groupBy(window(col("trade_time"), "1 minute"), col("symbol"))
+      .agg(min_by(col("price"), col("trade_time")).as("open"),
+           max(col("price")).as("high"),
+           min(col("price")).as("low"),
+           max_by(col("price"), col("trade_time")).as("close"),
+           sum(col("qty")).as("volume"),
+           count(lit(1)).as("num_trades"))
+      .select(col("symbol"), lit("1m").as("tf"),
+        col("window.start").as("open_time"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("num_trades"))
+
+  /** Streaming writer: each micro-batch upserts its bars by primary key —
+    * the K4 `ON CONFLICT DO UPDATE` contract in foreachBatch form. */
+  def upsertingWriter(bars: DataFrame, tableDir: String,
+                      checkpointDir: String): DataStreamWriter[Row] =
+    bars.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime("5 seconds"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        UpsertWriter.upsert(batch.sparkSession, batch, tableDir,
+          Seq("symbol", "tf", "open_time"))
+      }
+}

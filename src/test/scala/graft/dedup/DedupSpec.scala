@@ -1,0 +1,94 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.plans.{Expressions, Hashing}
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog tonight"),
+    (1L, "the quick brown fox jumps over the lazy dog today"),   // near-dup of 0
+    (2L, "completely different content about spark query engines"),
+    (3L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup of 0
+    (4L, "another unrelated document mentioning nothing similar at all")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps lowest id per identical text") {
+    val kept = Dedup.exactDedup(docs, Seq("text"), "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(0L, 1L, 2L, 4L))
+  }
+
+  test("ngramJaccardPairs finds near-dups and exact dups") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L))) // exact dup → jaccard 1.0
+    assert(pairs.contains((0L, 1L)) || pairs.contains((1L, 3L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("ngram jaccard of exact dup is 1.0") {
+    val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .where(col("id_a") === 0 && col("id_b") === 3)
+      .select("jaccard").as[Double].head()
+    assert(j == 1.0)
+  }
+
+  test("maxDocFreq cap drops universal shingles") {
+    val spam = (0L until 10L).map(i => (i, s"common shingle text here unique$i"))
+      .toDF("doc_id", "text")
+    // 'common shingle text' and 'shingle text here' appear in all 10 docs;
+    // capped at 5 they contribute nothing, leaving no pair ≥ 0.3.
+    val capped = Dedup.ngramJaccardPairs(spam, "doc_id", "text", 3, 0.3, maxDocFreq = Some(5L))
+    assert(capped.count() == 0)
+  }
+
+  test("minhash LSH candidates include exact and near dups") {
+    val cands = Dedup.minhashLshCandidates(docs, "doc_id", "text",
+      n = 3, numHashes = 8, bands = 4).as[(Long, Long)].collect().toSet
+    assert(cands.contains((0L, 3L)))
+    assert(!cands.contains((2L, 4L)))
+  }
+
+  test("simhash: identical docs distance 0, near-dups close, distinct far") {
+    val sim = Dedup.withSimhash(docs, "text")
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sim(0L), sim(3L)) == 0)
+    assert(ham(sim(0L), sim(1L)) < ham(sim(0L), sim(2L)))
+  }
+
+  test("simhashCandidates surfaces the exact dup pair") {
+    val cands = Dedup.simhashCandidates(docs, "doc_id", "text", bands = 4, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cands.contains((0L, 3L)))
+  }
+
+  test("embedding cosine pairs: identical vectors similarity 1") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f), 0),
+      (3L, Array(0.6f, 0.8f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding", "label", 0.99)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSeq
+    assert(pairs == Seq((0L, 1L, 1.0)))
+  }
+
+  test("rolling hash expression matches the scala reference implementation") {
+    Expressions.register(spark)
+    val df = docs.select(col("doc_id"), Expressions.rollingHash(col("text")).as("h"),
+      col("text"))
+    df.as[(Long, Long, String)].collect().foreach { case (_, h, text) =>
+      assert(h == Hashing.rollingHash(text.getBytes("UTF-8")))
+    }
+    // Equal strings hash equal; distinct strings differ here.
+    val hs = df.as[(Long, Long, String)].collect().map(r => r._3 -> r._2).toMap
+    assert(hs.size == 4) // 5 docs, 2 identical texts
+  }
+}

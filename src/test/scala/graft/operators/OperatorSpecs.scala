@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.functions.RobustZ
+
+/** Hand-computed fixtures for the window/set/robust-z operators — the
+  * fidelity traps from SURVEY §7.5 (min_periods gate, frame off-by-one,
+  * degenerate MAD, upsert idempotency). */
+class OperatorSpecs extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("rollingStd honors min_periods gate and frame size") {
+    // 40 rows, window=10, minPeriods=5: rows 0-3 null, row 4+ populated.
+    val df = (0 until 40).map(i => ("s", i, i.toDouble)).toDF("g", "i", "v")
+    val out = WindowOps.rollingStd(df, Seq(col("g")), Seq(col("i")), col("v"),
+        window = 10, minPeriods = 5, out = "rs")
+      .orderBy("i").select("rs").as[Option[Double]].collect()
+    assert(out.take(4).forall(_.isEmpty))
+    assert(out.drop(4).forall(_.isDefined))
+    // Row 4 sees rows 0..4 => stddev_samp(0..4) * sqrt(10).
+    val expected = math.sqrt(2.5) * math.sqrt(10) // var of 0..4 = 2.5
+    assert(math.abs(out(4).get - BigDecimal(expected).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // Row 20 sees rows 11..20 (exactly 10 rows, not 11) — frame off-by-one.
+    val exp20 = {
+      val xs = (11 to 20).map(_.toDouble)
+      val m = xs.sum / xs.size
+      math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)) * math.sqrt(10)
+    }
+    assert(math.abs(out(20).get - BigDecimal(exp20).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("lagDiff: first row per partition is null") {
+    val df = Seq(("a", 1, 10.0), ("a", 2, 13.0), ("b", 1, 5.0))
+      .toDF("g", "i", "v")
+    val out = WindowOps.lagDiff(df, Seq(col("g")), Seq(col("i")), col("v"), "d")
+      .orderBy("g", "i").select("d").as[Option[Double]].collect()
+    assert(out.toSeq == Seq(None, Some(3.0), None))
+  }
+
+  test("robust z matches hand computation incl. degenerate MAD") {
+    // median of (1,2,3,4,100) = 3; MAD = median(|x-3|) = median(2,1,0,1,97) = 1
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("v")
+    val z = RobustZ.withRobustZ(df, "v", "z").orderBy("v").select("z").as[Double].collect()
+    assert(math.abs(z(0) - 0.6745 * (1 - 3) / 1) < 1e-12)
+    assert(math.abs(z(4) - 0.6745 * 97) < 1e-12)
+    // Degenerate: constant column → MAD 0 → z = x - median = 0.
+    val zc = RobustZ.withRobustZ(Seq(5.0, 5.0, 5.0).toDF("v"), "v", "z")
+      .select("z").as[Double].collect()
+    assert(zc.forall(_ == 0.0))
+  }
+
+  test("upsert is last-write-wins and idempotent") {
+    val base = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val upd = Seq((2, "B"), (4, "D")).toDF("k", "v")
+    val once = SetOps.upsert(base, upd, Seq("k"))
+    val got = once.orderBy("k").as[(Int, String)].collect().toSeq
+    assert(got == Seq((1, "a"), (2, "B"), (3, "c"), (4, "D")))
+    // Re-applying the same updates changes nothing.
+    val twice = SetOps.upsert(once, upd, Seq("k")).orderBy("k").as[(Int, String)].collect().toSeq
+    assert(twice == got)
+  }
+
+  test("asofJoin picks latest right row at or before left ts") {
+    val left = Seq((1L, "2024-01-01 00:05:00", 100L),
+                   (1L, "2024-01-01 00:00:30", 101L),
+                   (2L, "2024-01-01 00:01:00", 102L))
+      .toDF("user_id", "ts_s", "event_id")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val right = Seq((1L, "2024-01-01 00:01:00", 10.0),
+                    (1L, "2024-01-01 00:04:00", 40.0),
+                    (2L, "2024-01-01 00:02:00", 99.0))
+      .toDF("user_id", "ts_s", "pv")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = JoinOps.asofJoin(left, right, "user_id", "ts", Seq("pv"))
+      .orderBy("event_id").select("asof_pv").as[Option[Double]].collect().toSeq
+    // event 100 at 00:05 → latest pv at 00:04 = 40; event 101 at 00:00:30 → none;
+    // event 102 at 00:01 (user 2) → right at 00:02 is in the future → none.
+    assert(out == Seq(Some(40.0), None, None))
+  }
+
+  test("upsert writer round-trips and is idempotent on disk") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert").toString
+    val base = Seq((1, 10.0), (2, 20.0)).toDF("k", "v")
+    UpsertWriter.upsert(spark, base, dir, Seq("k"))
+    UpsertWriter.upsert(spark, Seq((2, 99.0), (3, 30.0)).toDF("k", "v"), dir, Seq("k"))
+    val got = UpsertWriter.read(spark, dir).get.orderBy("k").as[(Int, Double)].collect().toSeq
+    assert(got == Seq((1, 10.0), (2, 99.0), (3, 30.0)))
+    UpsertWriter.upsert(spark, Seq((2, 99.0), (3, 30.0)).toDF("k", "v"), dir, Seq("k"))
+    val again = UpsertWriter.read(spark, dir).get.orderBy("k").as[(Int, Double)].collect().toSeq
+    assert(again == got)
+  }
+}

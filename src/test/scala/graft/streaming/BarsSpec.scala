@@ -1,0 +1,51 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import graft.operators.UpsertWriter
+import graft.sources.Synthetic
+
+class BarsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("oneMinuteBars (batch parity): OHLCV matches hand aggregation") {
+    val trades = Seq(
+      ("S", "2024-01-01 00:00:05", 10.0, 1.0),
+      ("S", "2024-01-01 00:00:30", 12.0, 2.0),
+      ("S", "2024-01-01 00:00:55", 11.0, 1.0),
+      ("S", "2024-01-01 00:01:10", 13.0, 0.5))
+      .toDF("symbol", "t", "price", "qty")
+      .withColumn("trade_time", to_timestamp(col("t"))).drop("t")
+    val bars = Bars.oneMinuteBars(trades).orderBy("open_time")
+      .select("open", "high", "low", "close", "volume", "num_trades")
+      .as[(Double, Double, Double, Double, Double, Long)].collect().toSeq
+    assert(bars == Seq((10.0, 12.0, 10.0, 11.0, 4.0, 3L), (13.0, 13.0, 13.0, 13.0, 0.5, 1L)))
+  }
+
+  test("streaming micro-batches upsert into the bar table idempotently") {
+    val src = Files.createTempDirectory("stream-src")
+    val table = Files.createTempDirectory("bar-table").toString
+    val ckpt = Files.createTempDirectory("ckpt").toString
+    val trades = Synthetic.syntheticTrades(spark, "AAA", 300, 1704067200L)
+    trades.write.mode("overwrite").parquet(src.toString + "/batch1")
+
+    val stream = spark.readStream.schema(trades.schema)
+      .parquet(src.toString + "/*")
+      .select("symbol", "trade_time", "price", "qty")
+    val q = Bars.upsertingWriter(Bars.oneMinuteBars(stream), table, ckpt).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val got = UpsertWriter.read(spark, table).get
+    val expected = Bars.oneMinuteBars(trades.select("symbol", "trade_time", "price", "qty"))
+    assert(got.count() == expected.count())
+    // bar for the first minute matches the batch computation exactly
+    val g1 = got.orderBy("open_time").select("open", "high", "low", "close", "volume")
+      .as[(Double, Double, Double, Double, Double)].head()
+    val e1 = expected.orderBy("open_time").select("open", "high", "low", "close", "volume")
+      .as[(Double, Double, Double, Double, Double)].head()
+    assert(g1 == e1)
+  }
+}
