@@ -415,8 +415,13 @@ object SparkEntry {
        e AS (SELECT id, len(sh_arr) AS n_sh, unnest(sh_arr) AS sh FROM sh)"""
 
   private def minhashSql: String = {
-    val sigCols = (0 until 8).map(s =>
-      s"min(CAST('0x' || substring(md5('$s:' || sh), 1, 8) AS BIGINT)) AS mh$s").mkString(", ")
+    // Mirrors Dedup.minhashSlotHash: slots 0-3 from md5(sh), 4-7 from
+    // md5('1:'||sh), 8-hex-char chunks.
+    def slot(s: Int): String = {
+      val digest = if (s < 4) "md5(sh)" else s"md5('${s / 4}:' || sh)"
+      s"CAST('0x' || substring($digest, ${(s % 4) * 8 + 1}, 8) AS BIGINT)"
+    }
+    val sigCols = (0 until 8).map(s => s"min(${slot(s)}) AS mh$s").mkString(", ")
     val bandSelects = (0 until 4).map { b =>
       val bv = (0 until 2).map(r => s"CAST(mh${b * 2 + r} AS VARCHAR)").mkString(" || '_' || ")
       s"SELECT id, $b AS bi, $bv AS bv FROM sig"

@@ -31,13 +31,22 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct word n-gram shingles of a text column. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextOps.tokens(text)
+  /** Distinct word n-gram shingles from an already-tokenized column. */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     array_distinct(
       transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
         i => array_join(slice(toks, i, lit(n)), " ")))
-  }
+
+  /** Distinct word n-gram shingles of a text column.
+    *
+    * The tokenization is bound through a one-element `transform` lambda
+    * variable: Catalyst does NOT common-subexpression-eliminate into
+    * higher-order-function lambdas, so referencing `split(text)` directly
+    * inside the per-position lambda would re-run the regex split once PER
+    * SHINGLE POSITION (measured 5-10× slowdown on real corpora). */
+  def shingles(text: Column, n: Int): Column =
+    element_at(
+      transform(array(TextOps.tokens(text)), tk => shinglesFromTokens(tk, n)), 1)
 
   /** Exploded (id, shingle) pairs with per-doc distinct-shingle counts. */
   private def explodedShingles(df: DataFrame, idCol: String, textCol: String,
@@ -55,18 +64,30 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                         minJaccard: Double, maxDocFreq: Option[Long] = None): DataFrame = {
-    val e = explodedShingles(df, idCol, textCol, n)
+    // Shuffle economy: the posting-list join carries only (id, shingle-HASH)
+    // — 16 bytes/row instead of the shingle string and per-doc counts; the
+    // per-doc sizes rejoin AFTER pair aggregation as a broadcast dim (one
+    // row per doc, not one per posting). A 64-bit hash false-collision needs
+    // ~2^32 distinct shingles to matter; corpora that big use minhash anyway.
+    val withArr = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh_arr"))
+    // Per-doc set sizes: one narrow projection over the base table (no
+    // explode, no shuffle) — broadcast back after pair aggregation.
+    val sizes = withArr.select(col("id"), size(col("sh_arr")).as("n_sh"))
+    val e = withArr.select(col("id"), explode(col("sh_arr")).as("sh"))
+      .select(col("id"), xxhash64(col("sh")).as("shh"))
     val filtered = maxDocFreq match {
       case Some(cap) =>
-        val hot = e.groupBy(col("sh")).agg(count(lit(1)).as("df")).where(col("df") > cap)
-        e.join(hot, Seq("sh"), "left_anti")
+        val hot = e.groupBy(col("shh")).agg(count(lit(1)).as("df")).where(col("df") > cap)
+        e.join(hot, Seq("shh"), "left_anti")
       case None => e
     }
-    val a = filtered.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("sh"))
-    val b = filtered.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("sh"))
-    a.join(b, Seq("sh")).where(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+    val a = filtered.select(col("id").as("id_a"), col("shh"))
+    val b = filtered.select(col("id").as("id_b"), col("shh"))
+    a.join(b, Seq("shh")).where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a"))), Seq("id_a"))
+      .join(broadcast(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b"))), Seq("id_b"))
       .withColumn("jaccard",
         round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 6))
       .where(col("jaccard") >= minJaccard)
@@ -79,14 +100,24 @@ object Dedup {
     conv(substring(md5(concat(lit(s"$seed:"), c).cast("binary")), 1, 8), 16, 10)
       .cast("long")
 
+  /** The seeded 32-bit hash for MinHash signature slot `s`: 8-hex-char
+    * chunks of md5 digests, one digest per 4 slots — computing ⌈k/4⌉ md5s
+    * per shingle instead of k. Cross-engine-stable (mirrored in the DuckDB
+    * oracle SQL). */
+  def minhashSlotHash(sh: Column, s: Int): Column = {
+    val digest = if (s < 4) md5(sh.cast("binary"))
+                 else md5(concat(lit(s / 4 + ":"), sh).cast("binary"))
+    conv(substring(digest, (s % 4) * 8 + 1, 8), 16, 10).cast("long")
+  }
+
   /** MinHash signatures: per doc, min of each seeded hash over its shingle
     * set. One aggregation pass over the exploded shingles. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int,
                         numHashes: Int): DataFrame =
     explodedShingles(df, idCol, textCol, n)
       .groupBy(col("id"))
-      .agg(min(portableHash(col("sh"), 0)).as("mh0"),
-        (1 until numHashes).map(s => min(portableHash(col("sh"), s)).as(s"mh$s")): _*)
+      .agg(min(minhashSlotHash(col("sh"), 0)).as("mh0"),
+        (1 until numHashes).map(s => min(minhashSlotHash(col("sh"), s)).as(s"mh$s")): _*)
 
   /** MinHash + LSH candidate pairs: band the signature, bucket-join on
     * (band index, band value). Docs agreeing on ANY band become candidates —
