@@ -372,7 +372,36 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
           Expressions.rollingHash(col("text")).as("rhash"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // A7/J2: correlation matrix over the pivot-aligned series, preserving
+    // the reference's fillna(0)-before-corr quirk (binance_analysis.py:539-543).
+    "q50_corr_matrix" -> ((s, d) => {
+      val p = JoinOps.pivotAlign(t(s, d, "events"), TimeOps.minuteFloor(col("ts")),
+        "event_type", eventTypes, col("value"))
+      val pairs = for { a <- eventTypes; b <- eventTypes if a < b } yield
+        round(corr(col(a), col(b)), 6).as(s"corr_${a}_$b")
+      p.agg(pairs.head, pairs.tail: _*)
+    }),
+
+    // A12 extension: explicit gap listing — expected minute sequence minus
+    // observed minutes (sequence + explode + set-difference).
+    "q51_gap_listing" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val mm = ev.agg(date_trunc("minute", min(col("ts"))).as("mn"),
+                      date_trunc("minute", max(col("ts"))).as("mx"))
+      val all = mm.select(explode(sequence(col("mn"), col("mx"),
+        expr("interval 1 minute"))).as("minute"))
+      val present = ev.select(TimeOps.minuteFloor(col("ts")).as("minute")).distinct()
+      all.except(present).orderBy(col("minute"))
+    }),
+
+    // Text analysis: corpus token histogram (explode + count, top 100).
+    "q52_token_histogram" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(TextOps.tokens(lower(col("text")))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(100))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -726,6 +755,28 @@ object SparkEntry {
          CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS width,
          CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INTEGER) AS height,
          3 AS channels
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "q50_corr_matrix" -> {
+      val types = eventTypes
+      val pivotCols = types.map(e =>
+        s"coalesce(round(avg(CASE WHEN event_type = '$e' THEN value END), 6), 0.0) AS $e").mkString(", ")
+      val pairs = (for { a <- types; b <- types if a < b } yield
+        s"round(corr($a, $b), 6) AS corr_${a}_$b").mkString(", ")
+      s"""WITH p AS (SELECT date_trunc('minute', ts) AS bucket, $pivotCols
+          FROM events GROUP BY 1)
+          SELECT $pairs FROM p"""
+    },
+    "q51_gap_listing" ->
+      """WITH mm AS (SELECT date_trunc('minute', min(ts)) AS mn,
+                            date_trunc('minute', max(ts)) AS mx FROM events),
+         allm AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 MINUTE)) AS minute FROM mm)
+         SELECT minute FROM allm
+         EXCEPT SELECT DISTINCT date_trunc('minute', ts) AS minute FROM events
+         ORDER BY minute""",
+    "q52_token_histogram" ->
+      """SELECT token, count(*) AS n FROM (
+           SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+           FROM documents)
+         GROUP BY token ORDER BY n DESC, token LIMIT 100"""
   )
 }
