@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.domain.Crypto
+import graft.operators.{AggOps, JoinOps, WindowOps}
+import graft.sinks.Artifacts
+import graft.sources.CsvReaders
+
+/** The end-to-end analytics job — the reference's richest entry point
+  * (`python -m src.analytics.binance_analysis`, SURVEY §3.3) as one Spark
+  * job: load candles → build the feature frame ONCE (cached — ~10 artifact
+  * queries fan out from it) → emit every artifact table.
+  *
+  * Usage: Analyze <candlesPath(.csv glob|parquet)> <outDir> [focusSymbol]
+  */
+object Analyze {
+
+  def run(spark: SparkSession, candles: DataFrame, outDir: String,
+          focusSymbol: Option[String] = None): Unit = {
+    val feats = Crypto.addFeatures(candles).cache()
+    try {
+      val focus = focusSymbol.orElse(
+        feats.select(col("symbol")).distinct().orderBy(col("symbol"))
+          .limit(1).collect().headOption.map(_.getString(0)))
+        .getOrElse(return)
+      val f = feats.where(col("symbol") === focus)
+
+      // A1 metrics over all symbols
+      Artifacts.writeCsv(Crypto.marketMetrics(feats), s"$outDir/metrics_summary")
+      // A2-A6 profiles for the focus symbol
+      Artifacts.writeCsv(AggOps.dailySummary(f, col("open_time"), col("typical_price")),
+        s"$outDir/daily_summary")
+      Artifacts.writeCsv(AggOps.monthlyRollup(f, col("open_time"), col("volume")),
+        s"$outDir/monthly_volume")
+      Artifacts.writeCsv(AggOps.hourProfile(f, col("open_time"), col("abs_ret")),
+        s"$outDir/hourly_profile")
+      Artifacts.writeCsv(AggOps.dowProfile(f, col("open_time"), col("abs_ret")),
+        s"$outDir/dow_profile")
+      Artifacts.writeCsv(AggOps.weekdayHourHeatmap(f, col("open_time"), col("abs_ret")),
+        s"$outDir/heatmap_absret")
+      Artifacts.writeCsv(AggOps.weekdayHourHeatmap(f, col("open_time"), col("volume")),
+        s"$outDir/heatmap_volume")
+      // anomaly top-200 (O2/O3)
+      Artifacts.writeCsv(WindowOps.topK(
+          f.select(col("open_time"), col("close"), col("abs_ret"), col("anomaly_score")),
+          Seq(col("anomaly_score").desc, col("open_time")), 200),
+        s"$outDir/anomalies_top")
+      // J2/A7 cross-symbol correlation of log returns (fillna(0) quirk kept)
+      val symbols = feats.select(col("symbol")).distinct()
+        .orderBy(col("symbol")).collect().map(_.getString(0)).toSeq
+      if (symbols.size >= 2) {
+        val aligned = JoinOps.pivotAlign(feats, col("open_time"), "symbol",
+          symbols, col("log_ret"))
+        // Zero-variance-safe Pearson: ANSI mode makes native corr() THROW
+        // on constant series; pandas yields NaN — null here matches that.
+        def safeCorr(a: String, b: String) = {
+          val denom = stddev_samp(col(a)) * stddev_samp(col(b))
+          when(denom =!= 0.0, covar_samp(col(a), col(b)) / denom)
+        }
+        val pairs = for { a <- symbols; b <- symbols if a < b } yield
+          round(safeCorr(a, b), 6).as(s"corr_${a}_$b")
+        Artifacts.writeJsonSummary(aligned.agg(pairs.head, pairs.tail: _*),
+          s"$outDir/summary_correlation.json")
+      }
+      // A9/A10 overall summary scalars + A12 coverage
+      Artifacts.writeJsonSummary(
+        AggOps.overallSummary(f, col("typical_price")), s"$outDir/summary_overall.json")
+      Artifacts.writeJsonSummary(
+        AggOps.coverage(f, col("open_time")), s"$outDir/summary_coverage.json")
+    } finally feats.unpersist()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val path = args(0); val outDir = args(1)
+    val focus = args.lift(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val candles =
+      if (path.endsWith(".csv")) CsvReaders.readKlinesCsv(spark, path)
+      else spark.read.parquet(path)
+    run(spark, candles, outDir, focus)
+    spark.stop()
+  }
+}

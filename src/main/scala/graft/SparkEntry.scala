@@ -102,7 +102,8 @@ object SparkEntry {
     // A15 + W4: top-N depth per side.
     "q14_depth_topn" -> ((s, d) =>
       AggOps.depthTopN(t(s, d, "lineitem"), "l_returnflag", col("l_extendedprice"),
-        col("l_quantity"), 100, Seq(col("l_orderkey"), col("l_linenumber")))),
+        col("l_quantity"), 100,
+        Seq(col("l_orderkey"), col("l_linenumber"), col("l_quantity")))),
 
     // W1: per-group lag difference.
     "q15_lag_diff" -> ((s, d) =>
@@ -158,7 +159,7 @@ object SparkEntry {
       JoinOps.bucketAlignJoin(li, o, Seq("l_orderkey"), "inner")
         .select(col("l_orderkey"), col("l_linenumber"), col("o_orderdate"),
                 col("o_totalprice"), col("l_extendedprice"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
     }),
 
     // Multi-join + agg (flagship): revenue per region/nation.
@@ -220,7 +221,7 @@ object SparkEntry {
       val li = t(s, d, "lineitem")
       SetOps.unionAligned(Seq(li.where(col("l_quantity") <= 2), li.where(col("l_quantity") >= 49)))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     }),
 
     // Intersect (set semantics).
@@ -536,7 +537,7 @@ object SparkEntry {
       """WITH ranked AS (
            SELECT l_returnflag, l_extendedprice, l_quantity,
              row_number() OVER (PARTITION BY l_returnflag
-               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_quantity) AS rn
            FROM lineitem)
          SELECT l_returnflag, round(sum(l_quantity), 2) AS depth_qty,
            round(sum(l_quantity * l_extendedprice), 2) AS depth_notional,
@@ -579,7 +580,7 @@ object SparkEntry {
     "q21_join_enrich" ->
       """SELECT l_orderkey, l_linenumber, o_orderdate, o_totalprice, l_extendedprice
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, l_extendedprice""",
     "q22_regional_revenue" ->
       """SELECT r_name, n_name,
          round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -622,7 +623,7 @@ object SparkEntry {
            SELECT * FROM lineitem WHERE l_quantity <= 2
            UNION ALL
            SELECT * FROM lineitem WHERE l_quantity >= 49)
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, l_quantity""",
     "q29_intersect" ->
       """SELECT o_custkey AS custkey FROM orders
          INTERSECT
