@@ -402,7 +402,43 @@ object SparkEntry {
       t(s, d, "documents")
         .select(explode(TextOps.tokens(lower(col("text")))).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("token")).limit(100))
+        .orderBy(col("n").desc, col("token")).limit(100)),
+
+    // Full rank-function family (rank/dense_rank on the tie-bearing value
+    // ordering; ntile on a unique ordering — ntile under ties is
+    // engine-arbitrary). percent_rank/cume_dist are integer-ratio exact.
+    "q53_rank_family" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wTies = Window.partitionBy(col("event_type")).orderBy(col("value").desc)
+      val wUniq = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))
+      t(s, d, "events")
+        .select(col("event_type"), col("event_id"), col("value"),
+          rank().over(wTies).as("rnk"),
+          dense_rank().over(wTies).as("drnk"),
+          round(percent_rank().over(wTies), 6).as("prnk"),
+          round(cume_dist().over(wTies), 6).as("cd"),
+          ntile(4).over(wUniq).as("quartile"))
+        .where(col("rnk") <= 20)
+        .orderBy(col("event_type"), col("rnk"), col("event_id"))
+    }),
+
+    // CUBE grouping sets over two dimensions.
+    "q54_cube_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // Exact distinct counts per group (the approx/HLL variant is exercised
+    // in tests — approximate results can't hash-match an oracle).
+    "q55_distinct_counts" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count_distinct(col("o_custkey")).as("n_custs"),
+             count(lit(1)).as("n_orders"),
+             round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy(col("o_orderpriority")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -778,6 +814,27 @@ object SparkEntry {
       """SELECT token, count(*) AS n FROM (
            SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
            FROM documents)
-         GROUP BY token ORDER BY n DESC, token LIMIT 100"""
+         GROUP BY token ORDER BY n DESC, token LIMIT 100""",
+    "q53_rank_family" ->
+      """SELECT event_type, event_id, value,
+           rank() OVER wt AS rnk,
+           dense_rank() OVER wt AS drnk,
+           round(percent_rank() OVER wt, 6) AS prnk,
+           round(cume_dist() OVER wt, 6) AS cd,
+           ntile(4) OVER wu AS quartile
+         FROM events
+         WINDOW wt AS (PARTITION BY event_type ORDER BY value DESC),
+                wu AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+         QUALIFY rnk <= 20
+         ORDER BY event_type, rnk, event_id""",
+    "q54_cube_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q55_distinct_counts" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
+           count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
   )
 }

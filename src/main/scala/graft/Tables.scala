@@ -19,22 +19,17 @@ object Tables {
     * µs-resolution, so the DIV 1000 → TimestampType conversion is lossless.
     * Integer DIV, not `/`: a double round-trip would lose precision on
     * 1.7e18-scale nanos. */
-  private val cache =
-    scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]()
-
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    cache.getOrElseUpdate((spark, sfDir, name), {
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      val fixed =
-        if (name == "events" && df.schema("ts").dataType == LongType)
-          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-        else df
-      // The reference's one explicit physical decision (SURVEY §4): the
-      // shared frame feeding many downstream queries is cached once.
-      // Catalyst never auto-shares subplans across actions, so without this
-      // every registered query re-scans and re-decodes the same parquet.
-      fixed.cache()
-    })
+  // Deliberately NOT .cache()d: measured slower at bench scale — building
+  // the in-memory columnar cache costs more than re-running the (OS-page-
+  // cached, vectorized) parquet scans these queries do once each. The
+  // shared-frame cache pattern lives where it pays: Analyze.run caches the
+  // feature frame that ~10 artifact queries fan out from (SURVEY §4).
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
+  }
 
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
