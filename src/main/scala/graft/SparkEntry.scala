@@ -438,7 +438,16 @@ object SparkEntry {
         .agg(count_distinct(col("o_custkey")).as("n_custs"),
              count(lit(1)).as("n_orders"),
              round(sum(col("o_totalprice")), 2).as("sum_price"))
-        .orderBy(col("o_orderpriority")))
+        .orderBy(col("o_orderpriority"))),
+
+    // Similarity search: IVF-cell ANN (no SQL oracle — probed cell set is
+    // implementation-defined; recall measured against brute force in AnnSpec).
+    "q56_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Ann.ivfTopK(emb.where(col("vec_id") < 20), emb, "vec_id", "embedding",
+          k = 10, nlist = 16, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL

@@ -94,4 +94,71 @@ object Ann {
     sims.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
   }
+
+  /** IVF (inverted-file) ANN — the other classic scale path: partition the
+    * corpus into `nlist` cells around centroid vectors, search only the
+    * `nprobe` cells nearest each query, exact rerank within them.
+    *
+    * Centroids here are a deterministic sample of the corpus itself (every
+    * (n/nlist)-th vector by id — no RNG, no iterative k-means; Lloyd
+    * refinement plugs in trivially by re-running [[assignCells]]). At
+    * cluster scale the corpus is written PARTITIONED BY cell, so a query
+    * touches nprobe/nlist of the data via partition pruning alone.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    val c = prepared(corpus, idCol, vecCol, "corpus_id", "cv", "cn")
+    val centroids = pickCentroids(c, nlist)
+    val cCells = assignCells(c, "cv", centroids, 1).withColumnRenamed("cell_1", "cell")
+    val qPrepped = prepared(queries, idCol, vecCol, "query_id", "qv", "qn")
+    // Queries probe their nprobe nearest cells (explode over cell ranks).
+    val qCells = assignCells(qPrepped, "qv", centroids, nprobe)
+      .select(col("query_id"), col("qv"), col("qn"),
+        explode(array((1 to nprobe).map(i => col(s"cell_$i")): _*)).as("cell"))
+    val sims = cCells.join(broadcast(qCells), Seq("cell"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        round(cosine(col("qv"), col("qn"), col("cv"), col("cn")), 6).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    sims.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic centroid pick: every stride-th corpus id — collects ONLY
+    * the ~nlist centroid rows to the driver, never the corpus. (A k-means
+    * refinement would re-assign and re-average around these seeds.) */
+  private def pickCentroids(prep: DataFrame, nlist: Int): Array[(Int, Array[Double], Double)] = {
+    val cnt = prep.count()
+    val stride = math.max(1L, cnt / nlist)
+    prep.where(pmod(col("corpus_id"), lit(stride)) === 0)
+      .orderBy(col("corpus_id")).limit(nlist).collect()
+      .zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Double](r.fieldIndex("cv")).toArray,
+          r.getDouble(r.fieldIndex("cn")))
+      }
+  }
+
+  /** Adds cell_1..cell_n = indices of the n nearest centroids (by cosine).
+    * The centroid table is a constant-folded literal; distances compute via
+    * higher-order functions rather than an unrolled nlist×dim expression
+    * tree — the unrolled form costs seconds of codegen compilation and
+    * cannot scale past a few dozen centroids. */
+  private def assignCells(df: DataFrame, vecCol: String,
+                          centroids: Array[(Int, Array[Double], Double)],
+                          n: Int): DataFrame = {
+    val centLit = array(centroids.map { case (cid, cvec, cnorm) =>
+      struct(lit(cid).as("cid"), lit(cnorm).as("cnorm"),
+        array(cvec.map(lit): _*).as("cvec"))
+    }: _*)
+    val sims = transform(centLit, c =>
+      struct((aggregate(zip_with(col(vecCol), c.getField("cvec"), (x, y) => x * y),
+          lit(0.0d), (acc, x) => acc + x) / c.getField("cnorm")).as("sim"),
+        c.getField("cid").as("cid")))
+    val sorted = reverse(array_sort(sims))
+    (1 to n).foldLeft(df.withColumn("__cells", sorted)) { (d, i) =>
+      d.withColumn(s"cell_$i", col("__cells").getItem(i - 1).getField("cid"))
+    }.drop("__cells")
+  }
 }

@@ -38,6 +38,26 @@ class AnnSpec extends AnyFunSuite {
     assert(approx.nonEmpty)
   }
 
+  test("IVF ANN: recall scales with probed fraction, exact within cells") {
+    val emb = Tables.embeddings(spark, SparkTestSession.sf)
+    val q = emb.where(col("vec_id") < 20)
+    val exact = Ann.bruteForceTopK(q, emb, "vec_id", "embedding", 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.ivfTopK(q, emb, "vec_id", "embedding", k = 10, nlist = 8, nprobe = 3)
+    val got = ivf.select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    // probing 3/8 of the cells; neighbors concentrate near the query's cell
+    assert(recall > 0.2, s"recall=$recall")
+    // ranks well-formed per query
+    val mr = ivf.groupBy("query_id").agg(max("rank")).as[(Long, Int)].collect()
+    assert(mr.forall(_._2 <= 10))
+  }
+
+  test("GraftExtensions instantiates and applies cleanly") {
+    val ext = new graft.plans.GraftExtensions
+    ext.apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("hyperplanes are deterministic") {
     val a = Ann.hyperplanes(4, 8).map(_.toSeq).toSeq
     val b = Ann.hyperplanes(4, 8).map(_.toSeq).toSeq
