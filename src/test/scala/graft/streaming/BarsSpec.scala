@@ -25,6 +25,34 @@ class BarsSpec extends AnyFunSuite {
     assert(bars == Seq((10.0, 12.0, 10.0, 11.0, 4.0, 3L), (13.0, 13.0, 13.0, 13.0, 0.5, 1L)))
   }
 
+  test("ticker micro-poll fetches per batch and upserts idempotently") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.Rest
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    var fetches = 0
+    val transport: Rest.Transport = url => {
+      fetches += 1
+      if (url.contains("host-a")) Left(429) // first host throttled
+      else Right(s"""{"symbol":"BTCUSDT","price":"${42000 + fetches}.5"}""")
+    }
+    val table = java.nio.file.Files.createTempDirectory("ticks").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("tick-ckpt").toString
+    val mem = MemoryStream[Long]
+    val q = Ticker.pollingWriter(mem.toDF(), Seq("http://host-a", "http://host-b"),
+      "BTCUSDT", transport, table, ckpt).start()
+    try {
+      mem.addData(1L); q.processAllAvailable()
+      mem.addData(2L); q.processAllAvailable()
+    } finally q.stop()
+    val ticks = graft.operators.UpsertWriter.read(spark, table).get
+      .orderBy("poll_id").select("symbol", "poll_id", "price")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(ticks.size == 2)
+    assert(ticks.forall(_._1 == "BTCUSDT"))
+    assert(fetches >= 4) // each poll tried host-a (throttled) then host-b
+  }
+
   test("streaming micro-batches upsert into the bar table idempotently") {
     val src = Files.createTempDirectory("stream-src")
     val table = Files.createTempDirectory("bar-table").toString
