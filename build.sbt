@@ -27,4 +27,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Contention hardening for shared-machine runs: a local[32] session that
+  // gets co-scheduled with other work degrades sharply if GC also spawns
+  // 20+ threads; cap GC parallelism and reserve code-cache headroom for
+  // the ~112 whole-stage-codegen classes the full query suite compiles.
+  "-XX:ParallelGCThreads=8",
+  "-XX:ConcGCThreads=2",
+  "-XX:ReservedCodeCacheSize=512m",
 )
+// Forked `run` output goes straight to stdout — sbt's default LoggedOutput
+// prefixes every line with [info], which breaks machine parsing of the
+// Bench JSON line.
+run / outputStrategy := Some(StdoutOutput)
+run / connectInput := false

@@ -243,9 +243,13 @@ object SparkEntry {
         .select(col("event_id"), col("value"), round(col("z"), 6).as("z_value"))
         .orderBy(col("event_id"))),
 
-    // P22/P23 + O2/O3: anomaly score top-200.
+    // P22/P23 + O2/O3: anomaly score top-200. log(1+x) spelled exactly as
+    // the oracle's ln(1 + value) — log1p is NOT bit-identical to ln(1+x),
+    // and the 6-dp rounding of the score (which drives the top-200 cut)
+    // can flip at a rounding boundary if the engines evaluate different
+    // IEEE expressions.
     "q32_anomaly_topk" -> ((s, d) => {
-      val ev = t(s, d, "events").withColumn("log_value", log1p(col("value")))
+      val ev = t(s, d, "events").withColumn("log_value", log(lit(1) + col("value")))
       val scored = RobustZ.withAnomalyScore(ev, Seq("value", "log_value"), "anomaly")
         .withColumn("anomaly_score", round(col("anomaly"), 6))
       WindowOps.topK(scored, Seq(col("anomaly_score").desc, col("event_id")), 200)
@@ -320,9 +324,12 @@ object SparkEntry {
         .orderBy(col("fingerprint"))),
 
     // Dedup: n-gram (3-shingle) Jaccard pairs via inverted-index join.
+    // maxDocFreq caps posting-list length — shingles present in >100 docs
+    // are stop-shingles: quadratic join blowup at corpus scale for near-zero
+    // discriminative signal. The oracle mirrors the cap.
     "q42_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
-          n = 3, minJaccard = 0.05)
+          n = 3, minJaccard = 0.05, maxDocFreq = Some(100L))
         .orderBy(col("id_a"), col("id_b"))),
 
     // Dedup: MinHash + LSH candidate pairs (8 hashes, 4 bands).
@@ -332,7 +339,7 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))),
 
     // Dedup: SimHash near-dup candidates (custom Catalyst expression;
-    // no SQL oracle — validated in SimHashSpec against exact Hamming).
+    // oracled via a HUGEINT FNV-1a + bit-majority mirror in DuckDB).
     "q44_simhash_dedup" -> ((s, d) =>
       Dedup.simhashCandidates(t(s, d, "documents"), "doc_id", "text",
           bands = 4, maxHamming = 6)
@@ -351,8 +358,9 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // Similarity search: LSH-bucketed ANN (no SQL oracle — recall measured
-    // against brute force in AnnSpec).
+    // Similarity search: LSH-bucketed ANN (oracled — the md5-parity
+    // hyperplanes are deterministic and mirrored as SQL literals; recall
+    // additionally measured against brute force in AnnSpec).
     "q47_ann_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Ann.lshTopK(emb.where(col("vec_id") < 20), emb, "vec_id", "embedding",
@@ -367,7 +375,7 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     // Document fingerprinting via custom rolling-hash expression
-    // (no SQL oracle — cross-checked in ExpressionsSpec).
+    // (oracled via HUGEINT polynomial-mod arithmetic in DuckDB).
     "q49_rolling_hash" -> ((s, d) => {
       Expressions.register(s)
       t(s, d, "documents").select(col("doc_id"),
@@ -440,8 +448,9 @@ object SparkEntry {
              round(sum(col("o_totalprice")), 2).as("sum_price"))
         .orderBy(col("o_orderpriority"))),
 
-    // Similarity search: IVF-cell ANN (no SQL oracle — probed cell set is
-    // implementation-defined; recall measured against brute force in AnnSpec).
+    // Similarity search: IVF-cell ANN (oracled — the stride-sampled
+    // centroids and nprobe cell ranking are deterministic and mirrored in
+    // SQL; recall additionally measured against brute force in AnnSpec).
     "q56_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Ann.ivfTopK(emb.where(col("vec_id") < 20), emb, "vec_id", "embedding",
@@ -508,6 +517,107 @@ object SparkEntry {
        FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id
        ORDER BY id_a, id_b"""
   }
+
+  /** DuckDB byte list of a string's UTF-8 encoding, via hex(encode(..)) —
+    * 2 hex chars per byte, parsed through the '0x' cast (HUGEINT has no
+    * direct hex-literal cast, so go via BIGINT). */
+  private def byteListSql(strExpr: String): String =
+    s"""list_transform(range(1, length(hex(encode($strExpr)))//2 + 1),
+       i -> CAST(CAST('0x' || substring(hex(encode($strExpr)), 2*i-1, 2) AS BIGINT) AS HUGEINT))"""
+
+  /** Mirrors Hashing.rollingHash: polynomial hash mod 2^61−1 over UTF-8
+    * bytes, exact in HUGEINT (h < 2^61, h*1000003 + 255 < 2^81 « 2^127). */
+  private def rollingHashSql: String =
+    s"""SELECT doc_id,
+       CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), ${byteListSql("text")}),
+         (acc, b) -> (acc * 1000003 + b) % 2305843009213693951) AS BIGINT) AS rhash
+       FROM documents ORDER BY doc_id"""
+
+  /** Mirrors Expressions.SimHash64 + Dedup.simhashCandidates: FNV-1a 64 per
+    * token (HUGEINT mod-2^64 arithmetic), per-bit ±1 majority, 4×16-bit band
+    * join, Hamming ≤ 6 on candidates. The unsigned HUGEINT simhash and
+    * Spark's signed long agree on every band/xor/bit_count operation. */
+  private def simhashSql: String = {
+    val fnv =
+      s"""list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), ${byteListSql("tok")}),
+         (acc, b) -> (xor(acc, b) * 1099511628211) % 18446744073709551616)"""
+    val bitsum = (0 until 64).map(b =>
+      s"CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
+        s"THEN CAST(1 AS HUGEINT) << $b ELSE CAST(0 AS HUGEINT) END").mkString(" + ")
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT id, $b AS bi, (sim >> ${b * 16}) & 65535 AS bv FROM sim")
+      .mkString(" UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+           FROM documents),
+       th AS (SELECT id, $fnv AS h FROM toks),
+       sim AS (SELECT id, $bitsum AS sim FROM th GROUP BY id),
+       bands AS ($bandSelects),
+       cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id),
+       hd AS (SELECT c.id_a, c.id_b,
+                CAST(bit_count(xor(sa.sim, sb.sim)) AS INTEGER) AS hamming
+              FROM cand c JOIN sim sa ON sa.id = c.id_a JOIN sim sb ON sb.id = c.id_b)
+       SELECT id_a, id_b, hamming FROM hd WHERE hamming <= 6 ORDER BY id_a, id_b"""
+  }
+
+  /** Mirrors Ann.lshTopK(numPlanes=6, dim=64, multiProbe=1, k=10): the ±1
+    * hyperplane signs come from the same md5-parity construction (embedded
+    * here as literals via Ann.hyperplanes), the signature dot products sum
+    * in the same left-to-right IEEE order, query buckets probe Hamming
+    * radius 1 (sig XOR {0, 1<<p}). */
+  private def annLshSql: String = {
+    val planes = graft.similarity.Ann.hyperplanes(6, 64)
+    def dot(p: Array[Double]): String =
+      p.zipWithIndex.map { case (s, d) =>
+        s"vec[${d + 1}] * (${if (s > 0) "1.0" else "-1.0"})" }.mkString(" + ")
+    val sigExpr = planes.zipWithIndex.map { case (pl, p) =>
+      s"(CASE WHEN ${dot(pl)} >= 0 THEN ${1L << p} ELSE 0 END)" }.mkString(" + ")
+    val probes = (0L +: (0 until 6).map(p => 1L << p)).mkString("[", ", ", "]")
+    s"""WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm, $sigExpr AS sig
+             FROM p),
+       q AS (SELECT vec_id, vec, norm,
+               unnest(list_transform($probes, o -> xor(sig, CAST(o AS BIGINT)))) AS bucket
+             FROM n WHERE vec_id < 20),
+       sims AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                  round(list_dot_product(q.vec, c.vec) / (q.norm * c.norm), 6) AS cosine
+                FROM n c JOIN q ON c.sig = q.bucket
+                WHERE q.vec_id <> c.vec_id),
+       r AS (SELECT query_id, corpus_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, corpus_id) AS "rank" FROM sims)
+       SELECT query_id, corpus_id, cosine, "rank" FROM r WHERE "rank" <= 10
+       ORDER BY query_id, "rank""""
+  }
+
+  /** Mirrors Ann.ivfTopK(nlist=16, nprobe=4, k=10): stride-sampled centroid
+    * pick (vec_id % (count/16) = 0, first 16 by id), nearest-cell ranking by
+    * dot/cnorm with DESC cid tiebreak (= reverse(array_sort) on (sim, cid)
+    * structs), corpus in its top-1 cell, queries probing their top-4. */
+  private def annIvfSql: String =
+    """WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM p),
+       cnt AS (SELECT count(*) AS c FROM n),
+       cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                  vec AS cvec, norm AS cnorm
+                FROM n WHERE vec_id % greatest(1, (SELECT c FROM cnt) // 16) = 0
+                ORDER BY vec_id LIMIT 16),
+       ranked AS (SELECT v.vec_id, v.vec, v.norm, c.cid,
+                    row_number() OVER (PARTITION BY v.vec_id
+                      ORDER BY list_dot_product(v.vec, c.cvec) / c.cnorm DESC, c.cid DESC) AS cr
+                  FROM n v CROSS JOIN cent c),
+       corp AS (SELECT vec_id AS corpus_id, vec, norm, cid AS cell FROM ranked WHERE cr = 1),
+       qr AS (SELECT vec_id AS query_id, vec, norm, cid AS cell FROM ranked
+              WHERE vec_id < 20 AND cr <= 4),
+       sims AS (SELECT DISTINCT qr.query_id, corp.corpus_id,
+                  round(list_dot_product(qr.vec, corp.vec) / (qr.norm * corp.norm), 6) AS cosine
+                FROM corp JOIN qr ON corp.cell = qr.cell
+                WHERE qr.query_id <> corp.corpus_id),
+       r AS (SELECT query_id, corpus_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, corpus_id) AS "rank" FROM sims)
+       SELECT query_id, corpus_id, cosine, "rank" FROM r WHERE "rank" <= 10
+       ORDER BY query_id, "rank""""
 
   private def pivotAlignSql: String = {
     val cols = eventTypes.map(e =>
@@ -603,9 +713,11 @@ object SparkEntry {
     "q17_forward_returns" ->
       """SELECT event_id, value,
          lead(value, 5) OVER w AS lead_5,
-         round(ln(lead(value, 5) OVER w / value), 6) AS fwd_ret_5,
+         CASE WHEN lead(value, 5) OVER w > 0 AND value > 0
+              THEN round(ln(lead(value, 5) OVER w / value), 6) END AS fwd_ret_5,
          lead(value, 15) OVER w AS lead_15,
-         round(ln(lead(value, 15) OVER w / value), 6) AS fwd_ret_15
+         CASE WHEN lead(value, 15) OVER w > 0 AND value > 0
+              THEN round(ln(lead(value, 15) OVER w / value), 6) END AS fwd_ret_15
          FROM events
          WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
          ORDER BY event_id""",
@@ -764,16 +876,19 @@ object SparkEntry {
          FROM documents GROUP BY 1 ORDER BY fingerprint""",
     "q42_ngram_jaccard" ->
       s"""WITH $shinglesCte,
+         ef AS (SELECT * FROM e WHERE sh NOT IN
+                  (SELECT sh FROM e GROUP BY sh HAVING count(*) > 100)),
          pairs AS (
            SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
              count(*) AS inter
-           FROM e a JOIN e b ON a.sh = b.sh AND a.id < b.id
+           FROM ef a JOIN ef b ON a.sh = b.sh AND a.id < b.id
            GROUP BY 1, 2, 3, 4),
          j AS (SELECT id_a, id_b,
                  round(inter / (n_a + n_b - inter), 6) AS jaccard FROM pairs)
          SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.05
          ORDER BY id_a, id_b""",
     "q43_minhash_lsh" -> minhashSql,
+    "q44_simhash_dedup" -> simhashSql,
     "q45_embedding_dedup" ->
       """WITH v AS (SELECT label AS block, vec_id AS id,
                       CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
@@ -784,6 +899,7 @@ object SparkEntry {
                FROM n a JOIN n b ON a.block = b.block AND a.id < b.id)
          SELECT block, id_a, id_b, cosine FROM p WHERE cosine >= 0.1
          ORDER BY id_a, id_b""",
+    "q47_ann_lsh" -> annLshSql,
     "q46_ann_topk" ->
       """WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
          n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM p),
@@ -802,6 +918,7 @@ object SparkEntry {
          CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INTEGER) AS height,
          3 AS channels
          FROM documents ORDER BY doc_id""",
+    "q49_rolling_hash" -> rollingHashSql,
     "q50_corr_matrix" -> {
       val types = eventTypes
       val pivotCols = types.map(e =>
@@ -844,6 +961,7 @@ object SparkEntry {
     "q55_distinct_counts" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
            count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
-         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q56_ann_ivf" -> annIvfSql
   )
 }

@@ -17,10 +17,17 @@ import graft.plans.Expressions
   */
 object Dedup {
 
-  /** Exact dedup: keep the lowest-id row per exact key (hash groupBy —
-    * one shuffle on the dedup key, map-side partial aggregation). */
+  /** Exact dedup: keep the lowest-id row per exact key.
+    *
+    * The window partitions by two independent 32/64-bit hashes of the key
+    * tuple (96 bits total), NOT by the raw key columns — partitioning by a
+    * multi-KB `text` column makes the shuffle sort/compare cost scale with
+    * document size. A 96-bit collision needs ~2^48 distinct keys to have
+    * even ~1e-4 probability; corpora near that size use
+    * [[fingerprintDedup]] (128-bit) or MinHash anyway. */
   def exactDedup(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
+    val ks = keyCols.map(col)
+    val w = Window.partitionBy(xxhash64(ks: _*), hash(ks: _*)).orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 
@@ -31,11 +38,18 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct word n-gram shingles from an already-tokenized column. */
+  /** Distinct word n-gram shingles from an already-tokenized column.
+    *
+    * Documents with fewer than `n` tokens yield an EMPTY array: `sequence`
+    * with end < start would produce a DESCENDING range (e.g. [1,0]) whose
+    * 0 position makes `slice` throw, so the short-doc case is guarded
+    * explicitly with a typed empty literal. */
   def shinglesFromTokens(toks: Column, n: Int): Column =
     array_distinct(
-      transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
-        i => array_join(slice(toks, i, lit(n)), " ")))
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+        .otherwise(lit(Array.empty[String])))
 
   /** Distinct word n-gram shingles of a text column.
     *

@@ -27,12 +27,28 @@ object RobustZ {
       .drop("__med", "__mad")
   }
 
-  /** Adds robust z-scores for several columns (one stats pass per column,
-    * all broadcast) plus `anomaly_score` = greatest(|z_1|, …, |z_n|)
-    * (binance_analysis.py:244). */
+  /** Adds robust z-scores for several columns plus `anomaly_score` =
+    * greatest(|z_1|, …, |z_n|) (binance_analysis.py:244).
+    *
+    * All medians are computed in ONE aggregation job and all MADs in a
+    * second (medians of |x − med| need the medians first — two passes is
+    * the information-theoretic floor for exact MAD). An earlier per-column
+    * fold re-scanned the accumulated crossJoin plan once per column,
+    * making column n recompute all earlier medians — quadratic scans. */
   def withAnomalyScore(df: DataFrame, cols: Seq[String], scoreCol: String): DataFrame = {
-    val zd = cols.foldLeft(df) { (d, c) => withRobustZ(d, c, s"z_$c") }
-    zd.withColumn(scoreCol, greatest(cols.map(c => abs(col(s"z_$c"))): _*))
+    val meds = df.agg(
+      median(col(cols.head)).as(s"__med_${cols.head}"),
+      cols.tail.map(c => median(col(c)).as(s"__med_$c")): _*)
+    val stats = df.crossJoin(broadcast(meds)).agg(
+      first(col(s"__med_${cols.head}")).as(s"__med_${cols.head}"),
+      (cols.tail.map(c => first(col(s"__med_$c")).as(s"__med_$c")) ++
+        cols.map(c =>
+          median(abs(col(c) - col(s"__med_$c"))).as(s"__mad_$c"))): _*)
+    val zd = cols.foldLeft(df.crossJoin(broadcast(stats))) { (d, c) =>
+      d.withColumn(s"z_$c", zExpr(col(c), col(s"__med_$c"), col(s"__mad_$c")))
+    }
+    zd.drop(cols.flatMap(c => Seq(s"__med_$c", s"__mad_$c")): _*)
+      .withColumn(scoreCol, greatest(cols.map(c => abs(col(s"z_$c"))): _*))
   }
 
   /** One-row frame (__med, __mad) for column `c`. Exact medians

@@ -45,13 +45,18 @@ object TextOps {
     words.map(w => wordOccurrences(text, w)).reduce(_ + _)
 
   /** Predicted language = argmax of marker scores, ties broken by the
-    * declaration order of [[LangMarkers]] (deterministic). */
+    * declaration order of [[LangMarkers]] (deterministic).
+    *
+    * Built as a FLAT `coalesce(when(s_i === mx, l_i)…)`: an earlier fold of
+    * `when(acc.isNotNull, acc).otherwise(…)` referenced `acc` twice per
+    * language, duplicating every score subtree exponentially (2^|langs|
+    * copies — 45 s/query at high parallelism). The flat form is linear and
+    * whole-stage-codegen subexpression elimination collapses the repeated
+    * score trees. */
   def langId(text: Column): Column = {
     val scores = LangMarkers.map { case (l, ws) => l -> langScore(text, ws) }
     val mx = greatest(scores.map(_._2): _*)
-    scores.foldLeft(lit(null).cast("string")) { case (acc, (l, s)) =>
-      when(acc.isNotNull, acc).otherwise(when(s === mx, lit(l)))
-    }
+    coalesce(scores.map { case (l, s) => when(s === mx, lit(l)) }: _*)
   }
 
   /** Characters that are neither alphanumeric nor whitespace. */

@@ -44,18 +44,22 @@ object Multimodal {
   }
 
   /** Partition-wise decode: one `mapPartitions` pass, preserving the input
-    * partitioning (no shuffle). Output schema = input ++ mediaMetaSchema. */
+    * partitioning (no shuffle). Output schema = input ++ mediaMetaSchema.
+    * Stays in the Dataset API (row encoder) rather than dropping to
+    * `df.rdd` — the plan keeps its columnar scan + codegen stages up to the
+    * decode boundary instead of forcing a full RDD conversion. */
   def decodeMeta(spark: SparkSession, df: DataFrame): DataFrame = {
     val inSchema = df.schema
     val outSchema = StructType(inSchema.fields ++ mediaMetaSchema.fields)
     val payloadIdx = inSchema.fieldIndex("payload")
-    val rdd = df.rdd.mapPartitions { it =>
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
       it.map { row =>
         val meta = StubCodec.decode(row.getAs[Array[Byte]](payloadIdx))
         Row.fromSeq(row.toSeq ++ meta.toSeq)
       }
     }
-    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Pure-Column metadata derivation (oracle-portable variant): dimensions

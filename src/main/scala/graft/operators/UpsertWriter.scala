@@ -43,8 +43,23 @@ object UpsertWriter {
     merged.write.mode("overwrite").parquet(dir.resolve(next).toString)
     val tmp = dir.resolve("CURRENT.tmp")
     Files.writeString(tmp, next)
+    val prev = gen(dir)
     Files.move(tmp, dir.resolve("CURRENT"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // GC superseded generations (a streaming sink upserting every trigger
+    // would otherwise leak one full table copy per micro-batch). The
+    // just-replaced generation is kept for in-flight readers; everything
+    // older is deleted.
+    val keep = Set(Some(dir.resolve(next)), prev).flatten.map(_.getFileName.toString)
+    Files.list(dir).forEach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("gen-") && !keep(n)) deleteRecursively(p)
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) Files.list(p).forEach(deleteRecursively)
+    Files.deleteIfExists(p)
   }
 }

@@ -36,13 +36,17 @@ object WindowOps {
   }
 
   /** W3/P24 (`binance_analysis.py:404-415`): forward values k rows ahead and
-    * the forward log-return ln(lead/current); null past the partition end. */
+    * the forward log-return ln(lead/current); null past the partition end
+    * and null when either endpoint is non-positive (log-returns are only
+    * defined on positive prices — the explicit guard keeps engines that
+    * THROW on ln(0), rather than returning null, oracle-comparable). */
   def forwardReturns(df: DataFrame, part: Seq[Column], order: Seq[Column],
                      value: Column, horizons: Seq[Int]): DataFrame =
     horizons.foldLeft(df) { (d, k) =>
       val led = lead(value, k).over(w(part, order))
       d.withColumn(s"lead_$k", led)
-        .withColumn(s"fwd_ret_$k", round(log(led / value), 6))
+        .withColumn(s"fwd_ret_$k",
+          when(led > 0 && value > 0, round(log(led / value), 6)))
     }
 
   /** W4 (`binance_analysis.py:490-494`): per-partition level numbering

@@ -64,8 +64,13 @@ object CsvReaders {
   }
 
   private def normalizeKlines(raw: DataFrame): DataFrame = {
-    val fileName = regexp_extract(input_file_name(), """klines_([A-Z0-9]+)_([a-z0-9]+)\.csv""", 1)
-    val fileTf = regexp_extract(input_file_name(), """klines_([A-Z0-9]+)_([a-z0-9]+)\.csv""", 2)
+    // regexp_extract returns EMPTY STRING (not null) on no-match; nullif so
+    // rows from non-conforming filenames hit the required-column na.drop
+    // instead of silently surviving with symbol=""/tf="".
+    val fileName = nullif(
+      regexp_extract(input_file_name(), """klines_([A-Z0-9]+)_([a-z0-9]+)\.csv""", 1), lit(""))
+    val fileTf = nullif(
+      regexp_extract(input_file_name(), """klines_([A-Z0-9]+)_([a-z0-9]+)\.csv""", 2), lit(""))
     val withIds = Seq(
       ("symbol", fileName), ("tf", fileTf)).foldLeft(raw) { case (d, (c, fromFile)) =>
       if (d.columns.contains(c)) d else d.withColumn(c, fromFile)

@@ -42,8 +42,22 @@ object Ticker {
         UpsertWriter.upsert(spark, tick, tableDir, Seq("symbol", "poll_id"))
       }
 
-  /** Production trigger: one micro-batch per `intervalSec`. */
-  def rateTrigger(spark: SparkSession, intervalSec: Int): DataFrame =
-    spark.readStream.format("rate")
-      .option("rowsPerSecond", s"${1.0 / math.max(1, intervalSec)}").load()
+  /** Production trigger: one row per micro-batch; poll cadence comes from
+    * the writer's `Trigger.ProcessingTime(intervalSec seconds)` (see
+    * [[pollingQuery]]), NOT from a sub-1 rate — the rate source parses
+    * `rowsPerSecond` as a long, so a fractional string like "0.2" throws
+    * NumberFormatException at stream start. */
+  def rateTrigger(spark: SparkSession): DataFrame =
+    spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+
+  /** The full production S6 composition: rate-source trigger + processing-
+    * time cadence + the polling foreachBatch sink. Call `.start()` on the
+    * result. */
+  def pollingQuery(spark: SparkSession, hosts: Seq[String], symbol: String,
+                   transport: Rest.Transport, tableDir: String,
+                   checkpointDir: String, intervalSec: Int): DataStreamWriter[Row] =
+    pollingWriter(rateTrigger(spark), hosts, symbol, transport, tableDir,
+      checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+        s"${math.max(1, intervalSec)} seconds"))
 }

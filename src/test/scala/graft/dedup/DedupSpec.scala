@@ -47,6 +47,23 @@ class DedupSpec extends AnyFunSuite {
     assert(capped.count() == 0)
   }
 
+  test("short docs (< n tokens) yield empty shingle sets, not a crash") {
+    // sequence(1, size-(n-1)) DESCENDS when size < n, making slice throw —
+    // the guard must produce an empty array instead.
+    val short = Seq((0L, "one"), (1L, "two words"), (2L, ""),
+      (3L, "three whole tokens"), (4L, "three whole tokens")).toDF("doc_id", "text")
+    val shingled = short.select(col("doc_id"),
+      Dedup.shinglesFromTokens(graft.functions.TextOps.tokens(col("text")), 3).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n")).as[(Long, Int)].collect().toMap
+    assert(shingled(0L) == 0 && shingled(1L) == 0 && shingled(2L) == 0)
+    assert(shingled(3L) == 1)
+    // The full pipelines run end-to-end over the mixed corpus.
+    val pairs = Dedup.ngramJaccardPairs(short, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((3L, 4L))) // only the 3-token exact dups can pair
+    Dedup.minhashLshCandidates(short, "doc_id", "text", 3, 8, 4).count() // no throw
+  }
+
   test("minhash LSH candidates include exact and near dups") {
     val cands = Dedup.minhashLshCandidates(docs, "doc_id", "text",
       n = 3, numHashes = 8, bands = 4).as[(Long, Long)].collect().toSet

@@ -53,6 +53,40 @@ class BarsSpec extends AnyFunSuite {
     assert(fetches >= 4) // each poll tried host-a (throttled) then host-b
   }
 
+  test("production rate-source trigger path starts and polls (S6)") {
+    import graft.sources.Rest
+    val transport: Rest.Transport = _ =>
+      Right("""{"symbol":"ETHUSDT","price":"2500.25"}""")
+    val table = Files.createTempDirectory("rate-ticks").toString
+    val ckpt = Files.createTempDirectory("rate-ckpt").toString
+    // The real trigger: rate source (integer rowsPerSecond) + ProcessingTime
+    // cadence. The round-1 fractional rowsPerSecond threw NumberFormatException
+    // here at stream start.
+    val q = Ticker.pollingQuery(spark, Seq("http://host"), "ETHUSDT",
+      transport, table, ckpt, intervalSec = 1).start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      var n = 0L
+      while (n == 0 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+        n = UpsertWriter.read(spark, table).map(_.count()).getOrElse(0L)
+      }
+      assert(n > 0, "rate-trigger stream produced no ticks within 30s")
+    } finally q.stop()
+  }
+
+  test("upsert GCs superseded generations (keeps current + previous)") {
+    val table = Files.createTempDirectory("gen-gc").toString
+    (1 to 4).foreach { i =>
+      val batch = Seq(("S", i.toLong, i * 1.0)).toDF("symbol", "poll_id", "price")
+      UpsertWriter.upsert(spark, batch, table, Seq("symbol", "poll_id"))
+    }
+    val gens = new java.io.File(table).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+    assert(gens.length <= 2, s"leaked generations: ${gens.map(_.getName).toSeq}")
+    assert(UpsertWriter.read(spark, table).get.count() == 4)
+  }
+
   test("streaming micro-batches upsert into the bar table idempotently") {
     val src = Files.createTempDirectory("stream-src")
     val table = Files.createTempDirectory("bar-table").toString

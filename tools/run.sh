@@ -15,4 +15,5 @@ ADD_OPENS="$ADD_OPENS --add-opens java.base/sun.nio.ch=ALL-UNNAMED \
 exec java $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -XX:ParallelGCThreads=8 -XX:ConcGCThreads=2 -XX:ReservedCodeCacheSize=512m \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@"
