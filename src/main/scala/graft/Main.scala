@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sinks.Artifacts
+import graft.sources.{Rest, Synthetic}
+
+/** CLI job runner — the reference's primary UX, `python -m src.main`
+  * subcommands (`src/main.py:36-64,95-140`), re-expressed over the Spark
+  * library:
+  *
+  *   price-ticks         --n 5 --delay 1.0
+  *   collect-klines      --pairs BTCUSDT,ETHUSDT --tf 1m --days 1 --out data
+  *   collect-trades      --pairs ... --out data
+  *   collect-orderbooks  --pairs ... --out data
+  *   etl                 --data data --warehouse warehouse
+  *   analyze             --in <csv-glob|parquet> --out artifacts [--focus SYM]
+  *
+  * `OFFLINE=1` (the reference's fixture switch, `src/binance/api.py:56-64`)
+  * swaps every REST fetch for the deterministic synthetic sources, so the
+  * whole surface runs in zero-egress environments; the reference's
+  * interactive menu maps to the printed usage (a batch CLI has no stdin
+  * contract). Defaults mirror the reference's env fallbacks
+  * (PAIRS/TF/DAYS/OUT_DIR).
+  */
+object Main {
+
+  case class Opts(cmd: Option[String], kv: Map[String, String]) {
+    def get(k: String, dflt: => String): String =
+      kv.getOrElse(k, sys.env.getOrElse(k.toUpperCase, dflt))
+  }
+
+  def parseArgs(args: Array[String]): Opts = {
+    val cmd = args.headOption.filterNot(_.startsWith("--"))
+    val rest = args.drop(if (cmd.isDefined) 1 else 0)
+    val kv = rest.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    Opts(cmd, kv)
+  }
+
+  def offline: Boolean = sys.env.get("OFFLINE").contains("1")
+
+  def parsePairs(s: String): Seq[String] =
+    s.split(",").map(_.trim.toUpperCase).filter(_.nonEmpty).toSeq
+
+  /** Host list (BINANCE_HOSTS override), mirroring api.py:11-18. */
+  def hosts: Seq[String] = sys.env.getOrElse("BINANCE_HOSTS",
+    "https://api4.binance.com,https://api.binance.com,https://api1.binance.com," +
+      "https://api2.binance.com,https://api3.binance.com")
+    .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Real HTTP transport (online mode); connector logic stays testable with
+    * injected fakes. */
+  lazy val httpTransport: Rest.Transport = { url =>
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofSeconds(20)).GET().build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() == 200) Right(resp.body()) else Left(resp.statusCode())
+  }
+
+  /** price-ticks: n BTCUSDT prices, 2-dp rounded (main.py:19-28). */
+  def priceTicks(n: Int, delayMs: Long, transport: Rest.Transport,
+                 hostList: Seq[String]): Seq[Double] =
+    if (offline) Seq.fill(n)(100.0)
+    else (0 until n).map { i =>
+      val body = Rest.fetchWithFailover(hostList,
+        "/api/v3/ticker/price?symbol=BTCUSDT", transport)
+      if (delayMs > 0 && i < n - 1) Thread.sleep(delayMs)
+      math.round(streaming.Ticker.parseTick(body)._2 * 100) / 100.0
+    }
+
+  /** collect-klines: paginated fetch per pair → CSV artifact named
+    * `klines_<SYM>_<tf>.csv` (prices_collector.py:14-45). OFFLINE uses the
+    * ≤10-bar constant fixture. */
+  def collectKlines(spark: SparkSession, pairs: Seq[String], tf: String,
+                    days: Int, outDir: String, transport: Rest.Transport,
+                    hostList: Seq[String], nowMs: Long): Seq[String] =
+    pairs.map { sym =>
+      val df =
+        if (offline) Synthetic.offlineKlines(spark, sym, tf, 10, nowMs / 1000)
+        else {
+          val fetchPage = (start: Long, end: Long, limit: Int) =>
+            Rest.parseKlines(Rest.fetchWithFailover(hostList,
+              s"/api/v3/klines?symbol=$sym&interval=$tf&startTime=$start" +
+                s"&endTime=$end&limit=$limit", transport))
+          Rest.klinesToDataFrame(spark, sym, tf, Rest.paginateKlines(
+            fetchPage, nowMs - days.toLong * 86400000L, nowMs))
+        }
+      val path = s"$outDir/klines_${sym}_$tf.csv"
+      Artifacts.writeCsv(df.select("symbol", "tf", "open_time", "open", "high",
+        "low", "close", "volume", "num_trades"), path)
+      path
+    }
+
+  /** collect-trades: recent trades per pair → `trades_<SYM>.csv`
+    * (trades_collector.py:21-48). */
+  def collectTrades(spark: SparkSession, pairs: Seq[String], outDir: String,
+                    transport: Rest.Transport, hostList: Seq[String],
+                    nowMs: Long): Seq[String] =
+    pairs.map { sym =>
+      val df =
+        if (offline)
+          Synthetic.syntheticTrades(spark, sym, 100, nowMs / 1000)
+            .withColumn("quote_qty", round(col("price") * col("qty"), 8))
+            .withColumn("is_best_match", lit(true))
+        else {
+          import spark.implicits._
+          Rest.parseTrades(Rest.fetchWithFailover(hostList,
+              s"/api/v3/trades?symbol=$sym&limit=1000", transport)).toDF()
+            .withColumn("symbol", lit(sym))
+            .withColumn("trade_time", timestamp_millis(col("timeMs")))
+            .withColumnRenamed("tradeId", "trade_id")
+            .withColumnRenamed("quoteQty", "quote_qty")
+            .withColumnRenamed("isBuyerMaker", "is_buyer_maker")
+            .withColumnRenamed("isBestMatch", "is_best_match")
+        }
+      val path = s"$outDir/trades_$sym.csv"
+      Artifacts.writeCsv(df.select("symbol", "trade_id", "price", "qty",
+        "quote_qty", "trade_time", "is_buyer_maker", "is_best_match"), path)
+      path
+    }
+
+  /** collect-orderbooks: one depth snapshot per pair → `orderbook_<SYM>.csv`
+    * (orderbook_collector.py:21-41). */
+  def collectOrderbooks(spark: SparkSession, pairs: Seq[String], outDir: String,
+                        transport: Rest.Transport, hostList: Seq[String],
+                        nowMs: Long): Seq[String] =
+    pairs.map { sym =>
+      val df =
+        if (offline) Synthetic.syntheticDepth(spark, sym, 5, nowMs / 1000)
+        else {
+          import spark.implicits._
+          Rest.parseDepth(Rest.fetchWithFailover(hostList,
+              s"/api/v3/depth?symbol=$sym&limit=100", transport)).toDF()
+            .withColumn("symbol", lit(sym))
+            .withColumn("update_time", timestamp_millis(lit(nowMs)))
+            .withColumnRenamed("updateId", "update_id")
+        }
+      val path = s"$outDir/orderbook_$sym.csv"
+      Artifacts.writeCsv(df.select("symbol", "price", "qty", "side",
+        "update_id", "update_time"), path)
+      path
+    }
+
+  private def usage(): Unit = println(
+    """kp-crypto (Spark) — subcommands:
+      |  price-ticks         --n 5 --delay 1.0
+      |  collect-klines      --pairs BTCUSDT,ETHUSDT --tf 1m --days 1 --out data
+      |  collect-trades      --pairs BTCUSDT,ETHUSDT --out data
+      |  collect-orderbooks  --pairs BTCUSDT,ETHUSDT --out data
+      |  etl                 --data data --warehouse warehouse
+      |  analyze             --in <csv-glob|parquet> --out artifacts [--focus SYM]
+      |OFFLINE=1 swaps REST fetches for deterministic synthetic fixtures.""".stripMargin)
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    if (opts.cmd.isEmpty) { usage(); return }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val now = System.currentTimeMillis()
+    val pairs = parsePairs(opts.get("pairs", "BTCUSDT,ETHUSDT"))
+    val out = opts.get("out", "data")
+    try opts.cmd.get match {
+      case "price-ticks" =>
+        val vals = priceTicks(opts.get("n", "5").toInt,
+          (opts.get("delay", "1.0").toDouble * 1000).toLong, httpTransport, hosts)
+        println(s"""{"count":${vals.size},"min":${vals.min},"max":${vals.max}}""")
+      case "collect-klines" =>
+        collectKlines(spark, pairs, opts.get("tf", "1m"),
+          opts.get("days", "1").toInt, out, httpTransport, hosts, now)
+          .foreach(p => println(s"[collector] saved $p"))
+      case "collect-trades" =>
+        collectTrades(spark, pairs, out, httpTransport, hosts, now)
+          .foreach(p => println(s"[collector] saved $p"))
+      case "collect-orderbooks" =>
+        collectOrderbooks(spark, pairs, out, httpTransport, hosts, now)
+          .foreach(p => println(s"[collector] saved $p"))
+      case "etl" =>
+        EtlLoader.loadAll(spark, opts.get("data", "data"),
+            opts.get("warehouse", "warehouse"))
+          .foreach { case (f, t) => println(s"[etl] $f -> $t") }
+      case "analyze" =>
+        val in = opts.kv.getOrElse("in",
+          sys.error("analyze requires --in <csv-glob|parquet>"))
+        val candles =
+          if (in.endsWith(".csv")) sources.CsvReaders.readKlinesCsv(spark, in)
+          else spark.read.parquet(in)
+        Analyze.run(spark, candles, opts.get("out", "artifacts"),
+          opts.kv.get("focus"))
+      case other =>
+        println(s"unknown subcommand: $other"); usage()
+    } finally spark.stop()
+  }
+}

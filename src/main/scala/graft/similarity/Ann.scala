@@ -106,9 +106,12 @@ object Ann {
     * touches nprobe/nlist of the data via partition pruning alone.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
+              vecCol: String, k: Int, nlist: Int, nprobe: Int,
+              lloydIters: Int = 0): DataFrame = {
     val c = prepared(corpus, idCol, vecCol, "corpus_id", "cv", "cn")
-    val centroids = pickCentroids(c, nlist)
+    val seeds = pickCentroids(c, nlist)
+    val centroids =
+      if (lloydIters > 0) refineCentroids(c, seeds, lloydIters) else seeds
     val cCells = assignCells(c, "cv", centroids, 1).withColumnRenamed("cell_1", "cell")
     val qPrepped = prepared(queries, idCol, vecCol, "query_id", "qv", "qn")
     // Queries probe their nprobe nearest cells (explode over cell ranks).
@@ -138,6 +141,33 @@ object Ann {
         (i, r.getSeq[Double](r.fieldIndex("cv")).toArray,
           r.getDouble(r.fieldIndex("cn")))
       }
+  }
+
+  /** Lloyd (k-means) refinement of the seed centroids: re-assign every
+    * corpus vector to its nearest current centroid (one distributed pass),
+    * recompute each cell's mean vector, renormalize. Only the ≤nlist mean
+    * rows are collected per iteration; cells that go empty keep their old
+    * centroid. Deterministic: seeds are the stride sample and assignment
+    * ties break by centroid id. */
+  private def refineCentroids(prep: DataFrame,
+                              init: Array[(Int, Array[Double], Double)],
+                              iters: Int): Array[(Int, Array[Double], Double)] = {
+    val dim = init.head._2.length
+    var cents = init
+    for (_ <- 0 until iters) {
+      val aggs = (0 until dim).map(i => avg(element_at(col("cv"), i + 1)).as(s"m$i"))
+      val means = assignCells(prep, "cv", cents, 1)
+        .groupBy(col("cell_1")).agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map(r => r.getInt(0) -> (1 to dim).map(r.getDouble).toArray).toMap
+      cents = cents.map { case (cid, oldVec, oldNorm) =>
+        means.get(cid) match {
+          case Some(v) => (cid, v, math.sqrt(v.map(x => x * x).sum))
+          case None => (cid, oldVec, oldNorm)
+        }
+      }
+    }
+    cents
   }
 
   /** Adds cell_1..cell_n = indices of the n nearest centroids (by cosine).

@@ -86,6 +86,38 @@ object Rest {
     out.result()
   }
 
+  /** One recent trade (`/api/v3/trades` object fields,
+    * trades_collector.py:36-46). */
+  case class Trade(tradeId: Long, price: Double, qty: Double, quoteQty: Double,
+                   timeMs: Long, isBuyerMaker: Boolean, isBestMatch: Boolean)
+
+  /** Parse the recent-trades JSON payload: array of objects. */
+  def parseTrades(body: String): Seq[Trade] = {
+    val root = mapper.readTree(body)
+    root.elements().asScala.map { t =>
+      Trade(t.get("id").asLong(), t.get("price").asText().toDouble,
+        t.get("qty").asText().toDouble, t.get("quoteQty").asText().toDouble,
+        t.get("time").asLong(), t.get("isBuyerMaker").asBoolean(),
+        t.get("isBestMatch").asBoolean())
+    }.toSeq
+  }
+
+  /** One depth level. `side` is "bid" | "ask" (orderbook_collector.py:33-37). */
+  case class DepthLevel(price: Double, qty: Double, side: String, updateId: Long)
+
+  /** Parse the `/api/v3/depth` payload: lastUpdateId + bids/asks as
+    * [price, qty] string pairs. */
+  def parseDepth(body: String): Seq[DepthLevel] = {
+    val root = mapper.readTree(body)
+    val updateId = root.get("lastUpdateId").asLong()
+    def levels(field: String, side: String): Seq[DepthLevel] =
+      root.get(field).elements().asScala.map { pq =>
+        DepthLevel(pq.get(0).asText().toDouble, pq.get(1).asText().toDouble,
+          side, updateId)
+      }.toSeq
+    levels("bids", "bid") ++ levels("asks", "ask")
+  }
+
   /** Land fetched bars as a candles DataFrame (schema per SURVEY §1.2). */
   def klinesToDataFrame(spark: SparkSession, symbol: String, tf: String,
                         klines: Seq[Kline]): DataFrame = {

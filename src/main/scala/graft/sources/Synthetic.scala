@@ -23,6 +23,24 @@ object Synthetic {
       .withColumn("volume", lit(0.0)).withColumn("num_trades", lit(0L))
       .drop("id")
 
+  /** Deterministic OFFLINE depth snapshot: `levels` bid levels descending
+    * from 99.9 and ask levels ascending from 100.1, constant qty — the
+    * orderbook analogue of the reference's OFFLINE klines fixture. */
+  def syntheticDepth(spark: SparkSession, symbol: String, levels: Int,
+                     atEpochSec: Long): DataFrame = {
+    val base = spark.range(levels.toLong)
+      .withColumn("symbol", lit(symbol))
+      .withColumn("update_id", lit(1000L))
+      .withColumn("update_time", timestamp_seconds(lit(atEpochSec)))
+      .withColumn("qty", lit(1.0) + col("id").cast("double") / 10.0)
+    val bids = base.withColumn("side", lit("bid"))
+      .withColumn("price", lit(99.9) - col("id").cast("double") * 0.1)
+    val asks = base.withColumn("side", lit("ask"))
+      .withColumn("price", lit(100.1) + col("id").cast("double") * 0.1)
+    bids.unionByName(asks)
+      .select("symbol", "price", "qty", "side", "update_id", "update_time")
+  }
+
   /** Deterministic pseudo-random trades for tests/benchmarks: price and qty
     * derived from hash-of-id arithmetic — reproducible, no RNG state. */
   def syntheticTrades(spark: SparkSession, symbol: String, n: Long,

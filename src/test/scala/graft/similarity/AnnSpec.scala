@@ -53,6 +53,24 @@ class AnnSpec extends AnyFunSuite {
     assert(mr.forall(_._2 <= 10))
   }
 
+  test("IVF with Lloyd refinement keeps recall at least competitive") {
+    val emb = Tables.embeddings(spark, SparkTestSession.sf)
+    val q = emb.where(col("vec_id") < 20)
+    val exact = Ann.bruteForceTopK(q, emb, "vec_id", "embedding", 10)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    def recallOf(iters: Int): Double = {
+      val got = Ann.ivfTopK(q, emb, "vec_id", "embedding",
+          k = 10, nlist = 8, nprobe = 3, lloydIters = iters)
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val r0 = recallOf(0); val r2 = recallOf(2)
+    // Lloyd centers the cells on the data's actual clusters; on this corpus
+    // it must not degrade recall materially and stays above the raw floor.
+    assert(r2 > 0.2, s"lloyd recall=$r2")
+    assert(r2 >= r0 - 0.1, s"lloyd recall regressed: $r2 vs seed $r0")
+  }
+
   test("GraftExtensions instantiates and applies cleanly") {
     val ext = new graft.plans.GraftExtensions
     ext.apply(new org.apache.spark.sql.SparkSessionExtensions)
