@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{RobustZ, TextOps, TimeOps}
+import graft.functions.{RobustZ, TextOps, TfIdf, TimeOps}
 import graft.operators._
 import graft.dedup.Dedup
 import graft.similarity.Ann
@@ -456,7 +456,41 @@ object SparkEntry {
       Ann.ivfTopK(emb.where(col("vec_id") < 20), emb, "vec_id", "embedding",
           k = 10, nlist = 16, nprobe = 4)
         .orderBy(col("query_id"), col("rank"))
-    })
+    }),
+
+    // Text analysis: per-document top-3 TF-IDF terms (keyword extraction /
+    // domain-filter scoring for a pretraining corpus).
+    "q57_tfidf" -> ((s, d) =>
+      TfIdf.topTerms(t(s, d, "documents"), "doc_id", "text", 3)
+        .orderBy(col("doc_id"), col("rnk"))),
+
+    // PII detection + redaction. The synthetic corpus carries no PII, so
+    // the query plants deterministic emails (doc_id % 3 of them) and one
+    // phone per document, then counts and redacts — exercising both
+    // regexes on genuine positives with varied cardinality.
+    "q58_pii_redact" -> ((s, d) => {
+      val aug = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          expr("repeat(concat(' user', doc_id, '@example.com'), CAST(doc_id % 3 AS INT))"),
+          lit(" tel +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")).as("aug"))
+      aug.select(col("doc_id"),
+          TextOps.emailCount(col("aug")).as("n_emails"),
+          TextOps.phoneCount(col("aug")).as("n_phones"),
+          md5(TextOps.redactPii(col("aug")).cast("binary")).as("redacted_md5"),
+          length(TextOps.redactPii(col("aug"))).as("redacted_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Embedding-space corpus clustering: nearest-centroid histogram over
+    // the same deterministic stride centroids as q56 (the IVF index-build
+    // step exposed as its own operator).
+    "q59_cluster_histogram" -> ((s, d) =>
+      Ann.clusterAssign(t(s, d, "embeddings"), "vec_id", "embedding", nlist = 16)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vecs"),
+             min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"))
+        .orderBy(col("cell")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -962,6 +996,53 @@ object SparkEntry {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
            count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
-    "q56_ann_ivf" -> annIvfSql
+    "q56_ann_ivf" -> annIvfSql,
+    "q57_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+             FROM documents),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+                GROUP BY doc_id, token),
+         dfreq AS (SELECT token, count(*) AS dfreq FROM tf GROUP BY token),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (SELECT tf.doc_id, tf.token,
+             round(tf.tf * ln(CAST((SELECT n_docs FROM nd) AS DOUBLE) / dfreq.dfreq), 6) AS tfidf
+           FROM tf JOIN dfreq USING (token)),
+         r AS (SELECT doc_id, token, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, token) AS rnk FROM scored)
+         SELECT doc_id, token, tfidf, rnk FROM r WHERE rnk <= 3
+         ORDER BY doc_id, rnk""",
+    "q58_pii_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+[0-9][0-9-]{7,}"
+      val redacted = s"regexp_replace(regexp_replace(aug, '$email', '[EMAIL]', 'g'), '$phone', '[PHONE]', 'g')"
+      s"""WITH aug AS (SELECT doc_id,
+             text || repeat(' user' || CAST(doc_id AS VARCHAR) || '@example.com',
+                            CAST(doc_id % 3 AS INT))
+                  || ' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(aug, '$email')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(aug, '$phone')) AS INT) AS n_phones,
+           md5($redacted) AS redacted_md5,
+           length($redacted) AS redacted_len
+         FROM aug ORDER BY doc_id"""
+    },
+    "q59_cluster_histogram" ->
+      """WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM p),
+         cnt AS (SELECT count(*) AS c FROM n),
+         cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                    vec AS cvec, norm AS cnorm
+                  FROM n WHERE vec_id % greatest(1, (SELECT c FROM cnt) // 16) = 0
+                  ORDER BY vec_id LIMIT 16),
+         ranked AS (SELECT v.vec_id, c.cid,
+                      row_number() OVER (PARTITION BY v.vec_id
+                        ORDER BY list_dot_product(v.vec, c.cvec) / c.cnorm DESC, c.cid DESC) AS cr
+                    FROM n v CROSS JOIN cent c),
+         corp AS (SELECT vec_id, cid AS cell FROM ranked WHERE cr = 1)
+         SELECT cell, count(*) AS n_vecs, min(vec_id) AS min_id, max(vec_id) AS max_id
+         FROM corp GROUP BY cell ORDER BY cell"""
   )
 }

@@ -96,4 +96,21 @@ object TextOps {
     * [[graft.dedup.Dedup.fingerprintDedup]]. */
   def contentFingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")).cast("binary"))
+
+  /** PII patterns, deliberately RE2-safe (character classes and bounded
+    * quantifiers only — no backrefs/lookaround) so Java and RE2 engines
+    * match identically. Phone requires a leading '+' to stay precise on
+    * numeric prose. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+[0-9][0-9-]{7,}"
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
+  def phoneCount(text: Column): Column = regexp_count(text, lit(PhonePattern))
+
+  /** Redaction for training corpora: emails → [EMAIL], phones → [PHONE].
+    * Order matters — emails first, so a '+'-prefixed local part is consumed
+    * as an email before the phone pattern can see its digits. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "[EMAIL]"),
+      PhonePattern, "[PHONE]")
 }

@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TF-IDF term scoring over a document corpus — the classic relevance /
+  * keyword-extraction primitive of a training-data pipeline (domain
+  * filtering, topic tagging, dedup blocking keys).
+  *
+  * Shape at scale: term frequencies shuffle once on (doc, term) with
+  * map-side combine; document frequencies aggregate the tf table again on
+  * term (vocabulary-sized, heavy-tailed — orders of magnitude smaller than
+  * the corpus); the corpus row count joins back as a broadcast one-row
+  * frame. No collect, no cross join of corpus-sized inputs.
+  */
+object TfIdf {
+
+  /** Per-document top-k terms by tf·idf (idf = ln(N/df), ties broken by
+    * term). Tokenization matches [[TextOps.tokens]] over lowercased text so
+    * an external SQL engine scores bit-identically. */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String,
+               k: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("dfreq"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("dfreq")), 6)
+          .as("tfidf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("doc_id"), col("token"), col("tfidf"), col("rnk"))
+  }
+}

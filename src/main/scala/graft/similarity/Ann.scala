@@ -129,6 +129,22 @@ object Ann {
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("rank"))
   }
 
+  /** Nearest-centroid cluster assignment over the whole corpus — the
+    * k-means labeling step exposed as its own operator (corpus
+    * partitioning, topic bucketing, IVF index builds all start here).
+    * Returns (id, cell). `lloydIters` > 0 refines the deterministic stride
+    * seeds with that many distributed k-means passes. At cluster scale the
+    * output is what you `partitionBy("cell")` on when writing the corpus. */
+  def clusterAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int, lloydIters: Int = 0): DataFrame = {
+    val c = prepared(corpus, idCol, vecCol, "corpus_id", "cv", "cn")
+    val seeds = pickCentroids(c, nlist)
+    val cents =
+      if (lloydIters > 0) refineCentroids(c, seeds, lloydIters) else seeds
+    assignCells(c, "cv", cents, 1)
+      .select(col("corpus_id").as(idCol), col("cell_1").as("cell"))
+  }
+
   /** Deterministic centroid pick: every stride-th corpus id — collects ONLY
     * the ~nlist centroid rows to the driver, never the corpus. (A k-means
     * refinement would re-assign and re-average around these seeds.) */

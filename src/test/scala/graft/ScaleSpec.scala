@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-level scale assertions: the physical plans that make or break a
+  * 100 TB run — bucketed co-located joins (no shuffle), broadcast of small
+  * dimensions, partition pruning on a cell-partitioned corpus. These test
+  * PLANS, not rows: the property that holds at sf0.001 holds at any scale
+  * because it's a structural fact about the query, not the data. */
+class ScaleSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("bucketed tables join with no shuffle exchange") {
+    val orders = Tables.load(spark, SparkTestSession.sf, "orders")
+    val customer = Tables.load(spark, SparkTestSession.sf, "customer")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    // A fresh JVM's in-memory catalog doesn't own last run's warehouse
+    // files; clear the locations or the CREATE refuses.
+    Seq("b_orders", "b_customer").foreach { tbl =>
+      val dir = new java.io.File(s"spark-warehouse/$tbl")
+      if (dir.exists()) {
+        Files.walk(dir.toPath).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+    }
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .format("parquet").saveAsTable("b_orders")
+    customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .format("parquet").saveAsTable("b_customer")
+    // Force the sort-merge path (a broadcast would hide the bucketing).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("b_orders").join(spark.table("b_customer"),
+        $"o_custkey" === $"c_custkey")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(j.count() == orders.count()) // every order has its customer
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("small dimension joins broadcast (no shuffle of the fact side)") {
+    val lineitem = Tables.load(spark, SparkTestSession.sf, "lineitem")
+    val part = Tables.load(spark, SparkTestSession.sf, "part")
+    val j = lineitem.join(broadcast(part), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_type").agg(sum($"l_quantity").as("qty"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("cell-partitioned corpus write prunes to probed cells on read") {
+    val emb = Tables.load(spark, SparkTestSession.sf, "embeddings")
+    val assigned = similarity.Ann.clusterAssign(emb, "vec_id", "embedding", 8)
+    val out = Files.createTempDirectory("cellpart").toString + "/corpus"
+    emb.join(assigned, "vec_id").write.partitionBy("cell").parquet(out)
+    val pruned = spark.read.parquet(out).where($"cell" === 3)
+    val planned = pruned.queryExecution.executedPlan.toString
+    // Partition pruning: the scan carries the cell predicate as a partition
+    // filter, so only 1/8 of the files are touched at any scale.
+    assert(planned.contains("PartitionFilters: [isnotnull(cell"), planned)
+    assert(pruned.count() ==
+      assigned.where($"cell" === 3).count())
+  }
+
+  test("tfidf: constant term scores zero, rare term dominates, top-k capped") {
+    val docs = Seq(
+      (0L, "alpha beta beta"),
+      (1L, "alpha beta gamma"),
+      (2L, "alpha delta delta delta")).toDF("doc_id", "text")
+    val got = functions.TfIdf.topTerms(docs, "doc_id", "text", 2)
+      .orderBy($"doc_id", $"rnk")
+      .as[(Long, String, Double, Int)].collect()
+    // 'alpha' is in every doc → idf 0 → never in top terms unless nothing
+    // else exists; rare terms (df=1) rank first.
+    assert(got.filter(_._1 == 2L).head._2 == "delta")
+    assert(got.count(_._1 == 0L) == 2)
+    val d0 = got.filter(_._1 == 0L).map(_._2).toSeq
+    assert(d0.head == "beta" && d0.contains("alpha")) // alpha only as filler
+    val betaScore = got.filter(r => r._1 == 0L && r._2 == "beta").head._3
+    assert(betaScore == math.rint(2 * math.log(3.0 / 2) * 1e6) / 1e6)
+  }
+
+  test("pii redaction finds and masks emails and phones") {
+    val docs = Seq(
+      (0L, "mail me at a.b+c@example.org or call +1-800-555-0199 now"),
+      (1L, "no pii here 1234 plus + signs - dashes")).toDF("doc_id", "text")
+    val got = docs.select($"doc_id",
+        functions.TextOps.emailCount($"text").as("e"),
+        functions.TextOps.phoneCount($"text").as("p"),
+        functions.TextOps.redactPii($"text").as("r"))
+      .orderBy($"doc_id").as[(Long, Int, Int, String)].collect()
+    assert(got(0) == ((0L, 1, 1, "mail me at [EMAIL] or call [PHONE] now")))
+    assert(got(1) == ((1L, 0, 0, "no pii here 1234 plus + signs - dashes")))
+  }
+
+  test("clusterAssign: every vector gets exactly one cell in [0, nlist)") {
+    val emb = Tables.load(spark, SparkTestSession.sf, "embeddings")
+    val a = similarity.Ann.clusterAssign(emb, "vec_id", "embedding", 8)
+    assert(a.count() == emb.count())
+    assert(a.select("vec_id").distinct().count() == emb.count())
+    val cells = a.select("cell").distinct().as[Int].collect()
+    assert(cells.forall(c => c >= 0 && c < 8))
+  }
+}
