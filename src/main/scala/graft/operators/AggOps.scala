@@ -100,18 +100,17 @@ object AggOps {
       .withColumn("mid", (col("best_ask") + col("best_bid")) / 2)
 
   /** A15 (`binance_analysis.py:505-512`): top-N book depth per side — rank
-    * window limited to N, then per-side sums. The rank window shuffles once
-    * by `side`; with explicit tiebreakers the result is deterministic. */
+    * window limited to N, then per-side sums. `side` has a handful of
+    * values, so the rank goes through [[WindowOps.topKPerGroupSalted]]:
+    * identical output, but the sort parallelizes across sub-partitions
+    * instead of funneling each side through one reducer. */
   def depthTopN(df: DataFrame, side: String, price: Column, qty: Column, n: Int,
-                tiebreak: Seq[Column]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(side)).orderBy(price.desc +: tiebreak: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= n)
+                tiebreak: Seq[Column]): DataFrame =
+    WindowOps.topKPerGroupSalted(df, Seq(col(side)),
+        price.desc +: tiebreak, n, out = "__rn")
       .groupBy(col(side))
       .agg(round(sum(qty), 2).as("depth_qty"),
            round(sum(qty * price), 2).as("depth_notional"),
            count(lit(1)).as("n_levels"))
       .orderBy(col(side))
-  }
 }

@@ -68,6 +68,26 @@ object WindowOps {
                    out: String = "rank"): DataFrame =
     df.withColumn(out, row_number().over(w(part, order))).where(col(out) <= k)
 
+  /** Per-group top-k that stays parallel when there are FEW groups: a plain
+    * rank window funnels each whole group through one reducer — with 4
+    * groups on a 1000-executor cluster, 996 sit idle while 4 sort
+    * everything. Phase 1 ranks within (group, salt) — `salts`-way parallel
+    * per group, each sub-sort bounded by |group|/salts — and keeps its
+    * local top-k; phase 2 re-ranks only the ≤ salts·k survivors per group.
+    *
+    * Output is IDENTICAL to [[topKPerGroup]]: any row in the true top-k is
+    * top-k within whatever sub-partition it landed in, so it survives
+    * phase 1; phase 2's full-ordering rank then reproduces the plain
+    * ranking exactly (tiebreak columns make it deterministic regardless of
+    * how rows were salted). */
+  def topKPerGroupSalted(df: DataFrame, part: Seq[Column], order: Seq[Column],
+                         k: Int, salts: Int = 16, out: String = "rank"): DataFrame = {
+    val local = w(part :+ spark_partition_id() % salts, order)
+    df.withColumn("__lrn", row_number().over(local)).where(col("__lrn") <= k)
+      .drop("__lrn")
+      .withColumn(out, row_number().over(w(part, order))).where(col(out) <= k)
+  }
+
   /** O4 (`binance_analysis.py:713`): deterministic exact-n sample. Contract
     * is "deterministic given seed", not "same rows as numpy" (SURVEY §7.5);
     * keying on md5 of the row id makes it reproducible across engines too. */

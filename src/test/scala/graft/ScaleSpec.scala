@@ -97,6 +97,17 @@ class ScaleSpec extends AnyFunSuite {
     assert(got(1) == ((1L, 0, 0, "no pii here 1234 plus + signs - dashes")))
   }
 
+  test("salted top-k per group matches the plain rank window exactly") {
+    val li = Tables.load(spark, SparkTestSession.sf, "lineitem")
+    val part = Seq(col("l_returnflag"))
+    val ord = Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val plain = operators.WindowOps.topKPerGroup(li, part, ord, 100)
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"rank")
+    val salted = operators.WindowOps.topKPerGroupSalted(li, part, ord, 100, salts = 7)
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"rank")
+    assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
+  }
+
   test("clusterAssign: every vector gets exactly one cell in [0, nlist)") {
     val emb = Tables.load(spark, SparkTestSession.sf, "embeddings")
     val a = similarity.Ann.clusterAssign(emb, "vec_id", "embedding", 8)
