@@ -491,6 +491,41 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_vecs"),
              min(col("vec_id")).as("min_id"), max(col("vec_id")).as("max_id"))
         .orderBy(col("cell")))
+        ,
+
+    // Multimodal: REAL container-header decode (PNG/GIF/WAV magic + field
+    // extraction as pure byte arithmetic). The query builds deterministic
+    // well-formed headers per doc, parses them back through MediaHeaders;
+    // the oracle derives the expected fields independently from the same
+    // doc_id formulas — a wrong parse cannot cancel out.
+    "q60_media_headers" -> ((s, d) => {
+      import graft.multimodal.MediaHeaders
+      def hx(c: Column, n: Int) = lpad(hex(c), n, "0")
+      def le2(c: Column) =
+        concat(hx(pmod(c, lit(256)), 2), hx(floor(c / 256).cast("long"), 2))
+      def le4(c: Column) = concat(le2(pmod(c, lit(65536))),
+        le2(floor(c / 65536).cast("long")))
+      val w = lit(16) + pmod(col("doc_id"), lit(1024))
+      val h = lit(16) + pmod(col("doc_id") * 3, lit(1024))
+      val ch = lit(1) + pmod(col("doc_id"), lit(2))
+      val rate = when(pmod(col("doc_id"), lit(2)) === 0, 44100L).otherwise(8000L)
+      val pngHex = concat(lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        hx(w, 8), hx(h, 8))
+      val gifHex = concat(lit("474946383961"), le2(w), le2(h))
+      val wavHex = concat(
+        lit("52494646" + "24080000" + "57415645" + "666D7420" + "10000000" + "0100"),
+        le2(ch), le4(rate))
+      val payload = unhex(when(pmod(col("doc_id"), lit(3)) === 0, pngHex)
+        .when(pmod(col("doc_id"), lit(3)) === 1, gifHex).otherwise(wavHex))
+      t(s, d, "documents").select(col("doc_id"), payload.as("payload"))
+        .select(col("doc_id"),
+          MediaHeaders.kind(col("payload")).as("kind"),
+          MediaHeaders.width(col("payload")).as("width"),
+          MediaHeaders.height(col("payload")).as("height"),
+          MediaHeaders.channels(col("payload")).as("channels"),
+          MediaHeaders.sampleRate(col("payload")).as("sample_rate"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1043,6 +1078,15 @@ object SparkEntry {
                     FROM n v CROSS JOIN cent c),
          corp AS (SELECT vec_id, cid AS cell FROM ranked WHERE cr = 1)
          SELECT cell, count(*) AS n_vecs, min(vec_id) AS min_id, max(vec_id) AS max_id
-         FROM corp GROUP BY cell ORDER BY cell"""
+         FROM corp GROUP BY cell ORDER BY cell""",
+    "q60_media_headers" ->
+      """SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif' ELSE 'wav' END AS kind,
+           CASE WHEN doc_id % 3 IN (0, 1) THEN 16 + doc_id % 1024 END AS width,
+           CASE WHEN doc_id % 3 IN (0, 1) THEN 16 + (doc_id * 3) % 1024 END AS height,
+           CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 2 END AS channels,
+           CASE WHEN doc_id % 3 = 2 THEN
+             CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 8000 END END AS sample_rate
+         FROM documents ORDER BY doc_id"""
   )
 }

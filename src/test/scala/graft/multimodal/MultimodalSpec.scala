@@ -36,6 +36,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(same.size == 1)
   }
 
+  test("MediaHeaders parses real PNG / GIF / WAV header bytes") {
+    // Ground-truth fixtures built byte-for-byte from the specs:
+    // 97x59 PNG IHDR, 320x200 GIF89a screen, stereo 44.1 kHz WAV fmt.
+    val png = Array[Int](0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+      0x00, 0x00, 0x00, 0x0D, 0x49, 0x48, 0x44, 0x52,
+      0x00, 0x00, 0x00, 0x61, 0x00, 0x00, 0x00, 0x3B).map(_.toByte)
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Int](0x40, 0x01, 0xC8, 0x00).map(_.toByte) // 320 LE, 200 LE
+    val wav = "RIFF".getBytes("US-ASCII") ++
+      Array[Int](0x24, 0x08, 0x00, 0x00).map(_.toByte) ++
+      "WAVEfmt ".getBytes("US-ASCII") ++
+      Array[Int](0x10, 0x00, 0x00, 0x00, 0x01, 0x00, 0x02, 0x00,
+        0x44, 0xAC, 0x00, 0x00).map(_.toByte) // PCM, 2 ch, 44100 LE
+    val txt = "just text".getBytes("US-ASCII")
+    val df = Seq((1L, png), (2L, gif), (3L, wav), (4L, txt)).toDF("id", "payload")
+    val got = df.select(col("id"),
+        MediaHeaders.kind(col("payload")).as("kind"),
+        MediaHeaders.width(col("payload")).as("w"),
+        MediaHeaders.height(col("payload")).as("h"),
+        MediaHeaders.channels(col("payload")).as("ch"),
+        MediaHeaders.sampleRate(col("payload")).as("sr"))
+      .orderBy("id")
+      .as[(Long, String, Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, "png", Some(97L), Some(59L), None, None),
+      (2L, "gif", Some(320L), Some(200L), None, None),
+      (3L, "wav", None, None, Some(2L), Some(44100L)),
+      (4L, "unknown", None, None, None, None)))
+  }
+
   test("langId picks the language whose markers dominate") {
     val df = Seq(
       (1L, "the cat sat on a mat full of the best wool"),
