@@ -525,7 +525,15 @@ object SparkEntry {
           MediaHeaders.channels(col("payload")).as("channels"),
           MediaHeaders.sampleRate(col("payload")).as("sample_rate"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // Corpus mixing: exact per-language quotas with a deterministic
+    // md5-keyed draw (the rebalancing step before training-data packing).
+    "q61_stratified_sample" -> ((s, d) =>
+      WindowOps.stratifiedSample(t(s, d, "documents"), Seq(col("lang")),
+          col("doc_id"), 50, out = "rnk")
+        .select(col("doc_id"), col("lang"), col("rnk"))
+        .orderBy(col("lang"), col("rnk")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1087,6 +1095,13 @@ object SparkEntry {
            CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 2 END AS channels,
            CASE WHEN doc_id % 3 = 2 THEN
              CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 8000 END END AS sample_rate
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "q61_stratified_sample" ->
+      """WITH r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rnk
+           FROM documents)
+         SELECT doc_id, lang, rnk FROM r WHERE rnk <= 50
+         ORDER BY lang, rnk"""
   )
 }

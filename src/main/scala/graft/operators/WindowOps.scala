@@ -93,4 +93,14 @@ object WindowOps {
     * keying on md5 of the row id makes it reproducible across engines too. */
   def deterministicSample(df: DataFrame, idExpr: Column, n: Int): DataFrame =
     df.orderBy(md5(idExpr.cast("string"))).limit(n)
+
+  /** Stratified exact-quota sampling: up to `nPerGroup` rows per stratum,
+    * chosen by md5-of-id rank — the corpus-mixing primitive of a
+    * training-data pipeline (rebalance languages/sources/domains to target
+    * counts) with a cross-engine-reproducible draw. One shuffle on the
+    * stratum key; `sampleBy` gives probabilistic fractions, this gives
+    * exact deterministic quotas. */
+  def stratifiedSample(df: DataFrame, strata: Seq[Column], idExpr: Column,
+                       nPerGroup: Int, out: String = "rank"): DataFrame =
+    topKPerGroup(df, strata, Seq(md5(idExpr.cast("string"))), nPerGroup, out)
 }
