@@ -25,16 +25,32 @@ import graft.sources.{Rest, Synthetic}
   */
 object Main {
 
+  /** Env fallbacks mirror the reference's exactly (api.py/main.py read
+    * PAIRS/TF/DAYS/OUT_DIR) — an explicit whitelist, so unrelated
+    * environment variables (DATA, N, ...) can never silently override a
+    * flag default. */
+  private val envFallback = Map(
+    "pairs" -> "PAIRS", "tf" -> "TF", "days" -> "DAYS", "out" -> "OUT_DIR")
+
   case class Opts(cmd: Option[String], kv: Map[String, String]) {
     def get(k: String, dflt: => String): String =
-      kv.getOrElse(k, sys.env.getOrElse(k.toUpperCase, dflt))
+      kv.getOrElse(k,
+        envFallback.get(k).flatMap(sys.env.get).getOrElse(dflt))
   }
 
+  /** `<cmd> --flag value ...`; every `--flag` must have a value — a
+    * dangling flag would otherwise shift all later pairs and silently
+    * mis-assign them. */
   def parseArgs(args: Array[String]): Opts = {
     val cmd = args.headOption.filterNot(_.startsWith("--"))
     val rest = args.drop(if (cmd.isDefined) 1 else 0)
-    val kv = rest.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    require(rest.length % 2 == 0,
+      s"flag without a value in: ${rest.mkString(" ")}")
+    val kv = rest.sliding(2, 2).map {
+      case Array(k, v) if k.startsWith("--") && !v.startsWith("--") =>
+        k.drop(2) -> v
+      case Array(k, v) =>
+        sys.error(s"expected --flag value, got: $k $v")
     }.toMap
     Opts(cmd, kv)
   }
@@ -51,14 +67,18 @@ object Main {
     .split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
   /** Real HTTP transport (online mode); connector logic stays testable with
-    * injected fakes. */
-  lazy val httpTransport: Rest.Transport = { url =>
+    * injected fakes. One shared client — paginated collection issues
+    * hundreds of requests, and a per-request HttpClient would pay a fresh
+    * connection pool + TLS handshake each time. */
+  lazy val httpTransport: Rest.Transport = {
     val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofSeconds(10)).build()
-    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-      .timeout(java.time.Duration.ofSeconds(20)).GET().build()
-    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() == 200) Right(resp.body()) else Left(resp.statusCode())
+    url => {
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .timeout(java.time.Duration.ofSeconds(20)).GET().build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() == 200) Right(resp.body()) else Left(resp.statusCode())
+    }
   }
 
   /** price-ticks: n BTCUSDT prices, 2-dp rounded (main.py:19-28). */
@@ -158,6 +178,14 @@ object Main {
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)
     if (opts.cmd.isEmpty) { usage(); return }
+    // price-ticks is pure connector code — no reason to pay Spark startup.
+    if (opts.cmd.contains("price-ticks")) {
+      val vals = priceTicks(opts.get("n", "5").toInt,
+        (opts.get("delay", "1.0").toDouble * 1000).toLong, httpTransport, hosts)
+      if (vals.isEmpty) println("""{"count":0}""")
+      else println(s"""{"count":${vals.size},"min":${vals.min},"max":${vals.max}}""")
+      return
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -170,10 +198,6 @@ object Main {
     val pairs = parsePairs(opts.get("pairs", "BTCUSDT,ETHUSDT"))
     val out = opts.get("out", "data")
     try opts.cmd.get match {
-      case "price-ticks" =>
-        val vals = priceTicks(opts.get("n", "5").toInt,
-          (opts.get("delay", "1.0").toDouble * 1000).toLong, httpTransport, hosts)
-        println(s"""{"count":${vals.size},"min":${vals.min},"max":${vals.max}}""")
       case "collect-klines" =>
         collectKlines(spark, pairs, opts.get("tf", "1m"),
           opts.get("days", "1").toInt, out, httpTransport, hosts, now)

@@ -18,13 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object MediaHeaders {
 
+  /** Hex of only the header prefix — all parsed fields live in the first
+    * 28 bytes, so never hex-encode a multi-megabyte payload to peek at
+    * fixed offsets (hex(bin) alone would be O(payload) work and a
+    * 2×-size string per evaluation). */
+  private def hdr(bin: Column): Column = hex(substring(bin, 1, 32))
+
   /** Numeric value of the byte at 1-based offset `off`. */
   private def byteAt(bin: Column, off: Int): Column =
-    conv(substring(hex(bin), off * 2 - 1, 2), 16, 10).cast("long")
+    conv(substring(hdr(bin), off * 2 - 1, 2), 16, 10).cast("long")
 
   /** Big-endian 4-byte unsigned int at 1-based byte offset. */
   private def beInt(bin: Column, off: Int): Column =
-    conv(substring(hex(bin), off * 2 - 1, 8), 16, 10).cast("long")
+    conv(substring(hdr(bin), off * 2 - 1, 8), 16, 10).cast("long")
 
   /** Little-endian 2-byte unsigned at 1-based byte offset. */
   private def leShort(bin: Column, off: Int): Column =
@@ -36,7 +42,7 @@ object MediaHeaders {
       byteAt(bin, off + 1)) * 256 + byteAt(bin, off)
 
   private def hexAt(bin: Column, off: Int, hexLit: String): Column =
-    substring(hex(bin), off * 2 - 1, hexLit.length) === hexLit
+    substring(hdr(bin), off * 2 - 1, hexLit.length) === hexLit
 
   def isPng(bin: Column): Column = hexAt(bin, 1, "89504E470D0A1A0A")
   def isGif(bin: Column): Column = hexAt(bin, 1, "474946")

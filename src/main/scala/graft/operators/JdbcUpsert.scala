@@ -2,7 +2,9 @@ package graft.operators
 
 import java.sql.DriverManager
 import java.util.Properties
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, row_number}
 
 /** JDBC staged-merge upsert — the reference's canonical Postgres sink
   * protocol (`src/etl/load_postgres.py:63-103`): COPY into a staging table,
@@ -11,14 +13,18 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   * writer (the COPY analogue — executors write in parallel), then a single
   * `MERGE INTO` keyed on the primary key, then drop the stage.
   *
-  * Last-write-wins per key within the staged batch is resolved BEFORE the
-  * merge (SetOps.upsert of the batch against itself would be overkill —
-  * a MERGE source must not have duplicate keys, so we pre-dedup), matching
-  * `ON CONFLICT DO UPDATE` semantics where the final arriving row wins.
+  * A MERGE source must not carry duplicate keys; the batch is reduced to
+  * one row per key first. With `precedence` columns the kept row is the
+  * highest by that ordering (deterministic last-write-wins — pass the
+  * event/ingest time); without it a cheap arbitrary-row dedup applies and
+  * callers must send at most one row per key for deterministic replays.
   *
   * Scale: the stage write is as parallel as the DataFrame (numPartitions
   * JDBC connections); the merge is one server-side set operation — no
-  * per-row driver round-trips anywhere.
+  * per-row driver round-trips anywhere. Each invocation stages into its
+  * own uniquely-named table, so concurrent upserts into one target never
+  * share (or clobber) a stage, and the stage is dropped even when the
+  * MERGE fails.
   */
 object JdbcUpsert {
 
@@ -26,19 +32,25 @@ object JdbcUpsert {
     * must exist (DDL ownership stays with the warehouse, as in the
     * reference's schema.sql). */
   def upsert(df: DataFrame, url: String, table: String, keys: Seq[String],
-             props: Properties = new Properties()): Unit = {
-    val stage = s"${table}_stage"
+             props: Properties = new Properties(),
+             precedence: Seq[Column] = Seq.empty): Unit = {
+    val stage = s"${table}_stage_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val cols = df.columns.toSeq
     val nonKeys = cols.filterNot(keys.contains)
-    // MERGE requires unique keys in the source: keep one row per key
-    // (arbitrary-but-deterministic max over non-keys is wrong in general,
-    // so require upstream to send one row per key; cheap dedup for safety).
-    val deduped = df.dropDuplicates(keys)
-    // Stage string columns as VARCHAR: some engines (Derby) default
+    val deduped =
+      if (precedence.nonEmpty) {
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(precedence.map(_.desc): _*)
+        df.withColumn("__pr", row_number().over(w)).where(col("__pr") === 1)
+          .drop("__pr")
+      } else df.dropDuplicates(keys)
+    // Stage KEY string columns as VARCHAR: some engines (Derby) default
     // StringType to CLOB/TEXT, which cannot join against the target's
-    // VARCHAR keys.
+    // VARCHAR keys. Non-key strings (free text) keep the engine default so
+    // long values are never truncated or rejected by a length cap.
     val varchars = df.schema.fields
-      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .filter(f => keys.contains(f.name) &&
+        f.dataType == org.apache.spark.sql.types.StringType)
       .map(f => s"${f.name} VARCHAR(1024)").mkString(", ")
     val stageWriter =
       if (varchars.isEmpty) deduped.write
@@ -59,12 +71,14 @@ object JdbcUpsert {
       val matched =
         if (nonKeys.nonEmpty) s"WHEN MATCHED THEN UPDATE SET $setClause " else ""
       val st = conn.createStatement()
-      try {
-        st.executeUpdate(
-          s"MERGE INTO $table t USING $stage s ON $on " + matched +
-            s"WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)")
-        st.executeUpdate(s"DROP TABLE $stage")
-      } finally st.close()
+      try st.executeUpdate(
+        s"MERGE INTO $table t USING $stage s ON $on " + matched +
+          s"WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)")
+      finally {
+        try st.executeUpdate(s"DROP TABLE $stage")
+        catch { case _: java.sql.SQLException => () } // stage GC is best-effort
+        st.close()
+      }
     } finally conn.close()
   }
 }

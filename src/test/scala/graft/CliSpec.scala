@@ -21,6 +21,15 @@ class CliSpec extends AnyFunSuite {
     assert(Main.parsePairs(o.get("pairs", "")) == Seq("BTCUSDT", "ETHUSDT"))
     assert(o.get("tf", "1m") == "5m" && o.get("days", "1") == "2")
     assert(Main.parseArgs(Array.empty).cmd.isEmpty)
+    // Dangling or value-less flags fail loudly instead of shifting pairs.
+    intercept[IllegalArgumentException] {
+      Main.parseArgs(Array("etl", "--data", "d", "--warehouse"))
+    }
+    intercept[RuntimeException] {
+      Main.parseArgs(Array("analyze", "--focus", "--out", "x"))
+    }
+    // Env fallback is whitelisted: only the reference's variables apply.
+    assert(Main.parseArgs(Array("etl")).get("data", "data") == "data")
   }
 
   test("price-ticks online path parses and rounds via fake transport") {

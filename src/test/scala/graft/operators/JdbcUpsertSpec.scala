@@ -42,5 +42,21 @@ class JdbcUpsertSpec extends AnyFunSuite {
       .orderBy("open_time")
       .select("open_time", "close_px").as[(Long, Double)].collect().toSeq
     assert(got == Seq((1L, 10.0), (2L, 99.0), (3L, 12.0)))
+
+    // In-batch duplicate keys: with a precedence ordering the HIGHEST row
+    // wins deterministically (last-write-wins on the event sequence).
+    val conn2 = DriverManager.getConnection(url)
+    try conn2.createStatement().executeUpdate(
+      "CREATE TABLE candles_seq (symbol VARCHAR(16) NOT NULL, tf VARCHAR(8) NOT NULL, " +
+        "open_time BIGINT NOT NULL, close_px DOUBLE, seq BIGINT, " +
+        "PRIMARY KEY (symbol, tf, open_time))")
+    finally conn2.close()
+    val dup = Seq(("AAA", "1m", 11L, 1.0, 1L), ("AAA", "1m", 11L, 7.0, 2L))
+      .toDF("symbol", "tf", "open_time", "close_px", "seq")
+    JdbcUpsert.upsert(dup, url, "candles_seq", keys,
+      precedence = Seq(org.apache.spark.sql.functions.col("seq")))
+    val win = spark.read.jdbc(url, "candles_seq", new java.util.Properties())
+      .select("close_px").as[Double].collect().toSeq
+    assert(win == Seq(7.0))
   }
 }
