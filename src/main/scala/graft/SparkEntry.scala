@@ -534,6 +534,24 @@ object SparkEntry {
           col("doc_id"), 50, out = "rnk")
         .select(col("doc_id"), col("lang"), col("rnk"))
         .orderBy(col("lang"), col("rnk")))
+        ,
+
+    // Sequence packing: assign docs (in deterministic id order, per
+    // language) to fixed token-budget bins via running-total division —
+    // the greedy packing step that turns a corpus into training sequences.
+    // One window cumsum per shuffle key; bin stats aggregate after.
+    "q62_sequence_packing" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      val binned = toks.withColumn("bin",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / lit(2048)))
+      binned.groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+             min(col("doc_id")).as("first_doc"))
+        .orderBy(col("lang"), col("bin"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1102,6 +1120,17 @@ object SparkEntry {
                ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rnk
            FROM documents)
          SELECT doc_id, lang, rnk FROM r WHERE rnk <= 50
-         ORDER BY lang, rnk"""
+         ORDER BY lang, rnk""",
+    "q62_sequence_packing" ->
+      """WITH toks AS (SELECT doc_id, lang,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         b AS (SELECT doc_id, lang, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                         - n_tokens) / 2048.0) AS BIGINT) AS bin
+           FROM toks)
+         SELECT lang, bin, count(*) AS n_docs, sum(n_tokens) AS bin_tokens,
+           min(doc_id) AS first_doc
+         FROM b GROUP BY lang, bin ORDER BY lang, bin"""
   )
 }
