@@ -81,10 +81,12 @@ object Main {
     }
   }
 
-  /** price-ticks: n BTCUSDT prices, 2-dp rounded (main.py:19-28). */
+  /** price-ticks: n BTCUSDT prices, 2-dp rounded (main.py:19-28).
+    * `off` is injectable so both paths are testable regardless of the
+    * ambient OFFLINE environment. */
   def priceTicks(n: Int, delayMs: Long, transport: Rest.Transport,
-                 hostList: Seq[String]): Seq[Double] =
-    if (offline) Seq.fill(n)(100.0)
+                 hostList: Seq[String], off: Boolean = offline): Seq[Double] =
+    if (off) Seq.fill(n)(100.0)
     else (0 until n).map { i =>
       val body = Rest.fetchWithFailover(hostList,
         "/api/v3/ticker/price?symbol=BTCUSDT", transport)
@@ -97,10 +99,11 @@ object Main {
     * ≤10-bar constant fixture. */
   def collectKlines(spark: SparkSession, pairs: Seq[String], tf: String,
                     days: Int, outDir: String, transport: Rest.Transport,
-                    hostList: Seq[String], nowMs: Long): Seq[String] =
+                    hostList: Seq[String], nowMs: Long,
+                    off: Boolean = offline): Seq[String] =
     pairs.map { sym =>
       val df =
-        if (offline) Synthetic.offlineKlines(spark, sym, tf, 10, nowMs / 1000)
+        if (off) Synthetic.offlineKlines(spark, sym, tf, 10, nowMs / 1000)
         else {
           val fetchPage = (start: Long, end: Long, limit: Int) =>
             Rest.parseKlines(Rest.fetchWithFailover(hostList,
@@ -119,10 +122,10 @@ object Main {
     * (trades_collector.py:21-48). */
   def collectTrades(spark: SparkSession, pairs: Seq[String], outDir: String,
                     transport: Rest.Transport, hostList: Seq[String],
-                    nowMs: Long): Seq[String] =
+                    nowMs: Long, off: Boolean = offline): Seq[String] =
     pairs.map { sym =>
       val df =
-        if (offline)
+        if (off)
           Synthetic.syntheticTrades(spark, sym, 100, nowMs / 1000)
             .withColumn("quote_qty", round(col("price") * col("qty"), 8))
             .withColumn("is_best_match", lit(true))
@@ -147,10 +150,10 @@ object Main {
     * (orderbook_collector.py:21-41). */
   def collectOrderbooks(spark: SparkSession, pairs: Seq[String], outDir: String,
                         transport: Rest.Transport, hostList: Seq[String],
-                        nowMs: Long): Seq[String] =
+                        nowMs: Long, off: Boolean = offline): Seq[String] =
     pairs.map { sym =>
       val df =
-        if (offline) Synthetic.syntheticDepth(spark, sym, 5, nowMs / 1000)
+        if (off) Synthetic.syntheticDepth(spark, sym, 5, nowMs / 1000)
         else {
           import spark.implicits._
           Rest.parseDepth(Rest.fetchWithFailover(hostList,

@@ -24,13 +24,14 @@ object Compaction {
   }
 
   /** Rewrites the parquet dir `src` into `dst` with ~`targetBytes` files.
-    * Returns the output file count. */
+    * Returns the TARGET file count (empty partitions write no file, so the
+    * on-disk count can be lower). */
   def compact(spark: SparkSession, src: String, dst: String,
               targetBytes: Long): Int = {
     val n = math.max(1L, (dirBytes(spark, src) + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.parquet(src)
     val resized =
-      if (n < df.rdd.getNumPartitions) df.coalesce(n) else df.repartition(n)
+      if (n <= df.rdd.getNumPartitions) df.coalesce(n) else df.repartition(n)
     resized.write.mode("overwrite").parquet(dst)
     n
   }

@@ -55,30 +55,41 @@ object JdbcUpsert {
     val stageWriter =
       if (varchars.isEmpty) deduped.write
       else deduped.write.option("createTableColumnTypes", varchars)
-    stageWriter.mode(SaveMode.Overwrite).jdbc(url, stage, props)
-    val conn = DriverManager.getConnection(url, props)
     try {
-      // Spark's JDBC writer creates the stage with QUOTED column names
-      // (exact DataFrame case), while the target's unquoted DDL folds per
-      // the engine (upper on Derby, lower on Postgres) — so stage-side
-      // references must be quoted verbatim and target-side left unquoted.
-      // SET targets are unqualified (the standard; Derby rejects t.c there).
-      def sq(c: String) = "s.\"" + c + "\""
-      val on = keys.map(k => s"t.$k = ${sq(k)}").mkString(" AND ")
-      val setClause = nonKeys.map(c => s"$c = ${sq(c)}").mkString(", ")
-      val insertCols = cols.mkString(", ")
-      val insertVals = cols.map(sq).mkString(", ")
-      val matched =
-        if (nonKeys.nonEmpty) s"WHEN MATCHED THEN UPDATE SET $setClause " else ""
-      val st = conn.createStatement()
-      try st.executeUpdate(
-        s"MERGE INTO $table t USING $stage s ON $on " + matched +
-          s"WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)")
-      finally {
-        try st.executeUpdate(s"DROP TABLE $stage")
-        catch { case _: java.sql.SQLException => () } // stage GC is best-effort
-        st.close()
-      }
-    } finally conn.close()
+      stageWriter.mode(SaveMode.Overwrite).jdbc(url, stage, props)
+      val conn = DriverManager.getConnection(url, props)
+      try {
+        // Spark's JDBC writer creates the stage with QUOTED column names
+        // (exact DataFrame case), while the target's unquoted DDL folds per
+        // the engine (upper on Derby, lower on Postgres) — so stage-side
+        // references must be quoted verbatim and target-side left unquoted.
+        // SET targets are unqualified (the standard; Derby rejects t.c there).
+        def sq(c: String) = "s.\"" + c + "\""
+        val on = keys.map(k => s"t.$k = ${sq(k)}").mkString(" AND ")
+        val setClause = nonKeys.map(c => s"$c = ${sq(c)}").mkString(", ")
+        val insertCols = cols.mkString(", ")
+        val insertVals = cols.map(sq).mkString(", ")
+        val matched =
+          if (nonKeys.nonEmpty) s"WHEN MATCHED THEN UPDATE SET $setClause " else ""
+        val st = conn.createStatement()
+        try st.executeUpdate(
+          s"MERGE INTO $table t USING $stage s ON $on " + matched +
+            s"WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)")
+        finally st.close()
+      } finally conn.close()
+    } finally dropStage(url, props, stage) // GC even if the stage write died
   }
+
+  /** Best-effort stage drop on its own connection — runs whether the stage
+    * write, the MERGE, or nothing at all failed (a half-created stage from
+    * a failed distributed write must not accumulate in the warehouse). */
+  private def dropStage(url: String, props: Properties, stage: String): Unit =
+    try {
+      val c = DriverManager.getConnection(url, props)
+      try {
+        val st = c.createStatement()
+        try st.executeUpdate(s"DROP TABLE $stage")
+        finally st.close()
+      } finally c.close()
+    } catch { case _: java.sql.SQLException => () }
 }

@@ -102,5 +102,8 @@ object WindowOps {
     * exact deterministic quotas. */
   def stratifiedSample(df: DataFrame, strata: Seq[Column], idExpr: Column,
                        nPerGroup: Int, out: String = "rank"): DataFrame =
-    topKPerGroup(df, strata, Seq(md5(idExpr.cast("string"))), nPerGroup, out)
+    // Strata are typically FEW (languages, sources) — use the salted
+    // two-phase rank so one stratum never funnels through one reducer.
+    topKPerGroupSalted(df, strata, Seq(md5(idExpr.cast("string"))), nPerGroup,
+      out = out)
 }

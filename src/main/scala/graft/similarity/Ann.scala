@@ -170,6 +170,7 @@ object Ann {
                               iters: Int): Array[(Int, Array[Double], Double)] = {
     val dim = init.head._2.length
     var cents = init
+    prep.persist() // each iteration collects cell means: cache the cast+norm
     for (_ <- 0 until iters) {
       val aggs = (0 until dim).map(i => avg(element_at(col("cv"), i + 1)).as(s"m$i"))
       val means = assignCells(prep, "cv", cents, 1)
@@ -183,6 +184,7 @@ object Ann {
         }
       }
     }
+    prep.unpersist(blocking = false)
     cents
   }
 

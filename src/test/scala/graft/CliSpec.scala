@@ -38,7 +38,7 @@ class CliSpec extends AnyFunSuite {
       calls += 1
       Right(s"""{"symbol":"BTCUSDT","price":"42000.12${calls}9"}""")
     }
-    val vals = Main.priceTicks(3, 0, transport, Seq("http://h"))
+    val vals = Main.priceTicks(3, 0, transport, Seq("http://h"), off = false)
     assert(vals.size == 3 && calls == 3)
     assert(vals.forall(v => (v * 100) == math.floor(v * 100))) // 2-dp rounded
   }
@@ -58,7 +58,7 @@ class CliSpec extends AnyFunSuite {
     }
     val out = Files.createTempDirectory("cli-klines").toString
     val paths = Main.collectKlines(spark, Seq("BTCUSDT"), "1m", 1, out,
-      transport, Seq("http://h"), fixedNowMs)
+      transport, Seq("http://h"), fixedNowMs, off = false)
     assert(paths == Seq(s"$out/klines_BTCUSDT_1m.csv"))
     val back = spark.read.option("header", "true").csv(paths.head)
     assert(back.count() == 1440) // one day of minutes, not truncated at 1000
@@ -78,8 +78,10 @@ class CliSpec extends AnyFunSuite {
     val transport: Rest.Transport = url =>
       Right(if (url.contains("/trades")) tradesBody else depthBody)
     val out = Files.createTempDirectory("cli-td").toString
-    Main.collectTrades(spark, Seq("AAA"), out, transport, Seq("http://h"), fixedNowMs)
-    Main.collectOrderbooks(spark, Seq("AAA"), out, transport, Seq("http://h"), fixedNowMs)
+    Main.collectTrades(spark, Seq("AAA"), out, transport, Seq("http://h"),
+      fixedNowMs, off = false)
+    Main.collectOrderbooks(spark, Seq("AAA"), out, transport, Seq("http://h"),
+      fixedNowMs, off = false)
     val tr = spark.read.option("header", "true").csv(s"$out/trades_AAA.csv")
     assert(tr.count() == 2)
     assert(tr.columns.toSeq == Seq("symbol", "trade_id", "price", "qty",
