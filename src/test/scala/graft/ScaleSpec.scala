@@ -97,6 +97,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(got(1) == ((1L, 0, 0, "no pii here 1234 plus + signs - dashes")))
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // 90% of the left side shares one key: a static plan sorts the hot
+    // partition on one reducer; AQE's skew-join splits it into subtasks.
+    val left = spark.range(200000)
+      .withColumn("k", when($"id" % 10 =!= 0, 0L).otherwise($"id"))
+      .withColumn("payload", md5($"id".cast("string")))
+    val right = spark.range(1000).withColumn("k", $"id")
+      .withColumn("dim", md5(($"id" * 7).cast("string")))
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val j = left.join(right.hint("merge"), Seq("k"))
+      // Execute THIS DataFrame's own QueryExecution (count() would build a
+      // separate one and leave this plan un-finalized).
+      j.queryExecution.toRdd.count()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"expected runtime skew split:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("compaction collapses a many-small-files table without losing rows") {
     val ev = Tables.load(spark, SparkTestSession.sf, "events")
     val frag = Files.createTempDirectory("frag").toString + "/t"
