@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -22,11 +22,15 @@ object Expressions {
     * The "document fingerprinting (rolling hash)" primitive: equal strings
     * ⇒ equal hashes; cheap to compute incrementally at 100 TB scale.
     */
-  case class RollingHash(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class RollingHash(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override protected def nullSafeEval(v: Any): Any =
       Hashing.rollingHash(v.asInstanceOf[UTF8String].getBytes)
+    // Real codegen (not CodegenFallback): the generated projection calls
+    // the static-forwarded hash directly — no InternalRow materialization,
+    // the expression stays inside the whole-stage pipeline.
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Hashing.rollingHash($c.getBytes())")
     override protected def withNewChildInternal(c: Expression): RollingHash = copy(c)
     override def prettyName: String = "rolling_hash"
   }
@@ -36,30 +40,12 @@ object Expressions {
     * bits of Hamming distance; dedup then bands the 64 bits and bucket-joins
     * (see graft.dedup.Dedup.simhashCandidates).
     */
-  case class SimHash64(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
-    override protected def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val counts = new Array[Int](64)
-      var i = 0
-      while (i < n) {
-        if (!arr.isNullAt(i)) {
-          val h = Hashing.fnv1a64(arr.getUTF8String(i).getBytes)
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-            b += 1
-          }
-        }
-        i += 1
-      }
-      var out = 0L
-      var b = 0
-      while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
-      out
-    }
+    override protected def nullSafeEval(v: Any): Any =
+      Hashing.simhash64(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.Hashing.simhash64($c)")
     override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
     override def prettyName: String = "simhash64"
   }
@@ -114,5 +100,29 @@ object Hashing {
       i += 1
     }
     h
+  }
+
+  /** 64-bit SimHash over a token ArrayData: per-token FNV-1a, per-bit ±1
+    * majority. Lives here (not in the Expression) so generated code calls
+    * it via the object's static forwarder. */
+  def simhash64(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = fnv1a64(arr.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
   }
 }

@@ -108,4 +108,19 @@ class DedupSpec extends AnyFunSuite {
     val hs = df.as[(Long, Long, String)].collect().map(r => r._3 -> r._2).toMap
     assert(hs.size == 4) // 5 docs, 2 identical texts
   }
+
+  test("custom expressions run under CODEGEN_ONLY (real doGenCode, no fallback)") {
+    // CODEGEN_ONLY makes Spark THROW instead of falling back to
+    // interpretation when an expression can't generate code — this proves
+    // RollingHash/SimHash64 compile inside the generated projection.
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val got = docs.select(
+          Expressions.rollingHash(col("text")).as("rh"),
+          Expressions.simhash64(graft.functions.TextOps.tokens(col("text"))).as("sh"))
+        .as[(Long, Long)].collect()
+      assert(got.length == docs.count())
+      assert(got.forall { case (rh, sh) => rh != 0L && sh != 0L })
+    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
 }
