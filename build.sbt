@@ -40,3 +40,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // Bench JSON line.
 run / outputStrategy := Some(StdoutOutput)
 run / connectInput := false
+// Suppress sbt's "[success] Total time: …" epilogue after forked runs so
+// the Bench JSON line is the LAST thing on stdout — the driver's bench
+// parser reads the final line (BENCH_r02 "parsed: null" root cause).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess

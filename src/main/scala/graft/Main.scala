@@ -141,8 +141,16 @@ object Main {
             .withColumnRenamed("isBestMatch", "is_best_match")
         }
       val path = s"$outDir/trades_$sym.csv"
-      Artifacts.writeCsv(df.select("symbol", "trade_id", "price", "qty",
-        "quote_qty", "trade_time", "is_buyer_maker", "is_best_match"), path)
+      // NUMERIC(20,8) at the storage boundary (db/schema.sql:20-22): the
+      // artifact serializes money columns with exact 8-dp decimals, so the
+      // downstream warehouse load never re-derives them from binary doubles.
+      val money = graft.sources.CsvReaders.MoneyType
+      Artifacts.writeCsv(df
+        .withColumn("price", col("price").cast(money))
+        .withColumn("qty", col("qty").cast(money))
+        .withColumn("quote_qty", col("quote_qty").cast(money))
+        .select("symbol", "trade_id", "price", "qty",
+          "quote_qty", "trade_time", "is_buyer_maker", "is_best_match"), path)
       path
     }
 
@@ -163,8 +171,13 @@ object Main {
             .withColumnRenamed("updateId", "update_id")
         }
       val path = s"$outDir/orderbook_$sym.csv"
-      Artifacts.writeCsv(df.select("symbol", "price", "qty", "side",
-        "update_id", "update_time"), path)
+      // NUMERIC(20,8) at the storage boundary (db/schema.sql:31-32).
+      val money = graft.sources.CsvReaders.MoneyType
+      Artifacts.writeCsv(df
+        .withColumn("price", col("price").cast(money))
+        .withColumn("qty", col("qty").cast(money))
+        .select("symbol", "price", "qty", "side",
+          "update_id", "update_time"), path)
       path
     }
 

@@ -19,6 +19,12 @@ import graft.plans.Expressions
   * stddev, corr) or transcendental (log) is rounded — 6 dp for ~unit-scale
   * values, 2 dp for large sums — so accumulation-order ulp noise can't flip
   * the hash compare.
+  *
+  * Integer-sum policy: DuckDB's sum(<integer col>) returns HUGEINT, which
+  * pandas renders as float ('2098.0') while Spark writes int64 ('2098') —
+  * the driver hash then differs on value-identical rows. Any oracle OUTPUT
+  * column that sums/multiplies integers must be CAST(... AS BIGINT).
+  * (count(*) is already BIGINT; sums wrapped in round(...) are DOUBLE.)
   */
 object SparkEntry {
 
@@ -438,8 +444,9 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
-    // Exact distinct counts per group (the approx/HLL variant is exercised
-    // in tests — approximate results can't hash-match an oracle).
+    // Exact distinct counts per group. The HLL++ scale path is
+    // AggOps.approxDistinctCounts (error-bound-tested in OperatorSpecs —
+    // approximate results can't hash-match an oracle).
     "q55_distinct_counts" -> ((s, d) =>
       t(s, d, "orders")
         .groupBy(col("o_orderpriority"))
@@ -551,6 +558,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
              min(col("doc_id")).as("first_doc"))
         .orderBy(col("lang"), col("bin"))
+    }),
+
+    // IVF ANN with Lloyd-refined centroids (q56's index build + two
+    // distributed k-means passes). Deterministic across engines: stride
+    // seeds, cid-DESC tiebreaks, and per-dimension means rounded to 6 dp
+    // before re-assignment (see Ann.refineCentroids).
+    "q63_ann_ivf_lloyd" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Ann.ivfTopK(emb.where(col("vec_id") < 20), emb, "vec_id", "embedding",
+          k = 10, nlist = 16, nprobe = 4, lloydIters = 2)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -713,6 +731,54 @@ object SparkEntry {
                  ORDER BY cosine DESC, corpus_id) AS "rank" FROM sims)
        SELECT query_id, corpus_id, cosine, "rank" FROM r WHERE "rank" <= 10
        ORDER BY query_id, "rank""""
+
+  /** q63 oracle: q56's IVF mirror with `iters` Lloyd passes inlined as SQL.
+    * Each pass re-assigns every vector to its nearest current centroid
+    * (same dot/cnorm DESC, cid DESC ranking as the final assignment), then
+    * recomputes per-cell per-dimension means — unnest zipped with a 1-based
+    * index list, round(avg, 6) mirroring Ann.refineCentroids — and falls
+    * back to the previous centroid for cells that went empty. */
+  private def annIvfLloydSql(iters: Int): String = {
+    val iterCtes = (0 until iters).map { k =>
+      s"""asg$k AS (SELECT v.vec_id, v.vec, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.vec, c.cvec) / c.cnorm DESC, c.cid DESC) AS cr
+         FROM n v CROSS JOIN cent$k c),
+       ex$k AS (SELECT cid, unnest(vec) AS x, unnest(range(1, len(vec) + 1)) AS i
+                FROM asg$k WHERE cr = 1),
+       mv$k AS (SELECT cid, list(m ORDER BY i) AS mv FROM
+                  (SELECT cid, i, round(avg(x), 6) AS m FROM ex$k GROUP BY cid, i)
+                GROUP BY cid),
+       cent${k + 1} AS (SELECT c.cid, coalesce(m.mv, c.cvec) AS cvec,
+           CASE WHEN m.mv IS NULL THEN c.cnorm
+                ELSE sqrt(list_dot_product(m.mv, m.mv)) END AS cnorm
+         FROM cent$k c LEFT JOIN mv$k m USING (cid))"""
+    }.mkString(",\n       ")
+    s"""WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM p),
+       cnt AS (SELECT count(*) AS c FROM n),
+       cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                  vec AS cvec, norm AS cnorm
+                FROM n WHERE vec_id % greatest(1, (SELECT c FROM cnt) // 16) = 0
+                ORDER BY vec_id LIMIT 16),
+       $iterCtes,
+       ranked AS (SELECT v.vec_id, v.vec, v.norm, c.cid,
+                    row_number() OVER (PARTITION BY v.vec_id
+                      ORDER BY list_dot_product(v.vec, c.cvec) / c.cnorm DESC, c.cid DESC) AS cr
+                  FROM n v CROSS JOIN cent$iters c),
+       corp AS (SELECT vec_id AS corpus_id, vec, norm, cid AS cell FROM ranked WHERE cr = 1),
+       qr AS (SELECT vec_id AS query_id, vec, norm, cid AS cell FROM ranked
+              WHERE vec_id < 20 AND cr <= 4),
+       sims AS (SELECT DISTINCT qr.query_id, corp.corpus_id,
+                  round(list_dot_product(qr.vec, corp.vec) / (qr.norm * corp.norm), 6) AS cosine
+                FROM corp JOIN qr ON corp.cell = qr.cell
+                WHERE qr.query_id <> corp.corpus_id),
+       r AS (SELECT query_id, corpus_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, corpus_id) AS "rank" FROM sims)
+       SELECT query_id, corpus_id, cosine, "rank" FROM r WHERE "rank" <= 10
+       ORDER BY query_id, "rank""""
+  }
 
   private def pivotAlignSql: String = {
     val cols = eventTypes.map(e =>
@@ -1127,10 +1193,12 @@ object SparkEntry {
            FROM documents),
          b AS (SELECT doc_id, lang, n_tokens,
              CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
-                         - n_tokens) / 2048.0) AS BIGINT) AS bin
+                         - n_tokens) / CAST(2048 AS DOUBLE)) AS BIGINT) AS bin
            FROM toks)
-         SELECT lang, bin, count(*) AS n_docs, sum(n_tokens) AS bin_tokens,
+         SELECT lang, bin, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
            min(doc_id) AS first_doc
-         FROM b GROUP BY lang, bin ORDER BY lang, bin"""
+         FROM b GROUP BY lang, bin ORDER BY lang, bin""",
+    "q63_ann_ivf_lloyd" -> annIvfLloydSql(2)
   )
 }

@@ -20,14 +20,21 @@ object Dedup {
   /** Exact dedup: keep the lowest-id row per exact key.
     *
     * The window partitions by two independent 32/64-bit hashes of the key
-    * tuple (96 bits total), NOT by the raw key columns — partitioning by a
-    * multi-KB `text` column makes the shuffle sort/compare cost scale with
-    * document size. A 96-bit collision needs ~2^48 distinct keys to have
-    * even ~1e-4 probability; corpora near that size use
+    * tuple (96 bits total) plus two cheap deterministic disambiguators —
+    * the total key length and a 16-char key prefix — NOT by the raw key
+    * columns: partitioning by a multi-KB `text` column makes the shuffle
+    * sort/compare cost scale with document size. For two distinct keys to
+    * be merged they must collide on both hashes AND have equal lengths AND
+    * share a 16-char prefix; the residual probability is far below the
+    * 96-bit-only bound (~1e-4 at 2^48 keys), and corpora near that size use
     * [[fingerprintDedup]] (128-bit) or MinHash anyway. */
   def exactDedup(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
     val ks = keyCols.map(col)
-    val w = Window.partitionBy(xxhash64(ks: _*), hash(ks: _*)).orderBy(col(idCol))
+    val totalLen = ks.map(k => coalesce(length(k.cast("string")), lit(-1)))
+      .reduce(_ + _)
+    val prefix = substring(concat_ws("", ks.map(_.cast("string")): _*), 1, 16)
+    val w = Window.partitionBy(xxhash64(ks: _*), hash(ks: _*), totalLen, prefix)
+      .orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 

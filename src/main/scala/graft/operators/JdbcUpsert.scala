@@ -28,13 +28,28 @@ import org.apache.spark.sql.functions.{col, row_number}
   */
 object JdbcUpsert {
 
+  /** Identifiers are interpolated unquoted into the MERGE (quoting the
+    * target would change engine case-folding semantics — see the comment at
+    * the MERGE below), so anything that is not a plain unquoted-safe SQL
+    * identifier is rejected up front rather than emitted into SQL. */
+  private val SafeIdent = java.util.regex.Pattern.compile("[A-Za-z_][A-Za-z0-9_]*")
+  private def requireSafe(kind: String, name: String): Unit =
+    require(SafeIdent.matcher(name).matches(),
+      s"$kind '$name' needs quoting and cannot be used in an unquoted MERGE; " +
+        "rename it to [A-Za-z_][A-Za-z0-9_]* or pre-quote via a view")
+
   /** Upserts `df` into `table` at `url`, keyed by `keys`. The target table
     * must exist (DDL ownership stays with the warehouse, as in the
     * reference's schema.sql). */
   def upsert(df: DataFrame, url: String, table: String, keys: Seq[String],
              props: Properties = new Properties(),
              precedence: Seq[Column] = Seq.empty): Unit = {
-    val stage = s"${table}_stage_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    requireSafe("table", table)
+    df.columns.foreach(requireSafe("column", _))
+    // Stage-name prefix is truncated so table + 7 + 32 suffix chars stays
+    // inside every major engine's 128-char identifier limit.
+    val stage = s"${table.take(80)}_stage_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
     val cols = df.columns.toSeq
     val nonKeys = cols.filterNot(keys.contains)
     val deduped =
@@ -47,11 +62,26 @@ object JdbcUpsert {
     // Stage KEY string columns as VARCHAR: some engines (Derby) default
     // StringType to CLOB/TEXT, which cannot join against the target's
     // VARCHAR keys. Non-key strings (free text) keep the engine default so
-    // long values are never truncated or rejected by a length cap.
-    val varchars = df.schema.fields
+    // long values are never truncated or rejected by a length cap. The
+    // width is sized to the batch's longest observed key value (one cheap
+    // agg pass; the stage is per-invocation so it only has to fit THIS
+    // batch) — a fixed cap rejected keys over it at stage-write time.
+    val stringKeys = df.schema.fields
       .filter(f => keys.contains(f.name) &&
         f.dataType == org.apache.spark.sql.types.StringType)
-      .map(f => s"${f.name} VARCHAR(1024)").mkString(", ")
+      .map(_.name).toSeq
+    val varchars =
+      if (stringKeys.isEmpty) ""
+      else {
+        import org.apache.spark.sql.functions.{length, max}
+        val aggs = stringKeys.map(k => max(length(col(k))).as(k))
+        val row = deduped.agg(aggs.head, aggs.tail: _*).head()
+        stringKeys.map { k =>
+          val w = if (row.isNullAt(row.fieldIndex(k))) 1024
+                  else math.max(row.getAs[Int](k), 1)
+          s"$k VARCHAR($w)"
+        }.mkString(", ")
+      }
     val stageWriter =
       if (varchars.isEmpty) deduped.write
       else deduped.write.option("createTableColumnTypes", varchars)

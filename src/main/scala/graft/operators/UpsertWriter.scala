@@ -30,16 +30,23 @@ object UpsertWriter {
   def read(spark: SparkSession, tableDir: String): Option[DataFrame] =
     gen(Paths.get(tableDir)).map(p => spark.read.parquet(p.toString))
 
-  /** Upserts `updates` into the table at `tableDir` keyed by `keys`. */
+  /** Upserts `updates` into the table at `tableDir` keyed by `keys`.
+    *
+    * `retainMillis`: superseded generations younger than this survive GC so
+    * a reader that resolved CURRENT before several subsequent upserts can
+    * finish its scan (with a 1 s streaming trigger, a fixed keep-one policy
+    * gave only a ~2 s window). The just-written and just-replaced
+    * generations are always kept regardless of age. */
   def upsert(spark: SparkSession, updates: DataFrame, tableDir: String,
-             keys: Seq[String]): Unit = {
+             keys: Seq[String], retainMillis: Long = 60000L): Unit = {
     val dir = Paths.get(tableDir)
     Files.createDirectories(dir)
     val merged = read(spark, tableDir) match {
       case Some(base) => SetOps.upsert(base, updates, keys)
       case None => SetOps.upsert(updates.limit(0), updates, keys)
     }
-    val next = s"gen-${System.currentTimeMillis()}-${scala.util.Random.nextInt(100000)}"
+    val now = System.currentTimeMillis()
+    val next = s"gen-$now-${scala.util.Random.nextInt(100000)}"
     merged.write.mode("overwrite").parquet(dir.resolve(next).toString)
     val tmp = dir.resolve("CURRENT.tmp")
     Files.writeString(tmp, next)
@@ -48,18 +55,38 @@ object UpsertWriter {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     // GC superseded generations (a streaming sink upserting every trigger
-    // would otherwise leak one full table copy per micro-batch). The
-    // just-replaced generation is kept for in-flight readers; everything
-    // older is deleted.
+    // would otherwise leak one full table copy per micro-batch). Deletion
+    // requires BOTH superseded (not next/prev) and aged out of the
+    // retention window; unparseable gen timestamps are never deleted.
     val keep = Set(Some(dir.resolve(next)), prev).flatten.map(_.getFileName.toString)
-    Files.list(dir).forEach { p =>
+    listDir(dir).foreach { p =>
       val n = p.getFileName.toString
-      if (n.startsWith("gen-") && !keep(n)) deleteRecursively(p)
+      val bornAt = genMillis(n)
+      if (n.startsWith("gen-") && !keep(n) &&
+          bornAt.exists(now - _ >= retainMillis)) deleteRecursively(p)
     }
   }
 
+  private def genMillis(name: String): Option[Long] =
+    name.split('-') match {
+      case Array("gen", ms, _) => ms.toLongOption
+      case _ => None
+    }
+
+  /** Files.list streams hold a directory FD until closed — the forEach
+    * one-liner leaked one per micro-batch in the streaming upsert path. */
+  private def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try {
+      val it = s.iterator()
+      val buf = scala.collection.mutable.ListBuffer.empty[Path]
+      while (it.hasNext) buf += it.next()
+      buf.toList
+    } finally s.close()
+  }
+
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p)) Files.list(p).forEach(deleteRecursively)
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

@@ -163,8 +163,10 @@ object Ann {
     * corpus vector to its nearest current centroid (one distributed pass),
     * recompute each cell's mean vector, renormalize. Only the ≤nlist mean
     * rows are collected per iteration; cells that go empty keep their old
-    * centroid. Deterministic: seeds are the stride sample and assignment
-    * ties break by centroid id. */
+    * centroid. Deterministic: seeds are the stride sample, assignment ties
+    * break by centroid id, and each mean is ROUNDED to 6 dp — a distributed
+    * avg partial-aggregates in partition order, so unrounded means would
+    * carry engine-dependent ulp noise into the next assignment pass. */
   private def refineCentroids(prep: DataFrame,
                               init: Array[(Int, Array[Double], Double)],
                               iters: Int): Array[(Int, Array[Double], Double)] = {
@@ -172,7 +174,8 @@ object Ann {
     var cents = init
     prep.persist() // each iteration collects cell means: cache the cast+norm
     for (_ <- 0 until iters) {
-      val aggs = (0 until dim).map(i => avg(element_at(col("cv"), i + 1)).as(s"m$i"))
+      val aggs = (0 until dim).map(i =>
+        round(avg(element_at(col("cv"), i + 1)), 6).as(s"m$i"))
       val means = assignCells(prep, "cv", cents, 1)
         .groupBy(col("cell_1")).agg(aggs.head, aggs.tail: _*)
         .collect()

@@ -42,18 +42,37 @@ object CsvReaders {
     * num_trades (aliased, default 0).
     *
     * Files may have HETEROGENEOUS headers (the reference reads per-file and
-    * concats by name, `binance_analysis.py:99-145`), so each file is planned
-    * as its own scan, normalized, then unioned by name — the file COUNT is
-    * driver-side, the file CONTENTS stay fully distributed. Same-header
-    * fleets can pass one glob per schema to keep the plan small. */
+    * concats by name, `binance_analysis.py:99-145`). Headers are sampled
+    * driver-side (first line per file — metadata-sized reads); a
+    * UNIFORM-header fleet collapses into ONE multi-path scan, so the
+    * Catalyst plan stays O(1) in file count (the common 10k+-collector-file
+    * case; per-row `input_file_name()` still recovers symbol/tf). Only a
+    * genuinely mixed fleet falls back to per-header scans reduced with
+    * `unionByName` — and then one scan per DISTINCT header, not per file. */
   def readKlinesCsv(spark: SparkSession, pathGlob: String): DataFrame = {
-    val frames = globPaths(spark, pathGlob).map(p => normalizeKlines(
-      spark.read.option("header", "true").csv(p)))
-    require(frames.nonEmpty, s"no files match $pathGlob")
+    val paths = globPaths(spark, pathGlob)
+    require(paths.nonEmpty, s"no files match $pathGlob")
+    val byHeader = paths.groupBy(headerLine(spark, _)).values.toSeq
+      .sortBy(_.head) // deterministic union order
+    val frames = byHeader.map(ps => normalizeKlines(
+      spark.read.option("header", "true").csv(ps: _*)))
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
       .na.drop(Seq("symbol", "open_time", "close"))
       .select("symbol", "tf", "open_time", "open", "high", "low", "close",
         "volume", "num_trades")
+  }
+
+  /** First line of a file — the CSV header — read driver-side without
+    * scanning the body (bounded read through the Hadoop FS). */
+  private def headerLine(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+      Option(r.readLine()).getOrElse("")
+    } finally in.close()
   }
 
   private def globPaths(spark: SparkSession, pathGlob: String): Seq[String] = {
@@ -89,25 +108,37 @@ object CsvReaders {
       .withColumn("num_trades", col("num_trades").try_cast("long"))
   }
 
+  /** Monetary columns carry the reference's NUMERIC(20,8) storage contract
+    * (`db/schema.sql:20-22,31-32`) through ingest: warehouse-bound rows keep
+    * 8-dp EXACTNESS; the analytics layer converts to double at its own
+    * boundary. */
+  val MoneyType = "decimal(20,8)"
+
   /** Trades CSV: permissive read with time-column aliasing
-    * (`binance_analysis.py:358-375`). */
+    * (`binance_analysis.py:358-375`). price/qty/quote_qty are
+    * NUMERIC(20,8)-exact per the warehouse DDL. */
   def readTradesCsv(spark: SparkSession, pathGlob: String): DataFrame = {
     val raw = spark.read.option("header", "true").csv(pathGlob)
-    resolveAlias(raw, "trade_time", Seq("trade_time", "timestamp", "ts"))
+    val withQuote =
+      if (raw.columns.contains("quote_qty"))
+        raw.withColumn("quote_qty", col("quote_qty").try_cast(MoneyType))
+      else raw
+    resolveAlias(withQuote, "trade_time", Seq("trade_time", "timestamp", "ts"))
       .withColumn("trade_time", TimeOps.tsMillisOrIso(col("trade_time")))
-      .withColumn("price", col("price").try_cast("double"))
-      .withColumn("qty", col("qty").try_cast("double"))
+      .withColumn("price", col("price").try_cast(MoneyType))
+      .withColumn("qty", col("qty").try_cast(MoneyType))
       .na.drop(Seq("trade_time", "price", "qty"))
   }
 
   /** Orderbook CSV: side normalization + CHECK-constraint filter
-    * (`binance_analysis.py:465-494`, `db/schema.sql:33`). */
+    * (`binance_analysis.py:465-494`, `db/schema.sql:33`). price/qty are
+    * NUMERIC(20,8)-exact per the warehouse DDL. */
   def readOrderbookCsv(spark: SparkSession, pathGlob: String): DataFrame = {
     val raw = spark.read.option("header", "true").csv(pathGlob)
     resolveAlias(raw, "update_time", Seq("update_time", "timestamp", "ts"))
       .withColumn("update_time", TimeOps.tsMillisOrIso(col("update_time")))
-      .withColumn("price", col("price").try_cast("double"))
-      .withColumn("qty", col("qty").try_cast("double"))
+      .withColumn("price", col("price").try_cast(MoneyType))
+      .withColumn("qty", col("qty").try_cast(MoneyType))
       .withColumn("side", lower(trim(col("side"))))
       .where(col("side").isin("bid", "ask"))
       .na.drop(Seq("update_time", "price", "qty"))

@@ -59,4 +59,50 @@ class JdbcUpsertSpec extends AnyFunSuite {
       .select("close_px").as[Double].collect().toSeq
     assert(win == Seq(7.0))
   }
+
+  test("stage VARCHAR width fits keys longer than any fixed cap") {
+    val conn = DriverManager.getConnection(url)
+    try conn.createStatement().executeUpdate(
+      "CREATE TABLE longkeys (k VARCHAR(4000) NOT NULL, v DOUBLE, PRIMARY KEY (k))")
+    finally conn.close()
+    val longKey = "k" * 2000 // over the old 1024 stage cap
+    val df = Seq((longKey, 1.0), ("short", 2.0)).toDF("k", "v")
+    JdbcUpsert.upsert(df, url, "longkeys", Seq("k"))
+    JdbcUpsert.upsert(Seq((longKey, 9.0)).toDF("k", "v"), url, "longkeys", Seq("k"))
+    val got = spark.read.jdbc(url, "longkeys", new java.util.Properties())
+      .orderBy("v").select("v").as[Double].collect().toSeq
+    assert(got == Seq(2.0, 9.0))
+  }
+
+  test("NUMERIC(20,8) round-trips through staged merge with 8-dp exactness") {
+    val conn = DriverManager.getConnection(url)
+    try conn.createStatement().executeUpdate(
+      "CREATE TABLE money (id BIGINT NOT NULL, price NUMERIC(20,8), " +
+        "PRIMARY KEY (id))")
+    finally conn.close()
+    // Not exactly representable as a binary double.
+    val exact = new java.math.BigDecimal("42000.10000001")
+    val df = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(1L, exact)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("price",
+          org.apache.spark.sql.types.DecimalType(20, 8)))))
+    JdbcUpsert.upsert(df, url, "money", Seq("id"))
+    val back = spark.read.jdbc(url, "money", new java.util.Properties())
+      .select("price").head().getDecimal(0)
+    assert(back.compareTo(exact) == 0, s"lost exactness: $back")
+  }
+
+  test("identifiers needing quoting are rejected before reaching SQL") {
+    val df = Seq((1L, 1.0)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      JdbcUpsert.upsert(df, url, "bad table; DROP", Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      JdbcUpsert.upsert(df.withColumnRenamed("v", "select\"ion"), url,
+        "candles", Seq("k"))
+    }
+  }
 }

@@ -79,11 +79,26 @@ class BarsSpec extends AnyFunSuite {
     val table = Files.createTempDirectory("gen-gc").toString
     (1 to 4).foreach { i =>
       val batch = Seq(("S", i.toLong, i * 1.0)).toDF("symbol", "poll_id", "price")
-      UpsertWriter.upsert(spark, batch, table, Seq("symbol", "poll_id"))
+      UpsertWriter.upsert(spark, batch, table, Seq("symbol", "poll_id"),
+        retainMillis = 0L)
     }
     val gens = new java.io.File(table).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
     assert(gens.length <= 2, s"leaked generations: ${gens.map(_.getName).toSeq}")
+    assert(UpsertWriter.read(spark, table).get.count() == 4)
+  }
+
+  test("upsert retention window protects in-flight readers of aged gens") {
+    val table = Files.createTempDirectory("gen-retain").toString
+    (1 to 4).foreach { i =>
+      val batch = Seq(("S", i.toLong, i * 1.0)).toDF("symbol", "poll_id", "price")
+      UpsertWriter.upsert(spark, batch, table, Seq("symbol", "poll_id"))
+    }
+    // Default 60 s retention: the three superseded generations are all
+    // younger than the window, so a reader holding any of them can finish.
+    val gens = new java.io.File(table).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+    assert(gens.length == 4, s"young generations GC'd: ${gens.map(_.getName).toSeq}")
     assert(UpsertWriter.read(spark, table).get.count() == 4)
   }
 
