@@ -76,6 +76,20 @@ object AggOps {
            round(percentile(value, lit(0.95)), 6).as("p95"),
            round(percentile(value, lit(0.99)), 6).as("p99"))
 
+  /** Approximate distinct counts per group — the scale path for A11/q55's
+    * exact `count_distinct`. Spark's `approx_count_distinct` is
+    * HyperLogLog++: one pass, fixed-size sketch per group (no exact-distinct
+    * shuffle of every key), map-side combinable. `rsd` is the target
+    * relative standard deviation — the estimate is within ±3·rsd of truth
+    * with ~99.7% probability (default 5% ⇒ ±15% worst-practical); sketches
+    * cost O(1/rsd²) bytes. Approximate by construction, so it is spec-tested
+    * against exact counts rather than oracle-gated. */
+  def approxDistinctCounts(df: DataFrame, groupCols: Seq[Column],
+                           distinctCol: Column, rsd: Double = 0.05): DataFrame =
+    df.groupBy(groupCols: _*)
+      .agg(approx_count_distinct(distinctCol, rsd).as("approx_distinct"),
+           count(lit(1)).as("n_rows"))
+
   /** A12 (`binance_analysis.py:606-621`): coverage / gap counting. */
   def coverage(df: DataFrame, ts: Column): DataFrame =
     df.agg(min(ts).as("min_ts"), max(ts).as("max_ts"), count(lit(1)).as("n_rows"),

@@ -54,6 +54,11 @@ object CorpusIO {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
-  def readOrc(spark: SparkSession, path: String): DataFrame =
-    spark.read.orc(path)
+  /** `mergeSchema = true` reconciles files written under EVOLVED schemas
+    * (added columns null-fill) at the cost of a per-file footer read at
+    * planning — leave it off (the default) for schema-uniform corpora,
+    * where Spark plans from one footer. */
+  def readOrc(spark: SparkSession, path: String,
+              mergeSchema: Boolean = false): DataFrame =
+    spark.read.option("mergeSchema", mergeSchema.toString).orc(path)
 }

@@ -81,6 +81,20 @@ class OperatorSpecs extends AnyFunSuite {
     assert(out == Seq(Some(40.0), None, None))
   }
 
+  test("approxDistinctCounts tracks exact counts within the 3·rsd bound") {
+    val df = (1 to 20000).map(i => (s"g${i % 4}", s"k${i % (500 + i % 4)}"))
+      .toDF("g", "k")
+    val approx = AggOps.approxDistinctCounts(df, Seq(col("g")), col("k"), rsd = 0.02)
+      .orderBy("g").as[(String, Long, Long)].collect()
+    val exact = df.groupBy("g").agg(count_distinct(col("k")).as("d"))
+      .orderBy("g").as[(String, Long)].collect().toMap
+    approx.foreach { case (g, est, _) =>
+      val truth = exact(g).toDouble
+      assert(math.abs(est - truth) / truth <= 3 * 0.02,
+        s"group $g: estimate $est vs exact $truth exceeds 3·rsd")
+    }
+  }
+
   test("upsert writer round-trips and is idempotent on disk") {
     val dir = java.nio.file.Files.createTempDirectory("upsert").toString
     val base = Seq((1, 10.0), (2, 20.0)).toDF("k", "v")
