@@ -569,6 +569,24 @@ object SparkEntry {
       Ann.ivfTopK(emb.where(col("vec_id") < 20), emb, "vec_id", "embedding",
           k = 10, nlist = 16, nprobe = 4, lloydIters = 2)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Interval enrichment join (batch parity of the stream-stream join):
+    // each purchase paired with the same user's clicks in the preceding
+    // 10 minutes. Same operator runs watermarked on streams (StreamJoin).
+    "q64_interval_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"), col("value").as("c_value"))
+      graft.streaming.StreamJoin.intervalJoin(purchases, clicks, "user_id",
+          "p_ts", "c_ts", "10 minutes")
+        .groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+             round(sum(col("c_value")), 2).as("click_value"))
+        .orderBy(col("purchase_id"))
     })
   )
 
@@ -1199,6 +1217,14 @@ object SparkEntry {
            CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
            min(doc_id) AS first_doc
          FROM b GROUP BY lang, bin ORDER BY lang, bin""",
-    "q63_ann_ivf_lloyd" -> annIvfLloydSql(2)
+    "q63_ann_ivf_lloyd" -> annIvfLloydSql(2),
+    "q64_interval_join" ->
+      """SELECT p.event_id AS purchase_id, count(*) AS n_clicks,
+           round(sum(c.value), 2) AS click_value
+         FROM events p JOIN events c
+           ON c.user_id = p.user_id
+          AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
+         WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+         GROUP BY purchase_id ORDER BY purchase_id"""
   )
 }
