@@ -32,9 +32,12 @@ object Dedup {
     val ks = keyCols.map(col)
     val totalLen = ks.map(k => coalesce(length(k.cast("string")), lit(-1)))
       .reduce(_ + _)
-    val prefix = substring(concat_ws("", ks.map(_.cast("string")): _*), 1, 16)
-    val w = Window.partitionBy(xxhash64(ks: _*), hash(ks: _*), totalLen, prefix)
-      .orderBy(col(idCol))
+    // Per-column substring BEFORE concat: taking 16 chars of the full
+    // concatenation would materialize a doc-sized copy per row first.
+    def prefix(cs: Seq[Column]): Column =
+      concat_ws("", cs.map(k => substring(k.cast("string"), 1, 16)): _*)
+    val w = Window.partitionBy(xxhash64(ks: _*), hash(ks: _*), totalLen,
+        prefix(ks)).orderBy(col(idCol))
     df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
   }
 

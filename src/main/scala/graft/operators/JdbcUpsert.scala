@@ -46,6 +46,10 @@ object JdbcUpsert {
              precedence: Seq[Column] = Seq.empty): Unit = {
     requireSafe("table", table)
     df.columns.foreach(requireSafe("column", _))
+    keys.foreach(requireSafe("key", _))
+    require(keys.nonEmpty && keys.forall(df.columns.contains),
+      s"keys ${keys.mkString(",")} must be non-empty and present in " +
+        s"df columns ${df.columns.mkString(",")}")
     // Stage-name prefix is truncated so table + 7 + 32 suffix chars stays
     // inside every major engine's 128-char identifier limit.
     val stage = s"${table.take(80)}_stage_" +
@@ -70,22 +74,27 @@ object JdbcUpsert {
       .filter(f => keys.contains(f.name) &&
         f.dataType == org.apache.spark.sql.types.StringType)
       .map(_.name).toSeq
-    val varchars =
-      if (stringKeys.isEmpty) ""
-      else {
-        import org.apache.spark.sql.functions.{length, max}
-        val aggs = stringKeys.map(k => max(length(col(k))).as(k))
-        val row = deduped.agg(aggs.head, aggs.tail: _*).head()
-        stringKeys.map { k =>
-          val w = if (row.isNullAt(row.fieldIndex(k))) 1024
-                  else math.max(row.getAs[Int](k), 1)
-          s"$k VARCHAR($w)"
-        }.mkString(", ")
-      }
-    val stageWriter =
-      if (varchars.isEmpty) deduped.write
-      else deduped.write.option("createTableColumnTypes", varchars)
+    // The sizing agg and the stage write are two actions over `deduped`;
+    // persist so the (possibly windowed) dedup computes once — and so both
+    // actions see the SAME rows even over a non-deterministic input (a
+    // narrower re-computed width would fail the stage insert).
+    if (stringKeys.nonEmpty) deduped.persist()
     try {
+      val varchars =
+        if (stringKeys.isEmpty) ""
+        else {
+          import org.apache.spark.sql.functions.{length, max}
+          val aggs = stringKeys.map(k => max(length(col(k))).as(k))
+          val row = deduped.agg(aggs.head, aggs.tail: _*).head()
+          stringKeys.map { k =>
+            val w = if (row.isNullAt(row.fieldIndex(k))) 1024
+                    else math.max(row.getAs[Int](k), 1)
+            s"$k VARCHAR($w)"
+          }.mkString(", ")
+        }
+      val stageWriter =
+        if (varchars.isEmpty) deduped.write
+        else deduped.write.option("createTableColumnTypes", varchars)
       stageWriter.mode(SaveMode.Overwrite).jdbc(url, stage, props)
       val conn = DriverManager.getConnection(url, props)
       try {
@@ -107,7 +116,10 @@ object JdbcUpsert {
             s"WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)")
         finally st.close()
       } finally conn.close()
-    } finally dropStage(url, props, stage) // GC even if the stage write died
+    } finally {
+      if (stringKeys.nonEmpty) deduped.unpersist(blocking = false)
+      dropStage(url, props, stage) // GC even if the stage write died
+    }
   }
 
   /** Best-effort stage drop on its own connection — runs whether the stage

@@ -52,7 +52,7 @@ object CsvReaders {
   def readKlinesCsv(spark: SparkSession, pathGlob: String): DataFrame = {
     val paths = globPaths(spark, pathGlob)
     require(paths.nonEmpty, s"no files match $pathGlob")
-    val byHeader = paths.groupBy(headerLine(spark, _)).values.toSeq
+    val byHeader = headerLines(spark, paths).groupMap(_._2)(_._1).values.toSeq
       .sortBy(_.head) // deterministic union order
     val frames = byHeader.map(ps => normalizeKlines(
       spark.read.option("header", "true").csv(ps: _*)))
@@ -62,17 +62,46 @@ object CsvReaders {
         "volume", "num_trades")
   }
 
-  /** First line of a file — the CSV header — read driver-side without
-    * scanning the body (bounded read through the Hadoop FS). */
-  private def headerLine(spark: SparkSession, path: String): String = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
+  /** (path, header) for every path — header reads run on a bounded thread
+    * pool (each is an independent metadata-sized round-trip; serial opens
+    * would add minutes of driver latency on a 10k-file object-store fleet). */
+  private def headerLines(spark: SparkSession,
+                          paths: Seq[String]): Seq[(String, String)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(32, math.max(1, paths.length)))
     try {
-      val r = new java.io.BufferedReader(
-        new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
-      Option(r.readLine()).getOrElse("")
-    } finally in.close()
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futs = paths.map(p => scala.concurrent.Future(p -> headerLine(conf, p)))
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration(10, "min"))
+    } finally pool.shutdown()
+  }
+
+  /** First line of a file — the CSV header — read driver-side without
+    * scanning the body (bounded read through the Hadoop FS). A DIRECTORY
+    * path (a Spark-written `.csv` artifact of part files) resolves to its
+    * first contained data file, matching what the multi-path scan reads. */
+  private def headerLine(conf: org.apache.hadoop.conf.Configuration,
+                         path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val target =
+      if (!fs.getFileStatus(p).isDirectory) Some(p)
+      else fs.listStatus(p).filter(s => s.isFile && {
+          val n = s.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }).map(_.getPath).sortBy(_.getName).headOption
+    target.fold("") { t =>
+      val in = fs.open(t)
+      try {
+        val r = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+        Option(r.readLine()).getOrElse("")
+      } finally in.close()
+    }
   }
 
   private def globPaths(spark: SparkSession, pathGlob: String): Seq[String] = {

@@ -45,7 +45,11 @@ object Bars {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("5 seconds"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // Per-trigger upserts write one table generation each: a short
+        // retention (one trigger interval) still covers in-flight readers
+        // while keeping at most ~2 superseded copies on disk, where the
+        // 60 s default would accumulate ~12 at this cadence.
         UpsertWriter.upsert(batch.sparkSession, batch, tableDir,
-          Seq("symbol", "tf", "open_time"))
+          Seq("symbol", "tf", "open_time"), retainMillis = 5000L)
       }
 }

@@ -33,6 +33,16 @@ object StreamJoin {
                    watermark: Option[String] = None): DataFrame = {
     require(leftTs != rightTs,
       s"leftTs and rightTs must be distinct column names, both are '$leftTs'")
+    // The join condition references columns unqualified, so any cross-side
+    // name overlap beyond `key` resolves ambiguously at analysis time —
+    // reject it here with an actionable message instead.
+    val rightCols = right.columns.toSet
+    require(!rightCols.contains(leftTs) && !right.columns.contains(s"__r_$key"),
+      s"right frame must not carry columns '$leftTs' or '__r_$key'")
+    require(!left.columns.contains(rightTs) && !left.columns.contains(s"__r_$key"),
+      s"left frame must not carry columns '$rightTs' or '__r_$key'")
+    require(left.columns.contains(key) && rightCols.contains(key),
+      s"both frames must carry the join key '$key'")
     val l = watermark.fold(left)(w => left.withWatermark(leftTs, w))
     val r0 = watermark.fold(right)(w => right.withWatermark(rightTs, w))
     val rKey = s"__r_$key"

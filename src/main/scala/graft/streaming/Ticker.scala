@@ -39,7 +39,10 @@ object Ticker {
         import spark.implicits._
         val tick = Seq((sym, batchId, price, System.currentTimeMillis()))
           .toDF("symbol", "poll_id", "price", "fetched_at_ms")
-        UpsertWriter.upsert(spark, tick, tableDir, Seq("symbol", "poll_id"))
+        // Short retention: per-trigger generations are tiny but frequent;
+        // one polling interval of protection bounds disk to a few copies.
+        UpsertWriter.upsert(spark, tick, tableDir, Seq("symbol", "poll_id"),
+          retainMillis = 5000L)
       }
 
   /** Production trigger: one row per micro-batch; poll cadence comes from
