@@ -45,11 +45,19 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver captures only the LAST 2000 chars of stdout; a JSON line
+    // longer than that loses its head and fails to parse (observed in
+    // BENCH_r03.json: tail len 2000, line len 2055). Millisecond precision
+    // is plenty for per-query seconds; drop to 2 dp if the line still
+    // wouldn't fit.
+    def render(dp: Int): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v) }
+        .mkString("{", ",", "}")
+      val t = s"%.${dp}f".formatLocal(java.util.Locale.ROOT, total)
+      s"""{"metric":"total","value":$t,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val json = { val j3 = render(3); if (j3.length <= 1900) j3 else render(2) }
     // The JSON goes BOTH to stdout (last line, machine-clean — sbt is
     // configured with StdoutOutput so no [info] prefix) and to a known
     // file, so a parser that sees interleaved launcher noise still has an
