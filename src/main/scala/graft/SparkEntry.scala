@@ -587,6 +587,98 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_clicks"),
              round(sum(col("c_value")), 2).as("click_value"))
         .orderBy(col("purchase_id"))
+    }),
+
+    // Dedup cluster resolution: simhash candidate PAIRS become duplicate
+    // GROUPS via distributed connected components (iterative min-label
+    // propagation; oracled against a recursive-CTE reachability mirror).
+    // comp = smallest doc_id in the cluster = the canonical keeper.
+    "q65_dedup_components" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.simhashCandidates(docs, "doc_id", "text",
+        bands = 4, maxHamming = 6)
+      Graph.connectedComponents(docs.select(col("doc_id")), "doc_id",
+          pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("comp"),
+          count(lit(1)).over(Window.partitionBy(col("comp"))).as("comp_size"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Benchmark decontamination: training docs sharing ≥3 distinct 3-gram
+    // shingles with the held-out set (doc_id % 50 == 0) are contaminated.
+    "q66_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.contaminationOverlap(
+          docs.where(col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 3, minShared = 3L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style repetition metrics: total vs distinct tokens/2-grams per
+    // doc plus an integer-milli duplicate-2-gram fraction.
+    "q67_repetition" -> ((s, d) => {
+      val st1 = TextOps.repetitionStats(col("text"), 1)
+      val st2 = TextOps.repetitionStats(col("text"), 2)
+      t(s, d, "documents").select(col("doc_id"),
+          st1.getField("total").as("n_toks"),
+          st1.getField("distinct").as("n_distinct_toks"),
+          st2.getField("total").as("n_2grams"),
+          st2.getField("distinct").as("n_distinct_2grams"))
+        .withColumn("rep_2gram_milli",
+          when(col("n_2grams") > 0,
+            ((col("n_2grams") - col("n_distinct_2grams")) * 1000 / col("n_2grams"))
+              .cast("long"))
+          .otherwise(lit(0L)))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Banded range join: views in the 30 minutes before each purchase by
+    // the same user — executed as a pure hash equi-join on (user, time
+    // bucket), never a broadcast-nested-loop (see RangeJoin).
+    "q68_banded_range_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"))
+      RangeJoin.banded(purchases, views, Seq("user_id"), "p_ts", "v_ts",
+          lowerSec = -1800, upperSec = 0)
+        .groupBy(col("purchase_id"))
+        .agg(count(lit(1)).as("n_prior_views"))
+        .orderBy(col("purchase_id"))
+    }),
+
+    // End-to-end corpus curation: exact-dedup keepers, non-benchmark,
+    // uncontaminated, quality ≥ 600‰, duplicate-2-gram fraction ≤ 100‰ —
+    // the composed filter a pretraining pipeline ships.
+    "q69_corpus_curation" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val keepers = Dedup.exactDedup(docs, Seq("text"), "doc_id")
+        .select(col("doc_id"))
+      val contaminated = Dedup.contaminationOverlap(
+          docs.where(col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 3, minShared = 3L)
+        .select(col("doc_id"))
+      val st2 = TextOps.repetitionStats(col("text"), 2)
+      docs.join(keepers, Seq("doc_id"), "semi")
+        .where(col("doc_id") % 50 =!= 0)
+        .join(contaminated, Seq("doc_id"), "anti")
+        .select(col("doc_id"),
+          TextOps.qualityScoreMilli(col("text")).as("quality_milli"),
+          st2.getField("total").as("n_2grams"),
+          st2.getField("distinct").as("n_distinct_2grams"))
+        .withColumn("rep_2gram_milli",
+          when(col("n_2grams") > 0,
+            ((col("n_2grams") - col("n_distinct_2grams")) * 1000 / col("n_2grams"))
+              .cast("long"))
+          .otherwise(lit(0L)))
+        .where(col("quality_milli") >= 600 && col("rep_2gram_milli") <= 100)
+        .select(col("doc_id"), col("quality_milli"), col("rep_2gram_milli"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -629,6 +721,60 @@ object SparkEntry {
        FROM documents),
        e AS (SELECT id, len(sh_arr) AS n_sh, unnest(sh_arr) AS sh FROM sh)"""
 
+  /** Mirrors Dedup.portableHash(sh, 7): first 8 hex chars of md5("7:"||sh)
+    * as a BIGINT — the 32-bit truncation is part of the contract, so hash
+    * collisions (which affect overlap counts) reproduce bit-for-bit. */
+  private val contShingleHashSql =
+    "CAST('0x' || substring(md5('7:' || sh), 1, 8) AS BIGINT)"
+
+  /** Word 2-gram list of `toks` — mirrors TextOps.repetitionStats(n=2)
+    * (list_slice ends are inclusive in DuckDB: [i, i+1] = 2 tokens). */
+  private val twoGramListSql =
+    """list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+       i -> array_to_string(list_slice(toks, i, i + 1), ' '))"""
+
+  /** q69 oracle: the composed curation filter — exact-dedup keeper,
+    * non-benchmark, uncontaminated (q66's mirror), quality ≥ 600‰ (q38's
+    * mirror), duplicate-2-gram fraction ≤ 100‰ (q67's mirror). */
+  private def curationSql: String = {
+    val stop = langScoreSql(Seq("the", "a", "of", "and", "is"))
+    s"""WITH $shinglesCte,
+       te AS (SELECT DISTINCT $contShingleHashSql AS shh FROM e WHERE id % 50 = 0),
+       tr AS (SELECT id, $contShingleHashSql AS shh FROM e WHERE id % 50 <> 0),
+       cont AS (SELECT id FROM tr JOIN te USING (shh)
+                GROUP BY id HAVING count(*) >= 3),
+       keeper AS (SELECT doc_id FROM (
+           SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+           FROM documents) WHERE rn = 1),
+       f AS (SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS nc,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nt,
+           CAST($stop AS BIGINT) AS stop,
+           CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS pu
+         FROM documents),
+       q AS (SELECT doc_id,
+           (400 * least(nc, 500)) // 500
+           + (300 * least(stop * 5, nt)) // nt
+           + 300 - (300 * least(pu * 10, nc)) // nc AS quality_milli
+         FROM f),
+       tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents),
+       rp AS (SELECT doc_id,
+           CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS t2,
+           CAST(len(list_distinct($twoGramListSql)) AS BIGINT) AS d2
+         FROM tk),
+       rm AS (SELECT doc_id,
+           CASE WHEN t2 > 0 THEN (t2 - d2) * 1000 // t2
+                ELSE CAST(0 AS BIGINT) END AS rep_2gram_milli
+         FROM rp)
+       SELECT d.doc_id, q.quality_milli, rm.rep_2gram_milli
+       FROM documents d
+       JOIN keeper USING (doc_id) JOIN q USING (doc_id) JOIN rm USING (doc_id)
+       WHERE d.doc_id % 50 <> 0 AND d.doc_id NOT IN (SELECT id FROM cont)
+         AND q.quality_milli >= 600 AND rm.rep_2gram_milli <= 100
+       ORDER BY doc_id"""
+  }
+
   private def minhashSql: String = {
     // Mirrors Dedup.minhashSlotHash: slots 0-3 from md5(sh), 4-7 from
     // md5('1:'||sh), 8-hex-char chunks.
@@ -668,7 +814,9 @@ object SparkEntry {
     * token (HUGEINT mod-2^64 arithmetic), per-bit ±1 majority, 4×16-bit band
     * join, Hamming ≤ 6 on candidates. The unsigned HUGEINT simhash and
     * Spark's signed long agree on every band/xor/bit_count operation. */
-  private def simhashSql: String = {
+  /** The simhash candidate pipeline CTE list (through `hd`), shared by the
+    * q44 pair query and the q65 component resolution built on those pairs. */
+  private def simhashCtes: String = {
     val fnv =
       s"""list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), ${byteListSql("tok")}),
          (acc, b) -> (xor(acc, b) * 1099511628211) % 18446744073709551616)"""
@@ -678,7 +826,7 @@ object SparkEntry {
     val bandSelects = (0 until 4).map(b =>
       s"SELECT id, $b AS bi, (sim >> ${b * 16}) & 65535 AS bv FROM sim")
       .mkString(" UNION ALL ")
-    s"""WITH toks AS (SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    s"""toks AS (SELECT doc_id AS id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
            FROM documents),
        th AS (SELECT id, $fnv AS h FROM toks),
        sim AS (SELECT id, $bitsum AS sim FROM th GROUP BY id),
@@ -687,9 +835,30 @@ object SparkEntry {
                 FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id),
        hd AS (SELECT c.id_a, c.id_b,
                 CAST(bit_count(xor(sa.sim, sb.sim)) AS INTEGER) AS hamming
-              FROM cand c JOIN sim sa ON sa.id = c.id_a JOIN sim sb ON sb.id = c.id_b)
-       SELECT id_a, id_b, hamming FROM hd WHERE hamming <= 6 ORDER BY id_a, id_b"""
+              FROM cand c JOIN sim sa ON sa.id = c.id_a JOIN sim sb ON sb.id = c.id_b)"""
   }
+
+  private def simhashSql: String =
+    s"""WITH $simhashCtes
+       SELECT id_a, id_b, hamming FROM hd WHERE hamming <= 6 ORDER BY id_a, id_b"""
+
+  /** q65 oracle: simhash pairs → undirected edges → connected components by
+    * recursive min-label reachability (walk collects every label reachable
+    * from a node; min = component id), then a size window. Mirrors
+    * Graph.connectedComponents' fixpoint exactly — the iterative Spark loop
+    * and the recursive CTE both stop at label stability. */
+  private def dedupComponentsSql: String =
+    s"""WITH RECURSIVE $simhashCtes,
+       pr AS (SELECT id_a, id_b FROM hd WHERE hamming <= 6),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+                 UNION SELECT id_b, id_a FROM pr),
+       walk(id, lbl) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id),
+       comp AS (SELECT id AS doc_id, min(lbl) AS comp FROM walk GROUP BY id)
+       SELECT doc_id, comp, count(*) OVER (PARTITION BY comp) AS comp_size
+       FROM comp ORDER BY doc_id"""
 
   /** Mirrors Ann.lshTopK(numPlanes=6, dim=64, multiProbe=1, k=10): the ±1
     * hyperplane signs come from the same md5-parity construction (embedded
@@ -1225,6 +1394,35 @@ object SparkEntry {
            ON c.user_id = p.user_id
           AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
          WHERE p.event_type = 'purchase' AND c.event_type = 'click'
-         GROUP BY purchase_id ORDER BY purchase_id"""
+         GROUP BY purchase_id ORDER BY purchase_id""",
+    "q65_dedup_components" -> dedupComponentsSql,
+    "q66_decontaminate" ->
+      s"""WITH $shinglesCte,
+         te AS (SELECT DISTINCT $contShingleHashSql AS shh FROM e WHERE id % 50 = 0),
+         tr AS (SELECT id, $contShingleHashSql AS shh FROM e WHERE id % 50 <> 0)
+         SELECT id AS doc_id, count(*) AS n_shared
+         FROM tr JOIN te USING (shh)
+         GROUP BY id HAVING count(*) >= 3 ORDER BY doc_id""",
+    "q67_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+             FROM documents),
+         c AS (SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_toks,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_toks,
+             CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_2grams,
+             CAST(len(list_distinct($twoGramListSql)) AS BIGINT) AS n_distinct_2grams
+           FROM tk)
+         SELECT doc_id, n_toks, n_distinct_toks, n_2grams, n_distinct_2grams,
+           CASE WHEN n_2grams > 0 THEN (n_2grams - n_distinct_2grams) * 1000 // n_2grams
+                ELSE CAST(0 AS BIGINT) END AS rep_2gram_milli
+         FROM c ORDER BY doc_id""",
+    "q68_banded_range_join" ->
+      """SELECT p.event_id AS purchase_id, count(*) AS n_prior_views
+         FROM events p JOIN events v
+           ON v.user_id = p.user_id
+          AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts < p.ts
+         WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+         GROUP BY purchase_id ORDER BY purchase_id""",
+    "q69_corpus_curation" -> curationSql
   )
 }

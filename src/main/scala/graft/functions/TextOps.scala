@@ -97,6 +97,27 @@ object TextOps {
   def contentFingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")).cast("binary"))
 
+  /** Gopher-style repetition counters: total vs distinct word n-grams of a
+    * doc, as a struct of two BIGINTs. Pure integer outputs — the
+    * duplicate-fraction ratio derives downstream (see
+    * [[graft.SparkEntry]] q67) with integer DIV, so no float-rounding
+    * hazard can reach an oracle compare. The token array binds through a
+    * one-element `transform` lambda (Catalyst does not CSE into
+    * higher-order-function lambdas — see [[graft.dedup.Dedup.shingles]]).
+    */
+  def repetitionStats(text: Column, n: Int): Column =
+    element_at(transform(array(tokens(text)), tk => {
+      val total = greatest(size(tk) - (n - 1), lit(0))
+      val grams =
+        if (n == 1) tk
+        else when(size(tk) >= n,
+          transform(sequence(lit(1), size(tk) - (n - 1)),
+            i => array_join(slice(tk, i, lit(n)), " ")))
+          .otherwise(lit(Array.empty[String]))
+      struct(total.cast("long").as("total"),
+        size(array_distinct(grams)).cast("long").as("distinct"))
+    }), 1)
+
   /** PII patterns, deliberately RE2-safe (character classes and bounded
     * quantifiers only — no backrefs/lookaround) so Java and RE2 engines
     * match identically. Phone requires a leading '+' to stay precise on

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Banded (bucketed) batch range join.
+  *
+  * Spark plans a bare `a.ts BETWEEN b.ts - x AND b.ts` join as a
+  * broadcast-nested-loop or sort-merge over the EQUALITY keys only, with the
+  * range as a post-filter — at 100 TB the hot keys degrade to per-key
+  * quadratic scans. Banding restores a pure hash equi-join: bucket time into
+  * windows of width w = upper − lower; a right row lands in exactly one
+  * bucket, a left row's query window spans at most two adjacent buckets, so
+  * the left side explodes ×2 and the exact range predicate filters after
+  * the join. Shuffle is keyed by (keys, bucket) — AQE's skew split applies
+  * to it like any other hash join.
+  */
+object RangeJoin {
+
+  /** Inner-join rows of `right` whose `rTimeCol` falls in
+    * [`lTimeCol` + lowerSec, `lTimeCol` + upperSec) for matching `keyCols`.
+    * Output: left columns + right's non-key columns. Each qualifying pair
+    * appears exactly once (a right row is in one bucket; the two left
+    * probes hit distinct buckets).
+    */
+  def banded(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+             lTimeCol: String, rTimeCol: String,
+             lowerSec: Long, upperSec: Long): DataFrame = {
+    require(upperSec > lowerSec, "range window must be non-empty")
+    val w = upperSec - lowerSec
+    // Bucket arithmetic is internal to the join (the exact predicate decides
+    // membership), so double division is fine: epoch/w magnitudes are far
+    // below 2^53 and both sides use the identical expression.
+    def bucket(epochSec: org.apache.spark.sql.Column) =
+      floor(epochSec.cast("double") / w).cast("long")
+    val lo = col(lTimeCol).cast("long") + lowerSec
+    val l = left.withColumn("__bucket",
+      explode(array(bucket(lo), bucket(lo) + 1)))
+    val r = right.withColumn("__bucket", bucket(col(rTimeCol).cast("long")))
+    val cond = (keyCols :+ "__bucket").map(k => l(k) === r(k)).reduce(_ && _) &&
+      r(rTimeCol) >= l(lTimeCol) + expr(s"INTERVAL $lowerSec SECONDS") &&
+      r(rTimeCol) < l(lTimeCol) + expr(s"INTERVAL $upperSec SECONDS")
+    val rightKeep = right.columns.filterNot(keyCols.contains).map(r(_))
+    l.join(r, cond).select(left.columns.map(l(_)) ++ rightKeep: _*)
+  }
+}

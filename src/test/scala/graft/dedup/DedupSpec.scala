@@ -97,6 +97,22 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Seq((0L, 1L, 1.0)))
   }
 
+  test("contaminationOverlap counts distinct shared shingles per train doc") {
+    // test doc 10 shares its full 8-shingle set with train doc 0 (exact
+    // copy) and nothing with train doc 2.
+    val train = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different content about spark query engines")
+    ).toDF("doc_id", "text")
+    val test_ = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight")
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationOverlap(train, test_, "doc_id", "text",
+        n = 3, minShared = 3L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 8L)) // 10 tokens → 8 distinct 3-gram shingles
+  }
+
   test("rolling hash expression matches the scala reference implementation") {
     Expressions.register(spark)
     val df = docs.select(col("doc_id"), Expressions.rollingHash(col("text")).as("h"),

@@ -67,6 +67,23 @@ class MultimodalSpec extends AnyFunSuite {
       (4L, "unknown", None, None, None, None)))
   }
 
+  test("repetitionStats counts total vs distinct tokens and 2-grams") {
+    val df = Seq(
+      (1L, "a a a"),            // toks 3/1; 2-grams "a a","a a" → 2/1
+      (2L, "x y x y x"),        // toks 5/2; 2-grams "x y","y x","x y","y x" → 4/2
+      (3L, "one two three"),    // all distinct: 3/3, 2/2
+      (4L, "solo")              // 1/1, 0 2-grams
+    ).toDF("id", "text")
+    val got = df.select(col("id"),
+        TextOps.repetitionStats(col("text"), 1).as("s1"),
+        TextOps.repetitionStats(col("text"), 2).as("s2"))
+      .select(col("id"), col("s1.total"), col("s1.distinct"),
+        col("s2.total"), col("s2.distinct"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 1L, 2L, 1L), (2L, 5L, 2L, 4L, 2L),
+      (3L, 3L, 3L, 2L, 2L), (4L, 1L, 1L, 0L, 0L)))
+  }
+
   test("langId picks the language whose markers dominate") {
     val df = Seq(
       (1L, "the cat sat on a mat full of the best wool"),

@@ -1,0 +1,63 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class RangeJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(sec: Long, micros: Long = 0): Timestamp = {
+    val t = new Timestamp(sec * 1000L + micros / 1000)
+    t.setNanos((micros % 1000000L).toInt * 1000)
+    t
+  }
+
+  // left at t=1000s; window [t-100, t): matches 900..999.999..., not 1000
+  private val left = Seq((1L, 10L, ts(1000)), (2L, 10L, ts(5000)), (3L, 99L, ts(1000)))
+    .toDF("lid", "key", "lt")
+  private val right = Seq(
+    (100L, 10L, ts(900)),          // boundary: exactly lower → included
+    (101L, 10L, ts(999, 999999)),  // just under upper → included
+    (102L, 10L, ts(1000)),         // exactly upper → excluded
+    (103L, 10L, ts(899, 999999)),  // just below lower → excluded
+    (104L, 10L, ts(4950)),         // matches left 2
+    (105L, 77L, ts(950))           // wrong key
+  ).toDF("rid", "key", "rt")
+
+  test("banded range join matches the naive range-join semantics exactly") {
+    val got = RangeJoin.banded(left, right, Seq("key"), "lt", "rt", -100, 0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L), (1L, 101L), (2L, 104L)))
+  }
+
+  test("no duplicate pairs when the window crosses a bucket boundary") {
+    // w=100 buckets at multiples of 100; left window [900,1000) sits exactly
+    // on bucket 9; probes buckets 9 and 10 — each match must appear once.
+    val got = RangeJoin.banded(left, right, Seq("key"), "lt", "rt", -100, 0)
+      .select("lid", "rid").as[(Long, Long)].collect().toList
+    assert(got.size == got.toSet.size)
+  }
+
+  test("agrees with a plain range-join on a dense fixture") {
+    val l = (0L until 50L).map(i => (i, i % 3, ts(1000 + i * 37))).toDF("lid", "key", "lt")
+    val r = (0L until 200L).map(i => (i, i % 3, ts(980 + i * 11))).toDF("rid", "key", "rt")
+    val banded = RangeJoin.banded(l, r, Seq("key"), "lt", "rt", -60, 30)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val naive = l.join(r, l("key") === r("key") &&
+        r("rt") >= l("lt") - expr("INTERVAL 60 SECONDS") &&
+        r("rt") < l("lt") + expr("INTERVAL 30 SECONDS"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(banded == naive)
+  }
+
+  test("plans as a hash equi-join, not a nested-loop/cartesian") {
+    val df = RangeJoin.banded(left, right, Seq("key"), "lt", "rt", -100, 0)
+    df.queryExecution.toRdd // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"expected equi-join plan, got:\n$plan")
+  }
+}
