@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.functions._
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestSession
 
@@ -8,15 +8,24 @@ class GraphSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  private def comps(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def comps(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                    maxIters: Int = 30): Map[Long, Long] = {
     val n = nodes.toDF("id")
     val e = edges.toDF("src", "dst")
-    Graph.connectedComponents(n, "id", e, "src", "dst")
+    Graph.connectedComponents(n, "id", e, "src", "dst", maxIters)
       .as[(Long, Long)].collect().toMap
   }
 
+  /** Driver-side union-find oracle over the same fixture. */
+  private def unionFind(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+    nodes.map(n => n -> nodes.filter(m => find(m) == find(n)).min).toMap
+  }
+
   test("chain graph collapses to one component labeled by its min id") {
-    // 1-2, 2-3, 3-4: diameter 3 forces several propagation rounds.
+    // 1-2, 2-3, 3-4: diameter 3 forces several contraction rounds.
     val m = comps(Seq(1L, 2L, 3L, 4L), Seq((1L, 2L), (2L, 3L), (3L, 4L)))
     assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
@@ -32,17 +41,56 @@ class GraphSpec extends AnyFunSuite {
     assert(m == Map(1L -> 1L, 2L -> 1L, 7L -> 1L))
   }
 
-  test("matches brute-force union-find on a random-ish fixture") {
-    val nodes = (0L until 30L).toSeq
-    // deterministic pseudo-random edges
-    val edges = (0 until 25).map { i =>
-      val a = (i * 7L) % 30L; val b = (i * 13L + 5L) % 30L; (a, b)
-    }.filter { case (a, b) => a != b }
-    // driver-side union-find oracle
-    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
-    def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
-    edges.foreach { case (a, b) => parent(find(a)) = find(b) }
-    val expected = nodes.map(n => n -> nodes.filter(m => find(m) == find(n)).min).toMap
-    assert(comps(nodes, edges) == expected)
+  test("matches brute-force union-find on random-ish fixtures") {
+    // Several deterministic pseudo-random shapes: sparse, dense, self-loops,
+    // duplicate edges — each checked against the driver-side oracle.
+    for (seed <- 1 to 4) {
+      val n = 20 + seed * 7
+      val nodes = (0L until n.toLong).toSeq
+      val edges = (0 until n + seed * 9).map { i =>
+        val a = (i * 7L + seed) % n; val b = (i * 13L + 5L * seed) % n; (a, b)
+      }.filter { case (a, b) => a != b } ++ Seq((3L, 3L), (1L, 2L), (2L, 1L))
+      assert(comps(nodes, edges) == unionFind(nodes, edges), s"seed=$seed")
+    }
+  }
+
+  test("long chain converges in O(log n) rounds — bounded Spark job count") {
+    // A 64-node path has diameter 63: per-diameter min-label propagation
+    // would need 63 rounds (≥126 jobs); star contraction needs ~log₂ 64.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val nodes = (0L until 64L).toSeq
+      val edges = (0L until 63L).map(i => (i, i + 1))
+      val m = comps(nodes, edges)
+      assert(m.values.toSet == Set(0L))
+      // The listener bus is async: wait for the count to go quiet.
+      var last = -1; var same = 0
+      while (same < 3 && last < 1000) {
+        Thread.sleep(100)
+        if (jobs.get == last) same += 1 else { same = 0; last = jobs.get }
+      }
+      assert(jobs.get <= 16,
+        s"expected O(log n) contraction rounds, saw ${jobs.get} jobs for a 64-chain")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("iteration exhaustion throws instead of returning wrong labels") {
+    // A 40-node path cannot converge in 1 round; the old implementation
+    // silently returned non-component labels here.
+    val nodes = (0L until 40L).toSeq
+    val edges = (0L until 39L).map(i => (i, i + 1))
+    val ex = intercept[IllegalStateException] {
+      comps(nodes, edges, maxIters = 1)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
+  test("already-star input converges immediately") {
+    val m = comps(Seq(1L, 2L, 3L, 4L), Seq((1L, 2L), (1L, 3L), (1L, 4L)))
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 }
