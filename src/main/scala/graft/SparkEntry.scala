@@ -346,9 +346,11 @@ object SparkEntry {
 
     // Dedup: SimHash near-dup candidates (custom Catalyst expression;
     // oracled via a HUGEINT FNV-1a + bit-majority mirror in DuckDB).
+    // maxHamming = bands - 1: the pigeonhole recall contract — 4 bands
+    // guarantee every pair within Hamming 3 shares a band.
     "q44_simhash_dedup" -> ((s, d) =>
       Dedup.simhashCandidates(t(s, d, "documents"), "doc_id", "text",
-          bands = 4, maxHamming = 6)
+          bands = 4, maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
     // Dedup: embedding-cosine near-dup pairs, blocked by label.
@@ -589,17 +591,20 @@ object SparkEntry {
         .orderBy(col("purchase_id"))
     }),
 
-    // Dedup cluster resolution: simhash candidate PAIRS become duplicate
-    // GROUPS via distributed connected components (iterative min-label
-    // propagation; oracled against a recursive-CTE reachability mirror).
-    // comp = smallest doc_id in the cluster = the canonical keeper.
+    // Dedup cluster resolution: simhash band buckets become duplicate
+    // GROUPS via distributed connected components (large-star/small-star;
+    // oracled against a recursive-CTE reachability mirror). Components are
+    // those of the LSH candidate graph "shares ≥1 simhash band" — resolved
+    // through linear star edges (min id per band bucket), never the
+    // quadratic all-pairs bucket self-join (246k candidate pairs for 8.9k
+    // useful edges at sf0.1 under the old shape). comp = smallest doc_id in
+    // the cluster = the canonical keeper.
     "q65_dedup_components" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, d, "documents")
-      val pairs = Dedup.simhashCandidates(docs, "doc_id", "text",
-        bands = 4, maxHamming = 6)
+      val edges = Dedup.simhashStarEdges(docs, "doc_id", "text", bands = 4)
       Graph.connectedComponents(docs.select(col("doc_id")), "doc_id",
-          pairs, "id_a", "id_b")
+          edges, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("comp"),
           count(lit(1)).over(Window.partitionBy(col("comp"))).as("comp_size"))
         .orderBy(col("doc_id"))
@@ -812,10 +817,12 @@ object SparkEntry {
 
   /** Mirrors Expressions.SimHash64 + Dedup.simhashCandidates: FNV-1a 64 per
     * token (HUGEINT mod-2^64 arithmetic), per-bit ±1 majority, 4×16-bit band
-    * join, Hamming ≤ 6 on candidates. The unsigned HUGEINT simhash and
-    * Spark's signed long agree on every band/xor/bit_count operation. */
-  /** The simhash candidate pipeline CTE list (through `hd`), shared by the
-    * q44 pair query and the q65 component resolution built on those pairs. */
+    * join, Hamming ≤ 3 on candidates (= bands − 1, the pigeonhole recall
+    * contract). The unsigned HUGEINT simhash and Spark's signed long agree
+    * on every band/xor/bit_count operation. */
+  /** The simhash banding CTE list (through `bands`), shared by the q44 pair
+    * query (all-pairs + Hamming filter) and the q65 component resolution
+    * (star edges per band bucket). */
   private def simhashCtes: String = {
     val fnv =
       s"""list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), ${byteListSql("tok")}),
@@ -830,28 +837,30 @@ object SparkEntry {
            FROM documents),
        th AS (SELECT id, $fnv AS h FROM toks),
        sim AS (SELECT id, $bitsum AS sim FROM th GROUP BY id),
-       bands AS ($bandSelects),
+       bands AS ($bandSelects)"""
+  }
+
+  private def simhashSql: String =
+    s"""WITH $simhashCtes,
        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
                 FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id),
        hd AS (SELECT c.id_a, c.id_b,
                 CAST(bit_count(xor(sa.sim, sb.sim)) AS INTEGER) AS hamming
-              FROM cand c JOIN sim sa ON sa.id = c.id_a JOIN sim sb ON sb.id = c.id_b)"""
-  }
+              FROM cand c JOIN sim sa ON sa.id = c.id_a JOIN sim sb ON sb.id = c.id_b)
+       SELECT id_a, id_b, hamming FROM hd WHERE hamming <= 3 ORDER BY id_a, id_b"""
 
-  private def simhashSql: String =
-    s"""WITH $simhashCtes
-       SELECT id_a, id_b, hamming FROM hd WHERE hamming <= 6 ORDER BY id_a, id_b"""
-
-  /** q65 oracle: simhash pairs → undirected edges → connected components by
-    * recursive min-label reachability (walk collects every label reachable
-    * from a node; min = component id), then a size window. Mirrors
-    * Graph.connectedComponents' fixpoint exactly — the iterative Spark loop
-    * and the recursive CTE both stop at label stability. */
+  /** q65 oracle: star edges (min id per simhash band bucket) → undirected
+    * edges → connected components by recursive min-label reachability (walk
+    * collects every label reachable from a node; min = component id), then a
+    * size window. Mirrors Dedup.simhashStarEdges + Graph.connectedComponents:
+    * the star edges connect exactly the "shares ≥1 band" candidate graph, and
+    * the recursive CTE reaches the same fixpoint the star contraction does. */
   private def dedupComponentsSql: String =
     s"""WITH RECURSIVE $simhashCtes,
-       pr AS (SELECT id_a, id_b FROM hd WHERE hamming <= 6),
-       edges AS (SELECT id_a AS src, id_b AS dst FROM pr
-                 UNION SELECT id_b, id_a FROM pr),
+       pr AS (SELECT DISTINCT min(id) OVER (PARTITION BY bi, bv) AS id_a, id AS id_b
+              FROM bands),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM pr WHERE id_a <> id_b
+                 UNION SELECT id_b, id_a FROM pr WHERE id_a <> id_b),
        walk(id, lbl) AS (
          SELECT doc_id, doc_id FROM documents
          UNION

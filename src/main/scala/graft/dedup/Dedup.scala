@@ -198,12 +198,10 @@ object Dedup {
     df.withColumn(out, Expressions.simhash64(TextOps.tokens(col(textCol))))
   }
 
-  /** SimHash near-dup candidates: split the 64-bit hash into `bands` chunks;
-    * two docs within Hamming distance (bands − 1) share ≥1 identical chunk
-    * (pigeonhole), so bucket-joining chunks finds them with NO pairwise scan.
-    * Exact Hamming distance is then checked on the candidates only. */
-  def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+  /** Exploded (id, simhash, band index, band value) postings — the shared
+    * first stage of both simhash candidate shapes below. */
+  private def simhashBanded(df: DataFrame, idCol: String, textCol: String,
+                            bands: Int): DataFrame = {
     val bits = 64 / bands
     val sim = withSimhash(df, textCol).select(col(idCol).as("id"), col("simhash"))
     val chunks = array((0 until bands).map { b =>
@@ -211,8 +209,30 @@ object Dedup {
         (shiftrightunsigned(col("simhash"), b * bits) bitwiseAND lit((1L << bits) - 1))
           .as("band_val"))
     }: _*)
-    val banded = sim.select(col("id"), col("simhash"), explode(chunks).as("c"))
+    sim.select(col("id"), col("simhash"), explode(chunks).as("c"))
       .select(col("id"), col("simhash"), col("c.band_idx").as("bi"), col("c.band_val").as("bv"))
+  }
+
+  /** SimHash near-dup candidate PAIRS: split the 64-bit hash into `bands`
+    * chunks; two docs within Hamming distance (bands − 1) share ≥1 identical
+    * chunk (pigeonhole), so bucket-joining chunks finds them with NO pairwise
+    * scan. Exact Hamming distance is then checked on the candidates only.
+    *
+    * The pigeonhole guarantee REQUIRES `maxHamming ≤ bands − 1`: with h >
+    * bands − 1 flipped bits every band can differ and a true near-dup pair
+    * can be missed, so that configuration is rejected instead of silently
+    * under-recalling.
+    *
+    * Within-bucket pair enumeration is quadratic in bucket size — the right
+    * tool for LISTING near-dup pairs at a calibrated radius. For resolving
+    * duplicate GROUPS, use [[simhashStarEdges]], which is linear. */
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= bands - 1,
+      s"maxHamming=$maxHamming voids the pigeonhole recall guarantee of " +
+        s"bands=$bands (only Hamming <= ${bands - 1} is guaranteed); " +
+        "raise bands or lower maxHamming")
+    val banded = simhashBanded(df, idCol, textCol, bands)
     banded.as("a").join(banded.as("b"),
         col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
         col("a.id") < col("b.id"))
@@ -220,6 +240,24 @@ object Dedup {
               bit_count(col("a.simhash") bitwiseXOR col("b.simhash")).as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash STAR edges for component resolution: per band bucket, one edge
+    * from the bucket's minimum id to every other member — linear in postings
+    * where the all-pairs bucket self-join is quadratic in bucket size
+    * (identical-doc clusters are exactly the common case in dedup). The
+    * connected components of these star edges equal those of the full
+    * candidate graph "shares ≥1 simhash band", because every bucket's member
+    * set stays connected through its min. One whole-partition window min —
+    * a single shuffle, no self-join. */
+  def simhashStarEdges(df: DataFrame, idCol: String, textCol: String,
+                       bands: Int = 4): DataFrame = {
+    val banded = simhashBanded(df, idCol, textCol, bands)
+    val w = Window.partitionBy(col("bi"), col("bv"))
+    banded.withColumn("m", min(col("id")).over(w))
+      .where(col("m") =!= col("id"))
+      .select(col("m").as("id_a"), col("id").as("id_b"))
+      .distinct()
   }
 
   /** Embedding near-dup pairs within a blocking key (e.g. a cluster/label

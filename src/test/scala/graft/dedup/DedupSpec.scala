@@ -85,6 +85,61 @@ class DedupSpec extends AnyFunSuite {
     assert(cands.contains((0L, 3L)))
   }
 
+  test("simhash banding recall: every pair within Hamming bands-1 is found") {
+    // Brute-force ground truth over a larger corpus: ANY pair at Hamming
+    // distance ≤ bands − 1 = 3 must appear in the banded candidates — the
+    // pigeonhole guarantee the maxHamming ≤ bands − 1 contract protects.
+    val corpus = (0L until 40L).map { i =>
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      (i, if (i % 3 == 0) base else s"$base extra${i % 7} tail${i % 5}")
+    }.toDF("doc_id", "text")
+    val sims = Dedup.withSimhash(corpus, "text")
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    val truth = (for {
+      a <- sims.keys; b <- sims.keys if a < b
+      if java.lang.Long.bitCount(sims(a) ^ sims(b)) <= 3
+    } yield (a, b)).toSet
+    val cands = Dedup.simhashCandidates(corpus, "doc_id", "text",
+        bands = 4, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.subsetOf(cands),
+      s"missed pairs within Hamming 3: ${truth.diff(cands)}")
+  }
+
+  test("simhashCandidates rejects maxHamming beyond the pigeonhole bound") {
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.simhashCandidates(docs, "doc_id", "text", bands = 4, maxHamming = 6)
+    }
+    assert(ex.getMessage.contains("pigeonhole"))
+  }
+
+  test("simhash star edges give the same components as all-pairs bucket edges") {
+    val corpus = (0L until 30L).map { i =>
+      (i, if (i % 2 == 0) "the quick brown fox jumps over the lazy dog"
+          else s"unrelated text number${i % 9} content${i % 4} word${i % 11}")
+    }.toDF("doc_id", "text")
+    def components(edges: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.operators.Graph.connectedComponents(
+          corpus.select(col("doc_id")), "doc_id", edges, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+    // All-pairs candidate graph at the SAME relation (shares ≥1 band):
+    // simhashCandidates with the loosest honest filter (hamming ≤ bands-1)
+    // is a SUBset; the unfiltered bucket graph is what star edges mirror.
+    val banded = Dedup.simhashStarEdges(corpus, "doc_id", "text", bands = 4)
+    val allPairs = {
+      val sim = Dedup.withSimhash(corpus, "text").select(col("doc_id").as("id"), col("simhash"))
+      val chunks = array((0 until 4).map { b =>
+        (shiftrightunsigned(col("simhash"), b * 16) bitwiseAND lit(0xFFFFL)).as(s"b$b")
+      }: _*)
+      val e = sim.select(col("id"), posexplode(chunks).as(Seq("bi", "bv")))
+      e.as("a").join(e.as("b"),
+          col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    }
+    assert(components(banded) == components(allPairs))
+  }
+
   test("embedding cosine pairs: identical vectors similarity 1") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
