@@ -663,10 +663,15 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       val keepers = Dedup.exactDedup(docs, Seq("text"), "doc_id")
         .select(col("doc_id"))
-      val contaminated = Dedup.contaminationOverlap(
-          docs.where(col("doc_id") % 50 =!= 0),
-          docs.where(col("doc_id") % 50 === 0),
-          "doc_id", "text", n = 3, minShared = 3L)
+      // Shingle the corpus ONCE: the exploded (id, shingle-hash) frame is
+      // materialized (localCheckpoint) and BOTH contamination sides filter
+      // it from memory — not one explosion per side. ContextCleaner frees
+      // the checkpoint when the frame is unreachable.
+      val postings = Dedup.shinglePostings(docs, "doc_id", "text", 3)
+        .localCheckpoint()
+      val contaminated = Dedup.contaminationFromPostings(
+          postings.where(col("id") % 50 =!= 0),
+          postings.where(col("id") % 50 === 0), minShared = 3L)
         .select(col("doc_id"))
       val st2 = TextOps.repetitionStats(col("text"), 2)
       docs.join(keepers, Seq("doc_id"), "semi")
@@ -726,11 +731,12 @@ object SparkEntry {
        FROM documents),
        e AS (SELECT id, len(sh_arr) AS n_sh, unnest(sh_arr) AS sh FROM sh)"""
 
-  /** Mirrors Dedup.portableHash(sh, 7): first 8 hex chars of md5("7:"||sh)
-    * as a BIGINT — the 32-bit truncation is part of the contract, so hash
-    * collisions (which affect overlap counts) reproduce bit-for-bit. */
-  private val contShingleHashSql =
-    "CAST('0x' || substring(md5('7:' || sh), 1, 8) AS BIGINT)"
+  /** Oracle side of the contamination overlap joins on the RAW shingle
+    * string: the engine hot path hashes to xxhash64 (8-byte shuffle rows),
+    * but the compared quantity is the distinct-overlap COUNT, which is
+    * hash-agnostic — so the oracle avoids any truncated-hash collision
+    * noise by not hashing at all. */
+  private val contShingleHashSql = "sh"
 
   /** Word 2-gram list of `toks` — mirrors TextOps.repetitionStats(n=2)
     * (list_slice ends are inclusive in DuckDB: [i, i+1] = 2 tokens). */

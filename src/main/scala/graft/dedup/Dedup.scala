@@ -118,35 +118,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exploded, distinct-per-doc (id, shingle-hash) postings — the shared
+    * currency of the contamination/curation pipelines. xxhash64 in the hot
+    * path: ~5× cheaper per row than an md5-derived construction, and the
+    * oracle compares OVERLAP COUNTS (hash-agnostic), never raw hashes. */
+  def shinglePostings(df: DataFrame, idCol: String, textCol: String,
+                      n: Int): DataFrame =
+    df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh_arr"))
+      .select(col("id"), explode(col("sh_arr")).as("sh"))
+      .select(col("id"), xxhash64(col("sh")).as("shh"))
+
+  /** [[contaminationOverlap]] over pre-computed postings — lets a composed
+    * pipeline (q69-style curation) shingle the corpus ONCE and feed both
+    * sides from the same cached frame. */
+  def contaminationFromPostings(train: DataFrame, test: DataFrame,
+                                minShared: Long): DataFrame = {
+    val te = test.select(col("shh")).distinct()
+    train.join(te, Seq("shh"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .select(col("id").as("doc_id"), col("n_shared"))
+  }
+
   /** Benchmark decontamination: for each training doc, the number of
     * distinct n-gram shingles it shares with ANY document of the held-out
     * test/benchmark set. Docs at or above `minShared` should be dropped
     * before training — they leak evaluation data.
     *
     * Scale shape: both sides reduce to (id, shingle-hash) postings — the
-    * join shuffles 8-byte portable hashes, never shingle strings; the test
+    * join shuffles 8-byte xxhash64 hashes, never shingle strings; the test
     * side is distinct-by-hash first, so join multiplicity is exactly one
-    * per shared shingle and `count(*)` IS the distinct-overlap count. The
-    * hash is [[portableHash]] (md5-derived) so an external engine mirrors
-    * collisions bit-for-bit. */
+    * per shared shingle and `count(*)` IS the distinct-overlap count. */
   def contaminationOverlap(train: DataFrame, test: DataFrame, idCol: String,
-                           textCol: String, n: Int, minShared: Long): DataFrame = {
-    def posts(df: DataFrame) =
-      df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh_arr"))
-        .select(col("id"), explode(col("sh_arr")).as("sh"))
-        .select(col("id"), portableHash(col("sh"), 7).as("shh"))
-    val te = posts(test).select(col("shh")).distinct()
-    posts(train).join(te, Seq("shh"))
-      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
-      .where(col("n_shared") >= minShared)
-      .select(col("id").as("doc_id"), col("n_shared"))
-  }
-
-  /** Cross-engine-stable shingle hash: first 8 hex chars of md5("seed:sh")
-    * parsed as a long — so the DuckDB oracle reproduces signatures exactly. */
-  def portableHash(c: Column, seed: Int): Column =
-    conv(substring(md5(concat(lit(s"$seed:"), c).cast("binary")), 1, 8), 16, 10)
-      .cast("long")
+                           textCol: String, n: Int, minShared: Long): DataFrame =
+    contaminationFromPostings(shinglePostings(train, idCol, textCol, n),
+      shinglePostings(test, idCol, textCol, n), minShared)
 
   /** The seeded 32-bit hash for MinHash signature slot `s`: 8-hex-char
     * chunks of md5 digests, one digest per 4 slots — computing ⌈k/4⌉ md5s
