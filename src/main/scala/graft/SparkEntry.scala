@@ -575,7 +575,13 @@ object SparkEntry {
 
     // Interval enrichment join (batch parity of the stream-stream join):
     // each purchase paired with the same user's clicks in the preceding
-    // 10 minutes. Same operator runs watermarked on streams (StreamJoin).
+    // 10 minutes (bounds inclusive — identical semantics to
+    // StreamJoin.intervalJoin, which runs the watermarked streaming side).
+    // The BATCH plan routes through RangeJoin.banded: a pure hash equi-join
+    // on (user, time bucket) instead of an equi-key SMJ with the range as
+    // post-filter, which degrades per-key quadratic on hot users at scale.
+    // Streaming keeps the bare range predicate — it is exactly what Spark's
+    // watermark state-cleanup analysis consumes.
     "q64_interval_join" -> ((s, d) => {
       val ev = t(s, d, "events")
       val purchases = ev.where(col("event_type") === "purchase")
@@ -583,8 +589,8 @@ object SparkEntry {
           col("ts").as("p_ts"))
       val clicks = ev.where(col("event_type") === "click")
         .select(col("user_id"), col("ts").as("c_ts"), col("value").as("c_value"))
-      graft.streaming.StreamJoin.intervalJoin(purchases, clicks, "user_id",
-          "p_ts", "c_ts", "10 minutes")
+      RangeJoin.banded(purchases, clicks, Seq("user_id"), "p_ts", "c_ts",
+          lowerSec = -600, upperSec = 0, inclusiveUpper = true)
         .groupBy(col("purchase_id"))
         .agg(count(lit(1)).as("n_clicks"),
              round(sum(col("c_value")), 2).as("click_value"))

@@ -18,14 +18,18 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /** Inner-join rows of `right` whose `rTimeCol` falls in
-    * [`lTimeCol` + lowerSec, `lTimeCol` + upperSec) for matching `keyCols`.
+    * [`lTimeCol` + lowerSec, `lTimeCol` + upperSec) for matching `keyCols` —
+    * or the closed interval [... , lTimeCol + upperSec] with
+    * `inclusiveUpper` (a window of width w can still only span two adjacent
+    * w-wide buckets, so the ×2 left explode stays sufficient).
     * Output: left columns + right's non-key columns. Each qualifying pair
     * appears exactly once (a right row is in one bucket; the two left
     * probes hit distinct buckets).
     */
   def banded(left: DataFrame, right: DataFrame, keyCols: Seq[String],
              lTimeCol: String, rTimeCol: String,
-             lowerSec: Long, upperSec: Long): DataFrame = {
+             lowerSec: Long, upperSec: Long,
+             inclusiveUpper: Boolean = false): DataFrame = {
     require(upperSec > lowerSec, "range window must be non-empty")
     val w = upperSec - lowerSec
     // Bucket arithmetic is internal to the join (the exact predicate decides
@@ -37,9 +41,14 @@ object RangeJoin {
     val l = left.withColumn("__bucket",
       explode(array(bucket(lo), bucket(lo) + 1)))
     val r = right.withColumn("__bucket", bucket(col(rTimeCol).cast("long")))
+    val upperBound =
+      if (inclusiveUpper)
+        r(rTimeCol) <= l(lTimeCol) + expr(s"INTERVAL $upperSec SECONDS")
+      else
+        r(rTimeCol) < l(lTimeCol) + expr(s"INTERVAL $upperSec SECONDS")
     val cond = (keyCols :+ "__bucket").map(k => l(k) === r(k)).reduce(_ && _) &&
       r(rTimeCol) >= l(lTimeCol) + expr(s"INTERVAL $lowerSec SECONDS") &&
-      r(rTimeCol) < l(lTimeCol) + expr(s"INTERVAL $upperSec SECONDS")
+      upperBound
     val rightKeep = right.columns.filterNot(keyCols.contains).map(r(_))
     l.join(r, cond).select(left.columns.map(l(_)) ++ rightKeep: _*)
   }

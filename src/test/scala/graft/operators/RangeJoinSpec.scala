@@ -53,6 +53,29 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(banded == naive)
   }
 
+  test("inclusiveUpper admits the exact upper boundary, once") {
+    // Same fixture, closed interval [lt-100, lt]: rid 102 (exactly lt) now
+    // joins; boundary rows still appear exactly once despite the ×2 probe.
+    val got = RangeJoin.banded(left, right, Seq("key"), "lt", "rt", -100, 0,
+        inclusiveUpper = true)
+      .select("lid", "rid").as[(Long, Long)].collect().toList
+    assert(got.toSet == Set((1L, 100L), (1L, 101L), (1L, 102L), (2L, 104L)))
+    assert(got.size == got.toSet.size)
+  }
+
+  test("inclusiveUpper agrees with a plain closed-interval join on a dense fixture") {
+    val l = (0L until 50L).map(i => (i, i % 3, ts(1000 + i * 37))).toDF("lid", "key", "lt")
+    val r = (0L until 200L).map(i => (i, i % 3, ts(980 + i * 11))).toDF("rid", "key", "rt")
+    val banded = RangeJoin.banded(l, r, Seq("key"), "lt", "rt", -60, 30,
+        inclusiveUpper = true)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val naive = l.join(r, l("key") === r("key") &&
+        r("rt") >= l("lt") - expr("INTERVAL 60 SECONDS") &&
+        r("rt") <= l("lt") + expr("INTERVAL 30 SECONDS"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(banded == naive)
+  }
+
   test("plans as a hash equi-join, not a nested-loop/cartesian") {
     val df = RangeJoin.banded(left, right, Seq("key"), "lt", "rt", -100, 0)
     df.queryExecution.toRdd // finalize AQE
