@@ -1,5 +1,7 @@
 package graft
 
+import java.lang.management.ManagementFactory
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
@@ -9,6 +11,13 @@ import org.apache.spark.sql.SparkSession
   * single shared JVM otherwise charges all JIT/codegen warmup to whichever
   * query happens to run first, making per-query numbers meaningless.
   * Queries are timed in sorted name order, one action (count) each.
+  *
+  * Self-diagnostics: each query also records its JVM GC-time delta and its
+  * Spark job count (via a per-query job group), so a wall-clock outlier in a
+  * degraded environment is attributable — GC pressure shows as gc ≈ sec,
+  * scheduler amplification shows as a high job count. The stdout line stays
+  * under the tail-buffer cap by carrying only the totals and the top-5 GC
+  * offenders; the full per-query detail goes to the file sink.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,6 +40,9 @@ object Bench {
     // breaks line-oriented parsers.
     spark.sparkContext.setLogLevel("ERROR")
 
+    def gcMillis: Long =
+      ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val warmDir = {
       val d = "/root/testdata/sf0.001"
@@ -40,31 +52,55 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
+    // name -> (seconds, gc seconds, spark jobs)
     val results = ordered.map { case (name, fn) =>
+      spark.sparkContext.setJobGroup(name, name)
+      val g0 = gcMillis
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      val gcSec = (gcMillis - g0) / 1e3
+      spark.sparkContext.clearJobGroup()
+      val jobs = try spark.sparkContext.statusTracker.getJobIdsForGroup(name).length
+      catch { case _: Throwable => -1 }
+      (name, sec, gcSec, jobs)
     }
     val total = results.map(_._2).sum
+    val gcTotal = results.map(_._3).sum
+    val jobsTotal = results.map(_._4.max(0)).sum
+    def num(v: Double, dp: Int): String =
+      s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
+    val gcTop = results.sortBy(-_._3).take(5).filter(_._3 >= 0.005)
+      .map { case (k, _, g, _) => "\"" + k + "\":" + num(g, 2) }
+      .mkString("{", ",", "}")
     // The driver captures only the LAST 2000 chars of stdout; a JSON line
     // longer than that loses its head and fails to parse (observed in
     // BENCH_r03.json: tail len 2000, line len 2055). Millisecond precision
     // is plenty for per-query seconds; drop to 2 dp if the line still
     // wouldn't fit.
     def render(dp: Int): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v) }
+      val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + num(v, dp) }
         .mkString("{", ",", "}")
-      val t = s"%.${dp}f".formatLocal(java.util.Locale.ROOT, total)
-      s"""{"metric":"total","value":$t,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, dp)},"unit":"sec"""" +
+        s""","queries":$qs,"gc_sec":${num(gcTotal, 1)},"jobs":$jobsTotal""" +
+        s""","gc_top":$gcTop,"sf":"$sfDir"}"""
     }
     val json = { val j3 = render(3); if (j3.length <= 1900) j3 else render(2) }
     // The JSON goes BOTH to stdout (last line, machine-clean — sbt is
     // configured with StdoutOutput so no [info] prefix) and to a known
     // file, so a parser that sees interleaved launcher noise still has an
-    // uncontaminated copy.
+    // uncontaminated copy. Full per-query diagnostics (sec/gc/jobs) go to
+    // a sibling detail file with no length constraint.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
-    catch { case _: Throwable => () }
+    val detail = results.map { case (k, v, g, j) =>
+      "\"" + k + s"""":{"sec":${num(v, 3)},"gc_sec":${num(g, 2)},"jobs":$j}"""
+    }.mkString("{", ",", "}")
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outFile.stripSuffix(".json") + "_DETAIL.json"),
+        detail + "\n")
+    } catch { case _: Throwable => () }
     println(json)
     spark.stop()
   }
