@@ -173,22 +173,23 @@ object Ann {
     val dim = init.head._2.length
     var cents = init
     prep.persist() // each iteration collects cell means: cache the cast+norm
-    for (_ <- 0 until iters) {
-      val aggs = (0 until dim).map(i =>
-        round(avg(element_at(col("cv"), i + 1)), 6).as(s"m$i"))
-      val means = assignCells(prep, "cv", cents, 1)
-        .groupBy(col("cell_1")).agg(aggs.head, aggs.tail: _*)
-        .collect()
-        .map(r => r.getInt(0) -> (1 to dim).map(r.getDouble).toArray).toMap
-      cents = cents.map { case (cid, oldVec, oldNorm) =>
-        means.get(cid) match {
-          case Some(v) => (cid, v, math.sqrt(v.map(x => x * x).sum))
-          case None => (cid, oldVec, oldNorm)
+    try {
+      for (_ <- 0 until iters) {
+        val aggs = (0 until dim).map(i =>
+          round(avg(element_at(col("cv"), i + 1)), 6).as(s"m$i"))
+        val means = assignCells(prep, "cv", cents, 1)
+          .groupBy(col("cell_1")).agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map(r => r.getInt(0) -> (1 to dim).map(r.getDouble).toArray).toMap
+        cents = cents.map { case (cid, oldVec, oldNorm) =>
+          means.get(cid) match {
+            case Some(v) => (cid, v, math.sqrt(v.map(x => x * x).sum))
+            case None => (cid, oldVec, oldNorm)
+          }
         }
       }
-    }
-    prep.unpersist(blocking = false)
-    cents
+      cents
+    } finally prep.unpersist(blocking = false) // also on a throwing iteration
   }
 
   /** Adds cell_1..cell_n = indices of the n nearest centroids (by cosine).
