@@ -695,6 +695,21 @@ object SparkEntry {
         .where(col("quality_milli") >= 600 && col("rep_2gram_milli") <= 100)
         .select(col("doc_id"), col("quality_milli"), col("rep_2gram_milli"))
         .orderBy(col("doc_id"))
+    }),
+
+    // MinHash dedup groups: like q65 but over the MinHash (shingle-set)
+    // candidate graph — linear star edges per signature-band bucket feed
+    // the large-star/small-star component resolver.
+    "q70_minhash_components" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val edges = Dedup.minhashStarEdges(docs, "doc_id", "text",
+        n = 3, numHashes = 8, bands = 4)
+      Graph.connectedComponents(docs.select(col("doc_id")), "doc_id",
+          edges, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("comp"),
+          count(lit(1)).over(Window.partitionBy(col("comp"))).as("comp_size"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -792,9 +807,11 @@ object SparkEntry {
        ORDER BY doc_id"""
   }
 
-  private def minhashSql: String = {
-    // Mirrors Dedup.minhashSlotHash: slots 0-3 from md5(sh), 4-7 from
-    // md5('1:'||sh), 8-hex-char chunks.
+  /** The MinHash banding CTE list (through `mbands`) — mirrors
+    * Dedup.minhashSlotHash (slots 0-3 from md5(sh), 4-7 from md5('1:'||sh),
+    * 8-hex-char chunks) — shared by the q43 pair query and the q70
+    * component resolution. */
+  private def minhashCtes: String = {
     def slot(s: Int): String = {
       val digest = if (s < 4) "md5(sh)" else s"md5('${s / 4}:' || sh)"
       s"CAST('0x' || substring($digest, ${(s % 4) * 8 + 1}, 8) AS BIGINT)"
@@ -804,13 +821,33 @@ object SparkEntry {
       val bv = (0 until 2).map(r => s"CAST(mh${b * 2 + r} AS VARCHAR)").mkString(" || '_' || ")
       s"SELECT id, $b AS bi, $bv AS bv FROM sig"
     }.mkString(" UNION ALL ")
-    s"""WITH $shinglesCte,
+    s"""$shinglesCte,
        sig AS (SELECT id, $sigCols FROM e GROUP BY id),
-       bands AS ($bandSelects)
-       SELECT DISTINCT a.id AS id_a, b.id AS id_b
-       FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id
-       ORDER BY id_a, id_b"""
+       mbands AS ($bandSelects)"""
   }
+
+  private def minhashSql: String =
+    s"""WITH $minhashCtes
+       SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       FROM mbands a JOIN mbands b ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id
+       ORDER BY id_a, id_b"""
+
+  /** q70 oracle: MinHash star edges (min id per band bucket) → recursive
+    * min-label reachability — the same component construction as q65's
+    * oracle, over the MinHash candidate graph. */
+  private def minhashComponentsSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       pr AS (SELECT DISTINCT min(id) OVER (PARTITION BY bi, bv) AS id_a, id AS id_b
+              FROM mbands),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM pr WHERE id_a <> id_b
+                 UNION SELECT id_b, id_a FROM pr WHERE id_a <> id_b),
+       walk(id, lbl) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id),
+       comp AS (SELECT id AS doc_id, min(lbl) AS comp FROM walk GROUP BY id)
+       SELECT doc_id, comp, count(*) OVER (PARTITION BY comp) AS comp_size
+       FROM comp ORDER BY doc_id"""
 
   /** DuckDB byte list of a string's UTF-8 encoding, via hex(encode(..)) —
     * 2 hex chars per byte, parsed through the '0x' cast (HUGEINT has no
@@ -1444,6 +1481,7 @@ object SparkEntry {
           AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts < p.ts
          WHERE p.event_type = 'purchase' AND v.event_type = 'view'
          GROUP BY purchase_id ORDER BY purchase_id""",
-    "q69_corpus_curation" -> curationSql
+    "q69_corpus_curation" -> curationSql,
+    "q70_minhash_components" -> minhashComponentsSql
   )
 }

@@ -173,12 +173,10 @@ object Dedup {
       .agg(min(minhashSlotHash(col("sh"), 0)).as("mh0"),
         (1 until numHashes).map(s => min(minhashSlotHash(col("sh"), s)).as(s"mh$s")): _*)
 
-  /** MinHash + LSH candidate pairs: band the signature, bucket-join on
-    * (band index, band value). Docs agreeing on ANY band become candidates —
-    * the classic S-curve trade-off; verify candidates with
-    * [[ngramJaccardPairs]] or exact comparison downstream. */
-  def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String, n: Int,
-                           numHashes: Int, bands: Int): DataFrame = {
+  /** Exploded (id, band index, band value) MinHash postings — the shared
+    * first stage of both candidate shapes below. */
+  private def minhashBanded(df: DataFrame, idCol: String, textCol: String,
+                            n: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
     val rows = numHashes / bands
     val sig = minhashSignatures(df, idCol, textCol, n, numHashes)
@@ -186,14 +184,41 @@ object Dedup {
       struct(lit(b).as("band_idx"),
         concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*).as("band_val"))
     }: _*)
-    val banded = sig.select(col("id"), explode(bandStructs).as("band"))
+    sig.select(col("id"), explode(bandStructs).as("band"))
       .select(col("id"), col("band.band_idx").as("band_idx"),
               col("band.band_val").as("band_val"))
+  }
+
+  /** MinHash + LSH candidate pairs: band the signature, bucket-join on
+    * (band index, band value). Docs agreeing on ANY band become candidates —
+    * the classic S-curve trade-off; verify candidates with
+    * [[ngramJaccardPairs]] or exact comparison downstream. Quadratic within
+    * a bucket — the pair-LISTING shape; for duplicate-GROUP resolution use
+    * [[minhashStarEdges]]. */
+  def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String, n: Int,
+                           numHashes: Int, bands: Int): DataFrame = {
+    val banded = minhashBanded(df, idCol, textCol, n, numHashes, bands)
     banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_val") === col("b.band_val") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash STAR edges for component resolution: per (band, value) bucket,
+    * one edge from the bucket's min id to every other member — linear in
+    * postings where the all-pairs bucket self-join is quadratic in bucket
+    * size. Connected components over these edges equal those of the full
+    * "agrees on ≥1 band" candidate graph (every bucket stays connected
+    * through its min). Same construction as [[simhashStarEdges]]. */
+  def minhashStarEdges(df: DataFrame, idCol: String, textCol: String, n: Int,
+                       numHashes: Int, bands: Int): DataFrame = {
+    val banded = minhashBanded(df, idCol, textCol, n, numHashes, bands)
+    val w = Window.partitionBy(col("band_idx"), col("band_val"))
+    banded.withColumn("m", min(col("id")).over(w))
+      .where(col("m") =!= col("id"))
+      .select(col("m").as("id_a"), col("id").as("id_b"))
       .distinct()
   }
 

@@ -140,6 +140,20 @@ class DedupSpec extends AnyFunSuite {
     assert(components(banded) == components(allPairs))
   }
 
+  test("minhash star edges give the same components as all-pairs candidates") {
+    val corpus = (0L until 30L).map { i =>
+      (i, if (i % 2 == 0) "the quick brown fox jumps over the lazy dog"
+          else s"unrelated text number${i % 9} content${i % 4} word${i % 11}")
+    }.toDF("doc_id", "text")
+    def components(edges: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.operators.Graph.connectedComponents(
+          corpus.select(col("doc_id")), "doc_id", edges, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+    val star = Dedup.minhashStarEdges(corpus, "doc_id", "text", 3, 8, 4)
+    val allPairs = Dedup.minhashLshCandidates(corpus, "doc_id", "text", 3, 8, 4)
+    assert(components(star) == components(allPairs))
+  }
+
   test("embedding cosine pairs: identical vectors similarity 1") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
