@@ -710,7 +710,16 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("comp"),
           count(lit(1)).over(Window.partitionBy(col("comp"))).as("comp_size"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // Unblocked embedding near-dup: LSH sign-bucket blocking (the same
+    // deterministic md5-parity hyperplanes q47 probes, mirrored as SQL
+    // literals in the oracle) + exact cosine within the bucket — the scale
+    // path when no curated blocking column exists.
+    "q71_embedding_lsh_dedup" -> ((s, d) =>
+      Dedup.embeddingLshPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+          numPlanes = 6, dim = 64, minSim = 0.3)
+        .orderBy(col("id_a"), col("id_b")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -917,6 +926,26 @@ object SparkEntry {
        comp AS (SELECT id AS doc_id, min(lbl) AS comp FROM walk GROUP BY id)
        SELECT doc_id, comp, count(*) OVER (PARTITION BY comp) AS comp_size
        FROM comp ORDER BY doc_id"""
+
+  /** q71 oracle: mirrors Dedup.embeddingLshPairs(numPlanes=6, dim=64,
+    * minSim=0.3) — the same hyperplane-sign bucket construction as
+    * [[annLshSql]], self-joined on the bucket with exact cosine rerank. */
+  private def embLshSql: String = {
+    val planes = graft.similarity.Ann.hyperplanes(6, 64)
+    def dot(p: Array[Double]): String =
+      p.zipWithIndex.map { case (s, d) =>
+        s"vec[${d + 1}] * (${if (s > 0) "1.0" else "-1.0"})" }.mkString(" + ")
+    val sigExpr = planes.zipWithIndex.map { case (pl, p) =>
+      s"(CASE WHEN ${dot(pl)} >= 0 THEN ${1L << p} ELSE 0 END)" }.mkString(" + ")
+    s"""WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm,
+               CAST($sigExpr AS BIGINT) AS bucket FROM p),
+       pr AS (SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 6) AS cosine
+              FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       SELECT bucket, id_a, id_b, cosine FROM pr WHERE cosine >= 0.3
+       ORDER BY id_a, id_b"""
+  }
 
   /** Mirrors Ann.lshTopK(numPlanes=6, dim=64, multiProbe=1, k=10): the ±1
     * hyperplane signs come from the same md5-parity construction (embedded
@@ -1482,6 +1511,7 @@ object SparkEntry {
          WHERE p.event_type = 'purchase' AND v.event_type = 'view'
          GROUP BY purchase_id ORDER BY purchase_id""",
     "q69_corpus_curation" -> curationSql,
-    "q70_minhash_components" -> minhashComponentsSql
+    "q70_minhash_components" -> minhashComponentsSql,
+    "q71_embedding_lsh_dedup" -> embLshSql
   )
 }

@@ -291,10 +291,39 @@ object Dedup {
       .distinct()
   }
 
+  /** Embedding near-dup pairs WITHOUT a blocking column: the corpus is
+    * bucketed by a deterministic random-hyperplane sign signature (the same
+    * construction [[graft.similarity.Ann.lshTopK]] probes), and cosine is
+    * computed only within a bucket — the pair space shrinks by ~2^numPlanes
+    * versus all-pairs while near-identical vectors (the dedup targets)
+    * almost always agree on every sign bit. Recall is < 1 by construction
+    * (a near-dup pair straddling one hyperplane is missed — raise
+    * `minSim`-adjacent recall by lowering numPlanes, or run
+    * [[embeddingCosinePairs]] within a curated blocking column instead). */
+  def embeddingLshPairs(df: DataFrame, idCol: String, vecCol: String,
+                        numPlanes: Int, dim: Int, minSim: Double): DataFrame = {
+    import graft.similarity.Ann
+    val planes = Ann.hyperplanes(numPlanes, dim)
+    val v = df.select(col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("vec"))
+      .withColumn("norm",
+        sqrt(aggregate(col("vec"), lit(0.0d), (acc, x) => acc + x * x)))
+      .withColumn("bucket", Ann.signature(col("vec"), planes))
+    val a = v.select(col("bucket"), col("id").as("id_a"),
+      col("vec").as("vec_a"), col("norm").as("norm_a"))
+    val b = v.select(col("bucket"), col("id").as("id_b"),
+      col("vec").as("vec_b"), col("norm").as("norm_b"))
+    a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(
+        Ann.cosine(col("vec_a"), col("norm_a"), col("vec_b"), col("norm_b")), 6))
+      .where(col("cosine") >= minSim)
+      .select(col("bucket"), col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Embedding near-dup pairs within a blocking key (e.g. a cluster/label
     * column): cosine similarity over float vectors, computed in double
     * precision. Blocking keeps the pair space linear-ish; for unblocked
-    * corpora use [[graft.similarity.Ann]] LSH buckets as the blocker. */
+    * corpora use [[embeddingLshPairs]], which blocks by LSH sign buckets. */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                            blockCol: String, minSim: Double): DataFrame = {
     val v = df.select(col(blockCol).as("block"), col(idCol).as("id"),

@@ -166,6 +166,23 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Seq((0L, 1L, 1.0)))
   }
 
+  test("embeddingLshPairs finds identical vectors without a blocking column") {
+    // Identical vectors share every sign bit → same bucket → cosine 1.
+    // Orthogonal vectors may or may not share a bucket; if they do, the
+    // minSim filter drops them (cosine 0).
+    val dim = 64
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(d => (((seed * 31 + d * 7) % 13) - 6).toFloat / 6f)
+    val vecs = Seq(
+      (0L, vec(1)), (1L, vec(1)),      // identical pair
+      (2L, vec(2)), (3L, vec(3))       // unrelated
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingLshPairs(vecs, "vec_id", "embedding",
+        numPlanes = 6, dim = dim, minSim = 0.99)
+      .select("id_a", "id_b", "cosine").as[(Long, Long, Double)].collect().toSet
+    assert(pairs == Set((0L, 1L, 1.0)))
+  }
+
   test("contaminationOverlap counts distinct shared shingles per train doc") {
     // test doc 10 shares its full 8-shingle set with train doc 0 (exact
     // copy) and nothing with train doc 2.
