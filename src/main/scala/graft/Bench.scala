@@ -78,14 +78,20 @@ object Bench {
     // BENCH_r03.json: tail len 2000, line len 2055). Millisecond precision
     // is plenty for per-query seconds; drop to 2 dp if the line still
     // wouldn't fit.
-    def render(dp: Int): String = {
+    def render(dp: Int, withGcTop: Boolean): String = {
       val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + num(v, dp) }
         .mkString("{", ",", "}")
+      val top = if (withGcTop) s""","gc_top":$gcTop""" else ""
       s"""{"metric":"total","value":${num(total, dp)},"unit":"sec"""" +
         s""","queries":$qs,"gc_sec":${num(gcTotal, 1)},"jobs":$jobsTotal""" +
-        s""","gc_top":$gcTop,"sf":"$sfDir"}"""
+        s"""$top,"sf":"$sfDir"}"""
     }
-    val json = { val j3 = render(3); if (j3.length <= 1900) j3 else render(2) }
+    // Successively cheaper renderings until one fits the cap: 3 dp → 2 dp →
+    // 2 dp without the gc_top map → 1 dp without it (the detail file always
+    // carries everything).
+    val json = Seq(render(3, true), render(2, true), render(2, false),
+        render(1, false))
+      .find(_.length <= 1900).getOrElse(render(1, false))
     // The JSON goes BOTH to stdout (last line, machine-clean — sbt is
     // configured with StdoutOutput so no [info] prefix) and to a known
     // file, so a parser that sees interleaved launcher noise still has an

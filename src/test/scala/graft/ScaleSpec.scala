@@ -152,6 +152,33 @@ class ScaleSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
   }
 
+  test("q65 component resolution stays within a bounded job count") {
+    // The structural fact behind q65's scale behavior: star-edge candidates
+    // + O(log n) contraction keep the whole pipeline in a handful of
+    // sequential jobs (the old shape ran ~30 at sf0.1 — 2 blocking actions
+    // per min-label round — which amplified any scheduler degradation ~30×).
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = SparkEntry.queries("q65_dedup_components")(
+        spark, SparkTestSession.sf).count()
+      assert(n > 0)
+      var last = -1; var same = 0
+      while (same < 3 && last < 1000) {
+        Thread.sleep(100)
+        if (jobs.get == last) same += 1 else { same = 0; last = jobs.get }
+      }
+      assert(jobs.get <= 14,
+        s"q65 should run in ≤14 Spark jobs, saw ${jobs.get}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("clusterAssign: every vector gets exactly one cell in [0, nlist)") {
     val emb = Tables.load(spark, SparkTestSession.sf, "embeddings")
     val a = similarity.Ann.clusterAssign(emb, "vec_id", "embedding", 8)
