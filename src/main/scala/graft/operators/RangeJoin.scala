@@ -31,6 +31,9 @@ object RangeJoin {
              lowerSec: Long, upperSec: Long,
              inclusiveUpper: Boolean = false): DataFrame = {
     require(upperSec > lowerSec, "range window must be non-empty")
+    require(!left.columns.exists(_.startsWith("__r_")) &&
+        !right.columns.exists(_.startsWith("__r_")),
+      "column names starting with __r_ are reserved by the range join")
     val w = upperSec - lowerSec
     // Bucket arithmetic is internal to the join (the exact predicate decides
     // membership), so double division is fine: epoch/w magnitudes are far
@@ -40,16 +43,25 @@ object RangeJoin {
     val lo = col(lTimeCol).cast("long") + lowerSec
     val l = left.withColumn("__bucket",
       explode(array(bucket(lo), bucket(lo) + 1)))
-    val r = right.withColumn("__bucket", bucket(col(rTimeCol).cast("long")))
+    // The right side is renamed wholesale before the join: when both inputs
+    // derive from one source (self-join — q64/q68 split the same events
+    // scan), dataset-qualified references resolve only through the
+    // analyzer's self-join disambiguation; explicit unique names make the
+    // condition unambiguous by construction.
+    def rn(c: String) = s"__r_$c"
+    val r = right.select(right.columns.map(c => col(c).as(rn(c))): _*)
+      .withColumn(rn("__bucket"), bucket(col(rn(rTimeCol)).cast("long")))
     val upperBound =
       if (inclusiveUpper)
-        r(rTimeCol) <= l(lTimeCol) + expr(s"INTERVAL $upperSec SECONDS")
+        col(rn(rTimeCol)) <= l(lTimeCol) + expr(s"INTERVAL $upperSec SECONDS")
       else
-        r(rTimeCol) < l(lTimeCol) + expr(s"INTERVAL $upperSec SECONDS")
-    val cond = (keyCols :+ "__bucket").map(k => l(k) === r(k)).reduce(_ && _) &&
-      r(rTimeCol) >= l(lTimeCol) + expr(s"INTERVAL $lowerSec SECONDS") &&
+        col(rn(rTimeCol)) < l(lTimeCol) + expr(s"INTERVAL $upperSec SECONDS")
+    val cond = keyCols.map(k => l(k) === col(rn(k))).reduce(_ && _) &&
+      l("__bucket") === col(rn("__bucket")) &&
+      col(rn(rTimeCol)) >= l(lTimeCol) + expr(s"INTERVAL $lowerSec SECONDS") &&
       upperBound
-    val rightKeep = right.columns.filterNot(keyCols.contains).map(r(_))
+    val rightKeep = right.columns.filterNot(keyCols.contains)
+      .map(c => col(rn(c)).as(c))
     l.join(r, cond).select(left.columns.map(l(_)) ++ rightKeep: _*)
   }
 }
