@@ -72,7 +72,14 @@ object Dedup {
     element_at(
       transform(array(TextOps.tokens(text)), tk => shinglesFromTokens(tk, n)), 1)
 
-  /** Exploded (id, shingle) pairs with per-doc distinct-shingle counts. */
+  /** Exploded (id, RAW shingle) pairs with per-doc distinct-shingle counts.
+    *
+    * Two posting currencies coexist deliberately: this raw-string form
+    * feeds MinHash, whose md5-derived slot hashes must be reproducible by
+    * the external oracle engine bit-for-bit (bucket membership IS the
+    * result); [[shinglePostings]] carries xxhash64 ids for count-only
+    * pipelines (contamination/curation), where the oracle compares counts
+    * and the engine can use the cheapest hash. */
   private def explodedShingles(df: DataFrame, idCol: String, textCol: String,
                                n: Int): DataFrame =
     df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh_arr"))

@@ -54,6 +54,23 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("matches union-find on a larger mixed-shape graph") {
+    // One fixture mixing the hard shapes: a long path (deep diameter), a
+    // star (high degree), dense cliquish clusters, isolated nodes, and
+    // cross-links — against the driver-side union-find oracle.
+    val n = 400
+    val nodes = (0L until n.toLong).toSeq
+    val path = (0L until 120L).map(i => (i, i + 1))
+    val star = (200L until 260L).map(i => (150L, i))
+    val dense = for (i <- 300 until 330; j <- i + 1 to (i + 3).min(329))
+      yield (i.toLong, j.toLong)
+    val cross = (0 until 40).map { i =>
+      val a = (i * 97L + 13L) % n; val b = (i * 31L + 7L) % n; (a, b)
+    }.filter { case (a, b) => a != b }
+    val edges = path ++ star ++ dense ++ cross
+    assert(comps(nodes, edges) == unionFind(nodes, edges))
+  }
+
   test("long chain converges in O(log n) rounds — bounded Spark job count") {
     // A 64-node path has diameter 63: per-diameter min-label propagation
     // would need 63 rounds (≥126 jobs); star contraction needs ~log₂ 64.
