@@ -605,14 +605,19 @@ object SparkEntry {
     // quadratic all-pairs bucket self-join (246k candidate pairs for 8.9k
     // useful edges at sf0.1 under the old shape). comp = smallest doc_id in
     // the cluster = the canonical keeper.
+    // comp_size via map-side-combined groupBy + join, NOT a window over
+    // comp: a window partition is unsplittable, so one giant duplicate
+    // cluster (the common dedup case) would pin a single task; the sizes
+    // frame is one row per component — broadcast-small here, AQE-skew-
+    // splittable in the worst case.
     "q65_dedup_components" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = t(s, d, "documents")
       val edges = Dedup.simhashStarEdges(docs, "doc_id", "text", bands = 4)
-      Graph.connectedComponents(docs.select(col("doc_id")), "doc_id",
-          edges, "id_a", "id_b")
-        .select(col("id").as("doc_id"), col("comp"),
-          count(lit(1)).over(Window.partitionBy(col("comp"))).as("comp_size"))
+      val labeled = Graph.connectedComponents(docs.select(col("doc_id")),
+        "doc_id", edges, "id_a", "id_b")
+      val sizes = labeled.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
+      labeled.join(sizes, Seq("comp"))
+        .select(col("id").as("doc_id"), col("comp"), col("comp_size"))
         .orderBy(col("doc_id"))
     }),
 
@@ -701,14 +706,14 @@ object SparkEntry {
     // candidate graph — linear star edges per signature-band bucket feed
     // the large-star/small-star component resolver.
     "q70_minhash_components" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = t(s, d, "documents")
       val edges = Dedup.minhashStarEdges(docs, "doc_id", "text",
         n = 3, numHashes = 8, bands = 4)
-      Graph.connectedComponents(docs.select(col("doc_id")), "doc_id",
-          edges, "id_a", "id_b")
-        .select(col("id").as("doc_id"), col("comp"),
-          count(lit(1)).over(Window.partitionBy(col("comp"))).as("comp_size"))
+      val labeled = Graph.connectedComponents(docs.select(col("doc_id")),
+        "doc_id", edges, "id_a", "id_b")
+      val sizes = labeled.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
+      labeled.join(sizes, Seq("comp")) // see q65: sizes join, not a window
+        .select(col("id").as("doc_id"), col("comp"), col("comp_size"))
         .orderBy(col("doc_id"))
     }),
 

@@ -174,8 +174,11 @@ class ScaleSpec extends AnyFunSuite {
         Thread.sleep(100)
         if (jobs.get == last) same += 1 else { same = 0; last = jobs.get }
       }
-      assert(jobs.get <= 14,
-        s"q65 should run in ≤14 Spark jobs, saw ${jobs.get}")
+      // Budget: init + O(log n) contraction rounds + label derivation +
+      // the comp-size broadcast join's AQE stages. The old min-label shape
+      // ran ~30 jobs at sf0.1 before any of its AQE stages.
+      assert(jobs.get <= 16,
+        s"q65 should run in ≤16 Spark jobs, saw ${jobs.get}")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
