@@ -1,7 +1,6 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
 import graft.plans.Expressions
@@ -19,15 +18,15 @@ object Dedup {
 
   /** Exact dedup: keep the lowest-id row per exact key.
     *
-    * The window partitions by two independent 32/64-bit hashes of the key
-    * tuple (96 bits total) plus two cheap deterministic disambiguators —
-    * the total key length and a 16-char key prefix — NOT by the raw key
-    * columns: partitioning by a multi-KB `text` column makes the shuffle
-    * sort/compare cost scale with document size. For two distinct keys to
-    * be merged they must collide on both hashes AND have equal lengths AND
-    * share a 16-char prefix; the residual probability is far below the
-    * 96-bit-only bound (~1e-4 at 2^48 keys), and corpora near that size use
-    * [[fingerprintDedup]] (128-bit) or MinHash anyway. */
+    * The grouping key is two independent 32/64-bit hashes of the key tuple
+    * (96 bits total) plus two cheap deterministic disambiguators — the
+    * total key length and a 16-char key prefix — NOT the raw key columns:
+    * shuffling a multi-KB `text` column makes sort/compare cost scale with
+    * document size. For two distinct keys to be merged they must collide on
+    * both hashes AND have equal lengths AND share a 16-char prefix; the
+    * residual probability is far below the 96-bit-only bound (~1e-4 at 2^48
+    * keys), and corpora near that size use [[fingerprintDedup]] (128-bit)
+    * or MinHash anyway. */
   def exactDedup(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
     val ks = keyCols.map(col)
     val totalLen = ks.map(k => coalesce(length(k.cast("string")), lit(-1)))
@@ -36,9 +35,18 @@ object Dedup {
     // concatenation would materialize a doc-sized copy per row first.
     def prefix(cs: Seq[Column]): Column =
       concat_ws("", cs.map(k => substring(k.cast("string"), 1, 16)): _*)
-    val w = Window.partitionBy(xxhash64(ks: _*), hash(ks: _*), totalLen,
-        prefix(ks)).orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1).drop("__rn")
+    // Keeper ids via map-side-combined min, NOT a row_number window over
+    // the content key: a window partition is one unsplittable task, so a
+    // giant identical-content cluster (the common dedup degeneracy) would
+    // pin the stage; the partial aggregate reduces each partition to one
+    // row per key before any shuffle, and the semi join back on the unique
+    // id is skew-free by construction.
+    val keepers = df.select(xxhash64(ks: _*).as("__h1"), hash(ks: _*).as("__h2"),
+        totalLen.as("__len"), prefix(ks).as("__pfx"), col(idCol).as("__id"))
+      .groupBy(col("__h1"), col("__h2"), col("__len"), col("__pfx"))
+      .agg(min(col("__id")).as("__keep"))
+      .select(col("__keep"))
+    df.join(keepers, df(idCol) === keepers("__keep"), "semi")
   }
 
   /** Fingerprint dedup groups: normalize → md5 → group; returns one row per
@@ -222,8 +230,9 @@ object Dedup {
   def minhashStarEdges(df: DataFrame, idCol: String, textCol: String, n: Int,
                        numHashes: Int, bands: Int): DataFrame = {
     val banded = minhashBanded(df, idCol, textCol, n, numHashes, bands)
-    val w = Window.partitionBy(col("band_idx"), col("band_val"))
-    banded.withColumn("m", min(col("id")).over(w))
+    val mins = banded.groupBy(col("band_idx"), col("band_val"))
+      .agg(min(col("id")).as("m")) // see simhashStarEdges: join, not window
+    banded.join(mins, Seq("band_idx", "band_val"))
       .where(col("m") =!= col("id"))
       .select(col("m").as("id_a"), col("id").as("id_b"))
       .distinct()
@@ -286,13 +295,18 @@ object Dedup {
     * (identical-doc clusters are exactly the common case in dedup). The
     * connected components of these star edges equal those of the full
     * candidate graph "shares ≥1 simhash band", because every bucket's member
-    * set stays connected through its min. One whole-partition window min —
-    * a single shuffle, no self-join. */
+    * set stays connected through its min.
+    *
+    * The bucket minimum comes from a map-side-combined groupBy joined back
+    * to the postings, not a whole-partition window min: a giant bucket
+    * (identical docs agree on every band) would otherwise stream through
+    * one unsplittable window task, while the join's probe side splits
+    * under AQE like any hash join. */
   def simhashStarEdges(df: DataFrame, idCol: String, textCol: String,
                        bands: Int = 4): DataFrame = {
     val banded = simhashBanded(df, idCol, textCol, bands)
-    val w = Window.partitionBy(col("bi"), col("bv"))
-    banded.withColumn("m", min(col("id")).over(w))
+    val mins = banded.groupBy(col("bi"), col("bv")).agg(min(col("id")).as("m"))
+    banded.join(mins, Seq("bi", "bv"))
       .where(col("m") =!= col("id"))
       .select(col("m").as("id_a"), col("id").as("id_b"))
       .distinct()
