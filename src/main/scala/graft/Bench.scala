@@ -52,26 +52,28 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
-    // name -> (seconds, gc seconds, spark jobs)
+    // name -> (seconds, gc seconds, spark jobs, completed without throwing)
     val results = ordered.map { case (name, fn) =>
       spark.sparkContext.setJobGroup(name, name)
       val g0 = gcMillis
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true }
+      catch { case _: Throwable => false }
       val sec = (System.nanoTime() - t0) / 1e9
       val gcSec = (gcMillis - g0) / 1e3
       spark.sparkContext.clearJobGroup()
       val jobs = try spark.sparkContext.statusTracker.getJobIdsForGroup(name).length
       catch { case _: Throwable => -1 }
-      (name, sec, gcSec, jobs)
+      (name, sec, gcSec, jobs, ok)
     }
     val total = results.map(_._2).sum
     val gcTotal = results.map(_._3).sum
     val jobsTotal = results.map(_._4.max(0)).sum
+    val failed = results.filterNot(_._5).map(_._1)
     def num(v: Double, dp: Int): String =
       s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
     val gcTop = results.sortBy(-_._3).take(5).filter(_._3 >= 0.005)
-      .map { case (k, _, g, _) => "\"" + k + "\":" + num(g, 2) }
+      .map { case (k, _, g, _, _) => "\"" + k + "\":" + num(g, 2) }
       .mkString("{", ",", "}")
     // The driver captures only the LAST 2000 chars of stdout; a JSON line
     // longer than that loses its head and fails to parse (observed in
@@ -79,12 +81,16 @@ object Bench {
     // is plenty for per-query seconds; drop to 2 dp if the line still
     // wouldn't fit.
     def render(dp: Int, withGcTop: Boolean): String = {
-      val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + num(v, dp) }
+      val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + num(v, dp) }
         .mkString("{", ",", "}")
       val top = if (withGcTop) s""","gc_top":$gcTop""" else ""
+      // "failed" appears only when something failed — a throwing query
+      // otherwise records a fast wall-time and reads as healthy.
+      val fl = if (failed.isEmpty) ""
+        else failed.mkString(""","failed":["""", "\",\"", "\"]")
       s"""{"metric":"total","value":${num(total, dp)},"unit":"sec"""" +
         s""","queries":$qs,"gc_sec":${num(gcTotal, 1)},"jobs":$jobsTotal""" +
-        s"""$top,"sf":"$sfDir"}"""
+        s"""$top$fl,"sf":"$sfDir"}"""
     }
     // Successively cheaper renderings until one fits the cap: 3 dp → 2 dp →
     // 2 dp without the gc_top map → 1 dp without it (the detail file always
@@ -98,8 +104,8 @@ object Bench {
     // uncontaminated copy. Full per-query diagnostics (sec/gc/jobs) go to
     // a sibling detail file with no length constraint.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    val detail = results.map { case (k, v, g, j) =>
-      "\"" + k + s"""":{"sec":${num(v, 3)},"gc_sec":${num(g, 2)},"jobs":$j}"""
+    val detail = results.map { case (k, v, g, j, ok) =>
+      "\"" + k + s"""":{"sec":${num(v, 3)},"gc_sec":${num(g, 2)},"jobs":$j,"ok":$ok}"""
     }.mkString("{", ",", "}")
     try {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
