@@ -54,6 +54,30 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("adversarial contraction shapes match union-find") {
+    // Shapes that stress large-star vs small-star differently: two stars
+    // merged at the roots, two stars merged at leaves, complete bipartite,
+    // heavy parallel/duplicate edges.
+    val rootJoin = (1L to 10L).map((0L, _)) ++ (21L to 30L).map((20L, _)) :+ (0L, 20L)
+    val leafJoin = (1L to 10L).map((0L, _)) ++ (21L to 30L).map((20L, _)) :+ (10L, 30L)
+    val bipartite = for (a <- 0L to 4L; b <- 10L to 14L) yield (a, b)
+    val dup = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (2L, 3L), (3L, 1L))
+    for ((edges, name) <- Seq((rootJoin, "rootJoin"), (leafJoin, "leafJoin"),
+        (bipartite.toSeq, "bipartite"), (dup, "dup"))) {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      assert(comps(nodes, edges) == unionFind(nodes, edges), name)
+    }
+  }
+
+  test("non-contiguous 40-bit ids resolve correctly") {
+    val big = 1L << 40
+    val nodes = Seq(0L, 7L, big, big + 3, big * 2)
+    val edges = Seq((big, 7L), (big + 3, big), (0L, big * 2))
+    val m = comps(nodes, edges)
+    assert(m == Map(0L -> 0L, (big * 2) -> 0L,
+      7L -> 7L, big -> 7L, (big + 3) -> 7L))
+  }
+
   test("matches union-find on a larger mixed-shape graph") {
     // One fixture mixing the hard shapes: a long path (deep diameter), a
     // star (high degree), dense cliquish clusters, isolated nodes, and
