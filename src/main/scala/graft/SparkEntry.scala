@@ -333,10 +333,16 @@ object SparkEntry {
     // maxDocFreq caps posting-list length — shingles present in >100 docs
     // are stop-shingles: quadratic join blowup at corpus scale for near-zero
     // discriminative signal. The oracle mirrors the cap.
-    "q42_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
-          n = 3, minJaccard = 0.05, maxDocFreq = Some(100L))
-        .orderBy(col("id_a"), col("id_b"))),
+    // Postings materialized once (localCheckpoint): the sizes derivation,
+    // the document-frequency filter, and both join sides otherwise each
+    // re-run the shingle explode (~3× the dominant cost).
+    "q42_ngram_jaccard" -> ((s, d) => {
+      val postings = Dedup.shinglePostings(t(s, d, "documents"),
+        "doc_id", "text", 3).localCheckpoint()
+      Dedup.ngramJaccardFromPostings(postings,
+          minJaccard = 0.05, maxDocFreq = Some(100L))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     // Dedup: MinHash + LSH candidate pairs (8 hashes, 4 bands).
     "q43_minhash_lsh" -> ((s, d) =>

@@ -102,23 +102,30 @@ object Dedup {
     * discriminative signal anyway).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
-                        minJaccard: Double, maxDocFreq: Option[Long] = None): DataFrame = {
-    // Shuffle economy: the posting-list join carries only (id, shingle-HASH)
-    // — 16 bytes/row instead of the shingle string and per-doc counts; the
-    // per-doc sizes rejoin AFTER pair aggregation as a broadcast dim (one
-    // row per doc, not one per posting). A 64-bit hash false-collision needs
-    // ~2^32 distinct shingles to matter; corpora that big use minhash anyway.
-    val withArr = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh_arr"))
-    // Per-doc set sizes: one narrow projection over the base table (no
-    // explode, no shuffle) — broadcast back after pair aggregation.
-    val sizes = withArr.select(col("id"), size(col("sh_arr")).as("n_sh"))
-    val e = withArr.select(col("id"), explode(col("sh_arr")).as("sh"))
-      .select(col("id"), xxhash64(col("sh")).as("shh"))
+                        minJaccard: Double, maxDocFreq: Option[Long] = None): DataFrame =
+    ngramJaccardFromPostings(shinglePostings(df, idCol, textCol, n),
+      minJaccard, maxDocFreq)
+
+  /** [[ngramJaccardPairs]] over pre-computed [[shinglePostings]] — pass a
+    * materialized (localCheckpoint'ed) frame to shingle the corpus exactly
+    * once: the lazy plan otherwise re-derives the explode for the per-doc
+    * sizes, the document-frequency filter, and both join sides.
+    *
+    * Shuffle economy: the posting-list join carries only (id, shingle-HASH)
+    * — 16 bytes/row instead of the shingle string and per-doc counts; the
+    * per-doc set sizes are the per-id posting counts (postings are distinct
+    * per doc) and rejoin AFTER pair aggregation as a broadcast dim (one row
+    * per doc, not one per posting). A 64-bit hash false-collision needs
+    * ~2^32 distinct shingles to matter; corpora that big use minhash anyway. */
+  def ngramJaccardFromPostings(postings: DataFrame, minJaccard: Double,
+                               maxDocFreq: Option[Long] = None): DataFrame = {
+    val sizes = postings.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val filtered = maxDocFreq match {
       case Some(cap) =>
-        val hot = e.groupBy(col("shh")).agg(count(lit(1)).as("df")).where(col("df") > cap)
-        e.join(hot, Seq("shh"), "left_anti")
-      case None => e
+        val hot = postings.groupBy(col("shh")).agg(count(lit(1)).as("df"))
+          .where(col("df") > cap)
+        postings.join(hot, Seq("shh"), "left_anti")
+      case None => postings
     }
     val a = filtered.select(col("id").as("id_a"), col("shh"))
     val b = filtered.select(col("id").as("id_b"), col("shh"))
