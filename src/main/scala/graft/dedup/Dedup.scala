@@ -235,21 +235,42 @@ object Dedup {
     * "agrees on ≥1 band" candidate graph (every bucket stays connected
     * through its min). Same construction as [[simhashStarEdges]]. */
   def minhashStarEdges(df: DataFrame, idCol: String, textCol: String, n: Int,
-                       numHashes: Int, bands: Int): DataFrame = {
-    val banded = minhashBanded(df, idCol, textCol, n, numHashes, bands)
-    val mins = banded.groupBy(col("band_idx"), col("band_val"))
-      .agg(min(col("id")).as("m")) // see simhashStarEdges: join, not window
-    banded.join(mins, Seq("band_idx", "band_val"))
-      .where(col("m") =!= col("id"))
-      .select(col("m").as("id_a"), col("id").as("id_b"))
-      .distinct()
-  }
+                       numHashes: Int, bands: Int): DataFrame =
+    starEdgesFromBuckets(
+      minhashBanded(df, idCol, textCol, n, numHashes, bands),
+      Seq("band_idx", "band_val"))
+
+  /** The (id, band_idx, band_val) postings behind [[minhashStarEdges]],
+    * exposed so composed pipelines can materialize them once (the MinHash
+    * signature — two md5s per shingle — dominates the cost). */
+  def minhashBandPostings(df: DataFrame, idCol: String, textCol: String,
+                          n: Int, numHashes: Int, bands: Int): DataFrame =
+    minhashBanded(df, idCol, textCol, n, numHashes, bands)
 
   /** SimHash per doc (custom Catalyst expression — single projection pass,
     * no shuffle) plus the band columns used for Hamming-bucket joins. */
   def withSimhash(df: DataFrame, textCol: String, out: String = "simhash"): DataFrame = {
     Expressions.register(df.sparkSession)
     df.withColumn(out, Expressions.simhash64(TextOps.tokens(col(textCol))))
+  }
+
+  /** Star edges (bucket-min id → member id) over arbitrary bucket postings
+    * with an `id` column — the linear group-resolution core shared by the
+    * simhash and MinHash paths. Pass a MATERIALIZED (localCheckpoint'ed)
+    * postings frame when the banding is expensive: the frame is referenced
+    * twice (min aggregate + join probe) and a lazy plan would re-derive it.
+    *
+    * The bucket minimum comes from a map-side-combined groupBy joined back
+    * to the postings, not a whole-partition window min: a giant bucket
+    * (identical docs agree on every band) would otherwise stream through
+    * one unsplittable window task, while the join's probe side splits
+    * under AQE like any hash join. */
+  def starEdgesFromBuckets(postings: DataFrame, bucketCols: Seq[String]): DataFrame = {
+    val mins = postings.groupBy(bucketCols.map(col): _*).agg(min(col("id")).as("m"))
+    postings.join(mins, bucketCols)
+      .where(col("m") =!= col("id"))
+      .select(col("m").as("id_a"), col("id").as("id_b"))
+      .distinct()
   }
 
   /** Exploded (id, simhash, band index, band value) postings — the shared
@@ -302,22 +323,19 @@ object Dedup {
     * (identical-doc clusters are exactly the common case in dedup). The
     * connected components of these star edges equal those of the full
     * candidate graph "shares ≥1 simhash band", because every bucket's member
-    * set stays connected through its min.
-    *
-    * The bucket minimum comes from a map-side-combined groupBy joined back
-    * to the postings, not a whole-partition window min: a giant bucket
-    * (identical docs agree on every band) would otherwise stream through
-    * one unsplittable window task, while the join's probe side splits
-    * under AQE like any hash join. */
+    * set stays connected through its min. See [[starEdgesFromBuckets]] for
+    * the skew rationale; [[simhashBandPostings]] + a localCheckpoint lets a
+    * caller compute the banding exactly once. */
   def simhashStarEdges(df: DataFrame, idCol: String, textCol: String,
-                       bands: Int = 4): DataFrame = {
-    val banded = simhashBanded(df, idCol, textCol, bands)
-    val mins = banded.groupBy(col("bi"), col("bv")).agg(min(col("id")).as("m"))
-    banded.join(mins, Seq("bi", "bv"))
-      .where(col("m") =!= col("id"))
-      .select(col("m").as("id_a"), col("id").as("id_b"))
-      .distinct()
-  }
+                       bands: Int = 4): DataFrame =
+    starEdgesFromBuckets(simhashBandPostings(df, idCol, textCol, bands),
+      Seq("bi", "bv"))
+
+  /** The (id, bi, bv) band postings behind [[simhashStarEdges]], exposed so
+    * composed pipelines can materialize them once. */
+  def simhashBandPostings(df: DataFrame, idCol: String, textCol: String,
+                          bands: Int = 4): DataFrame =
+    simhashBanded(df, idCol, textCol, bands).select(col("id"), col("bi"), col("bv"))
 
   /** Embedding near-dup pairs WITHOUT a blocking column: the corpus is
     * bucketed by a deterministic random-hyperplane sign signature (the same

@@ -174,11 +174,12 @@ class ScaleSpec extends AnyFunSuite {
         Thread.sleep(100)
         if (jobs.get == last) same += 1 else { same = 0; last = jobs.get }
       }
-      // Budget: init + O(log n) contraction rounds + label derivation +
-      // the comp-size broadcast join's AQE stages. The old min-label shape
-      // ran ~30 jobs at sf0.1 before any of its AQE stages.
-      assert(jobs.get <= 16,
-        s"q65 should run in ≤16 Spark jobs, saw ${jobs.get}")
+      // Budget: the band-postings checkpoint + contraction init + O(log n)
+      // rounds + label derivation + the comp-size broadcast join's AQE
+      // stages. The old min-label shape ran ~30 jobs at sf0.1 before any
+      // of its AQE stages.
+      assert(jobs.get <= 18,
+        s"q65 should run in ≤18 Spark jobs, saw ${jobs.get}")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
