@@ -95,6 +95,20 @@ class GraphSpec extends AnyFunSuite {
     assert(comps(nodes, edges) == unionFind(nodes, edges))
   }
 
+  test("2000-node random graph matches union-find") {
+    // Sparse-ish random graph (below the giant-component threshold, so many
+    // mid-sized components of varying shape survive) — the closest the spec
+    // gets to production structure.
+    val n = 2000
+    val nodes = (0L until n.toLong).toSeq
+    val edges = (0 until 2200).map { i =>
+      val a = (i * 1103515245L + 12345L) % n
+      val b = (i * 69069L + 1L) % n
+      (a, b)
+    }.filter { case (a, b) => a != b }
+    assert(comps(nodes, edges) == unionFind(nodes, edges))
+  }
+
   test("long chain converges in O(log n) rounds — bounded Spark job count") {
     // A 64-node path has diameter 63: per-diameter min-label propagation
     // would need 63 rounds (≥126 jobs); star contraction needs ~log₂ 64.
