@@ -85,9 +85,13 @@ object Bench {
         .mkString("{", ",", "}")
       val top = if (withGcTop) s""","gc_top":$gcTop""" else ""
       // "failed" appears only when something failed — a throwing query
-      // otherwise records a fast wall-time and reads as healthy.
+      // otherwise records a fast wall-time and reads as healthy. Only the
+      // first 5 names are listed (a catastrophic all-fail run would blow
+      // the line cap); failed_n carries the true count and the detail file
+      // flags every query.
       val fl = if (failed.isEmpty) ""
-        else failed.mkString(""","failed":["""", "\",\"", "\"]")
+        else s""","failed_n":${failed.length},"failed":""" +
+          failed.take(5).mkString("[\"", "\",\"", "\"]")
       s"""{"metric":"total","value":${num(total, dp)},"unit":"sec"""" +
         s""","queries":$qs,"gc_sec":${num(gcTotal, 1)},"jobs":$jobsTotal""" +
         s"""$top$fl,"sf":"$sfDir"}"""
