@@ -109,7 +109,10 @@ object Graph {
     // anyway. Restored in `finally`; the RETURNED label plan is lazy and
     // evaluates under the caller's settings.
     val aqeKey = "spark.sql.adaptive.enabled"
+    val partKey = "spark.sql.shuffle.partitions"
     val aqePrev = spark.conf.getOption(aqeKey)
+    val partPrev = spark.conf.getOption(partKey)
+    val baseParts = spark.conf.get(partKey, "200").toInt
     spark.conf.set(aqeKey, "false")
     var (cur, curRdd, curStats) = (null: DataFrame, null: org.apache.spark.rdd.RDD[Row], (0L, 0L))
     var converged = false
@@ -119,15 +122,28 @@ object Graph {
       cur = m0._1; curRdd = m0._2; curStats = m0._3
       converged = curStats._1 == 0L // no edges: already a (trivial) fixpoint
       while (!converged && it < maxIters) {
+        // Manual adaptive coalescing (AQE is off here): size the round's
+        // shuffles from the PREVIOUS round's exact edge count — contraction
+        // shrinks the set every round, and a tiny round on the caller's
+        // full partition count is pure task overhead. Never exceeds the
+        // caller's setting, so cluster-scale inputs keep full parallelism.
+        val parts = math.max(1L, math.min(baseParts.toLong, curStats._1 / 100000L + 1L))
+        spark.conf.set(partKey, parts.toString)
         val (next, nextRdd, nextStats) = materialize(spark, smallStar(largeStar(cur)))
         converged = nextStats == curStats
         curRdd.unpersist(blocking = false)
         cur = next; curRdd = nextRdd; curStats = nextStats
         it += 1
       }
-    } finally aqePrev match {
-      case Some(v) => spark.conf.set(aqeKey, v)
-      case None => spark.conf.unset(aqeKey)
+    } finally {
+      aqePrev match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None => spark.conf.unset(aqeKey)
+      }
+      partPrev match {
+        case Some(v) => spark.conf.set(partKey, v)
+        case None => spark.conf.unset(partKey)
+      }
     }
     if (!converged)
       throw new IllegalStateException(
