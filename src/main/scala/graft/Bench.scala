@@ -62,6 +62,9 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       val gcSec = (gcMillis - g0) / 1e3
       spark.sparkContext.clearJobGroup()
+      // Best-effort: the status store ingests job events asynchronously, so
+      // a backlogged listener bus can make this undercount — treat it as a
+      // floor, not an exact figure.
       val jobs = try spark.sparkContext.statusTracker.getJobIdsForGroup(name).length
       catch { case _: Throwable => -1 }
       (name, sec, gcSec, jobs, ok)

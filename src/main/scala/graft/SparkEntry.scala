@@ -956,8 +956,9 @@ object SparkEntry {
     val sigExpr = planes.zipWithIndex.map { case (pl, p) =>
       s"(CASE WHEN ${dot(pl)} >= 0 THEN ${1L << p} ELSE 0 END)" }.mkString(" + ")
     s"""WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-       n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm,
-               CAST($sigExpr AS BIGINT) AS bucket FROM p),
+       n AS (SELECT vec_id, vec, norm, CAST($sigExpr AS BIGINT) AS bucket FROM
+               (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm
+                FROM p) WHERE norm > 0),
        pr AS (SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
                 round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 6) AS cosine
               FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
@@ -1345,8 +1346,10 @@ object SparkEntry {
     "q45_embedding_dedup" ->
       """WITH v AS (SELECT label AS block, vec_id AS id,
                       CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-         n AS (SELECT block, id, vec,
-                 sqrt(list_dot_product(vec, vec)) AS norm FROM v),
+         n AS (SELECT block, id, vec, norm FROM
+                 (SELECT block, id, vec,
+                    sqrt(list_dot_product(vec, vec)) AS norm FROM v)
+               WHERE norm > 0),
          p AS (SELECT a.block AS block, a.id AS id_a, b.id AS id_b,
                  round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 6) AS cosine
                FROM n a JOIN n b ON a.block = b.block AND a.id < b.id)

@@ -39,14 +39,21 @@ object Dedup {
     // the content key: a window partition is one unsplittable task, so a
     // giant identical-content cluster (the common dedup degeneracy) would
     // pin the stage; the partial aggregate reduces each partition to one
-    // row per key before any shuffle, and the semi join back on the unique
-    // id is skew-free by construction.
+    // row per key before any shuffle. The semi join back matches on the
+    // FULL content key plus the keeper id, so a row only survives as the
+    // keeper of its OWN group — an id reused across different contents
+    // cannot smuggle extra rows through. `idCol` must be non-null (it is a
+    // row identifier); rows whose id ties the group minimum all survive,
+    // as any deterministic tiebreak over duplicate ids would be arbitrary.
     val keepers = df.select(xxhash64(ks: _*).as("__h1"), hash(ks: _*).as("__h2"),
         totalLen.as("__len"), prefix(ks).as("__pfx"), col(idCol).as("__id"))
       .groupBy(col("__h1"), col("__h2"), col("__len"), col("__pfx"))
       .agg(min(col("__id")).as("__keep"))
-      .select(col("__keep"))
-    df.join(keepers, df(idCol) === keepers("__keep"), "semi")
+    df.join(keepers,
+        xxhash64(ks: _*) === keepers("__h1") && hash(ks: _*) === keepers("__h2") &&
+        totalLen === keepers("__len") && prefix(ks) === keepers("__pfx") &&
+        df(idCol) === keepers("__keep"),
+      "semi")
   }
 
   /** Fingerprint dedup groups: normalize → md5 → group; returns one row per
@@ -350,10 +357,14 @@ object Dedup {
                         numPlanes: Int, dim: Int, minSim: Double): DataFrame = {
     import graft.similarity.Ann
     val planes = Ann.hyperplanes(numPlanes, dim)
+    // Zero-norm vectors have no direction: their cosine is 0/0 = NaN, and
+    // Spark orders NaN ABOVE every real number, so `cosine >= minSim` would
+    // admit the pair. Excluded on both sides (mirrored in the oracle).
     val v = df.select(col(idCol).as("id"),
         transform(col(vecCol), x => x.cast("double")).as("vec"))
       .withColumn("norm",
         sqrt(aggregate(col("vec"), lit(0.0d), (acc, x) => acc + x * x)))
+      .where(col("norm") > 0)
       .withColumn("bucket", Ann.signature(col("vec"), planes))
     val a = v.select(col("bucket"), col("id").as("id_a"),
       col("vec").as("vec_a"), col("norm").as("norm_a"))
@@ -374,8 +385,10 @@ object Dedup {
                            blockCol: String, minSim: Double): DataFrame = {
     val v = df.select(col(blockCol).as("block"), col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("vec"))
+    // norm > 0: see embeddingLshPairs — NaN cosine would pass >= minSim.
     val withNorm = v.withColumn("norm",
-      sqrt(aggregate(col("vec"), lit(0.0d), (acc, x) => acc + x * x)))
+        sqrt(aggregate(col("vec"), lit(0.0d), (acc, x) => acc + x * x)))
+      .where(col("norm") > 0)
     val a = withNorm.select(col("block"), col("id").as("id_a"),
       col("vec").as("vec_a"), col("norm").as("norm_a"))
     val b = withNorm.select(col("block"), col("id").as("id_b"),

@@ -40,6 +40,12 @@ import org.apache.spark.storage.StorageLevel
   * fixpoint the call throws instead of silently returning labels that are
   * not connected components. (log₂-style contraction makes the default
   * bound generous: 30 rounds cover any graph a 64-bit id space can hold.)
+  *
+  * CONCURRENCY: the loop temporarily rewrites two session-level SQL confs
+  * (AQE off, right-sized shuffle partitions) and restores them on exit —
+  * do not run it concurrently with other query planning on the SAME
+  * SparkSession (e.g. an active streaming query); use a separate session
+  * (`spark.newSession()`) for concurrent workloads.
   */
 object Graph {
 
@@ -122,6 +128,8 @@ object Graph {
       cur = m0._1; curRdd = m0._2; curStats = m0._3
       converged = curStats._1 == 0L // no edges: already a (trivial) fixpoint
       while (!converged && it < maxIters) {
+        // On any failure below, release this round's cache before the
+        // conf-restoring finally — nothing downstream can use it.
         // Manual adaptive coalescing (AQE is off here): size the round's
         // shuffles from the PREVIOUS round's exact edge count — contraction
         // shrinks the set every round, and a tiny round on the caller's
@@ -135,6 +143,10 @@ object Graph {
         cur = next; curRdd = nextRdd; curStats = nextStats
         it += 1
       }
+    } catch {
+      case e: Throwable =>
+        if (curRdd != null) curRdd.unpersist(blocking = false)
+        throw e
     } finally {
       aqePrev match {
         case Some(v) => spark.conf.set(aqeKey, v)

@@ -30,7 +30,9 @@ object RangeJoin {
              lTimeCol: String, rTimeCol: String,
              lowerSec: Long, upperSec: Long,
              inclusiveUpper: Boolean = false): DataFrame = {
-    require(upperSec > lowerSec, "range window must be non-empty")
+    require(upperSec > lowerSec,
+      "range window must have positive width (for an exact-timestamp match, " +
+        "use a plain equi-join on the timestamp instead of a point interval)")
     require(!left.columns.exists(_.startsWith("__r_")) &&
         !right.columns.exists(_.startsWith("__r_")),
       "column names starting with __r_ are reserved by the range join")

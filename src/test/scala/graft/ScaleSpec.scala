@@ -157,30 +157,15 @@ class ScaleSpec extends AnyFunSuite {
     // + O(log n) contraction keep the whole pipeline in a handful of
     // sequential jobs (the old shape ran ~30 at sf0.1 — 2 blocking actions
     // per min-label round — which amplified any scheduler degradation ~30×).
-    val jobs = new java.util.concurrent.atomic.AtomicInteger
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
-      }
-    }
-    spark.sparkContext.addSparkListener(listener)
-    try {
+    val jobs = JobCounter.jobsDuring(spark) {
       val n = SparkEntry.queries("q65_dedup_components")(
         spark, SparkTestSession.sf).count()
       assert(n > 0)
-      var last = -1; var same = 0
-      while (same < 3 && last < 1000) {
-        Thread.sleep(100)
-        if (jobs.get == last) same += 1 else { same = 0; last = jobs.get }
-      }
-      // Budget: the band-postings checkpoint + contraction init + O(log n)
-      // rounds + label derivation + the comp-size broadcast join's AQE
-      // stages. The old min-label shape ran ~30 jobs at sf0.1 before any
-      // of its AQE stages.
-      assert(jobs.get <= 18,
-        s"q65 should run in ≤18 Spark jobs, saw ${jobs.get}")
-    } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    // Budget: the contraction init + O(log n) rounds + label derivation +
+    // the comp-size broadcast join's AQE stages. The old min-label shape
+    // ran ~30 jobs at sf0.1 before any of its AQE stages.
+    assert(jobs <= 18, s"q65 should run in ≤18 Spark jobs, saw $jobs")
   }
 
   test("clusterAssign: every vector gets exactly one cell in [0, nlist)") {

@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestSession
 
@@ -112,25 +111,14 @@ class GraphSpec extends AnyFunSuite {
   test("long chain converges in O(log n) rounds — bounded Spark job count") {
     // A 64-node path has diameter 63: per-diameter min-label propagation
     // would need 63 rounds (≥126 jobs); star contraction needs ~log₂ 64.
-    val jobs = new java.util.concurrent.atomic.AtomicInteger
-    val listener = new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
-    }
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      val nodes = (0L until 64L).toSeq
-      val edges = (0L until 63L).map(i => (i, i + 1))
+    val nodes = (0L until 64L).toSeq
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    val jobs = graft.JobCounter.jobsDuring(spark) {
       val m = comps(nodes, edges)
       assert(m.values.toSet == Set(0L))
-      // The listener bus is async: wait for the count to go quiet.
-      var last = -1; var same = 0
-      while (same < 3 && last < 1000) {
-        Thread.sleep(100)
-        if (jobs.get == last) same += 1 else { same = 0; last = jobs.get }
-      }
-      assert(jobs.get <= 16,
-        s"expected O(log n) contraction rounds, saw ${jobs.get} jobs for a 64-chain")
-    } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    assert(jobs <= 16,
+      s"expected O(log n) contraction rounds, saw $jobs jobs for a 64-chain")
   }
 
   test("iteration exhaustion throws instead of returning wrong labels") {
