@@ -18,6 +18,11 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Pure plan inspection: keep the queries fully lazy so shared-stage
+    // materialization (localCheckpoint in q42/q69/q70) neither runs a job
+    // at construction time nor collapses its subtree to an ExistingRDD
+    // scan. With --run the queries execute with their production shape.
+    if (!run) spark.conf.set("graft.materialize", "false")
     val targets = if (names.nonEmpty) names.toSeq else SparkEntry.queries.keys.toSeq.sorted
     targets.foreach { name =>
       println(s"\n========== $name ==========")

@@ -33,6 +33,15 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Materialize a frame that the downstream plan references more than once
+    * (localCheckpoint) — unless `graft.materialize=false` in the session
+    * conf, which keeps the plan fully lazy and inspectable: `Explain`
+    * without `--run` sets it so the shared stage shows as its real operator
+    * tree instead of an ExistingRDD scan (and no job runs at plan time). */
+  private def mat(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.getOption("graft.materialize").contains("false")) df
+    else df.localCheckpoint()
+
   /** Flagship: multi-join regional revenue (TPC-H Q5 shape) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
     queries("q22_regional_revenue")(spark, "/root/testdata/sf0.001")
@@ -337,8 +346,8 @@ object SparkEntry {
     // the document-frequency filter, and both join sides otherwise each
     // re-run the shingle explode (~3× the dominant cost).
     "q42_ngram_jaccard" -> ((s, d) => {
-      val postings = Dedup.shinglePostings(t(s, d, "documents"),
-        "doc_id", "text", 3).localCheckpoint()
+      val postings = mat(Dedup.shinglePostings(t(s, d, "documents"),
+        "doc_id", "text", 3))
       Dedup.ngramJaccardFromPostings(postings,
           minJaccard = 0.05, maxDocFreq = Some(100L))
         .orderBy(col("id_a"), col("id_b"))
@@ -687,8 +696,7 @@ object SparkEntry {
       // materialized (localCheckpoint) and BOTH contamination sides filter
       // it from memory — not one explosion per side. ContextCleaner frees
       // the checkpoint when the frame is unreachable.
-      val postings = Dedup.shinglePostings(docs, "doc_id", "text", 3)
-        .localCheckpoint()
+      val postings = mat(Dedup.shinglePostings(docs, "doc_id", "text", 3))
       val contaminated = Dedup.contaminationFromPostings(
           postings.where(col("id") % 50 =!= 0),
           postings.where(col("id") % 50 === 0), minShared = 3L)
@@ -719,8 +727,8 @@ object SparkEntry {
       // Materialized once: the MinHash signature (two md5s per shingle)
       // dominates this query's cost and the star-edge core would otherwise
       // compute it twice.
-      val banded = Dedup.minhashBandPostings(docs, "doc_id", "text",
-        n = 3, numHashes = 8, bands = 4).localCheckpoint()
+      val banded = mat(Dedup.minhashBandPostings(docs, "doc_id", "text",
+        n = 3, numHashes = 8, bands = 4))
       val edges = Dedup.starEdgesFromBuckets(banded, Seq("band_idx", "band_val"))
       val labeled = Graph.connectedComponents(docs.select(col("doc_id")),
         "doc_id", edges, "id_a", "id_b")
