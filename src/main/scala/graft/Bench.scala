@@ -18,11 +18,20 @@ import org.apache.spark.sql.SparkSession
   * scheduler amplification shows as a high job count. The stdout line stays
   * under the tail-buffer cap by carrying only the totals and the top-5 GC
   * offenders; the full per-query detail goes to the file sink.
+  *
+  * SPARK_GRAFT_BENCH_REPS=N (default 1) times each query N times
+  * back-to-back and reports the MEDIAN in the headline (the stdout format
+  * is unchanged); the detail file carries every rep, so a single
+  * environment hiccup is self-evident instead of requiring a judge rerun.
+  * SPARK_GRAFT_BENCH_ONLY=q43,q70 restricts the run for local iteration.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -44,6 +53,7 @@ object Bench {
       ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     val warmDir = {
       val d = "/root/testdata/sf0.001"
       if (new java.io.File(d).isDirectory && d != sfDir) d else sfDir
@@ -52,9 +62,12 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
-    // name -> (seconds, gc seconds, spark jobs, completed without throwing)
-    val results = ordered.map { case (name, fn) =>
-      spark.sparkContext.setJobGroup(name, name)
+    // One timed run; job count via a per-(query, rep) group so reps don't
+    // accumulate into each other's figures.
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                rep: Int): (Double, Double, Int, Boolean) = {
+      val group = s"$name#$rep"
+      spark.sparkContext.setJobGroup(group, group)
       val g0 = gcMillis
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
@@ -65,9 +78,19 @@ object Bench {
       // Best-effort: the status store ingests job events asynchronously, so
       // a backlogged listener bus can make this undercount — treat it as a
       // floor, not an exact figure.
-      val jobs = try spark.sparkContext.statusTracker.getJobIdsForGroup(name).length
+      val jobs = try spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
       catch { case _: Throwable => -1 }
-      (name, sec, gcSec, jobs, ok)
+      (sec, gcSec, jobs, ok)
+    }
+
+    // name -> (median seconds, gc of median rep, jobs of median rep,
+    //          all reps ok, every rep's seconds)
+    val results = ordered.map { case (name, fn) =>
+      val runs = (1 to reps).map(r => timeOne(name, fn, r))
+      // Median by wall time; its rep's gc/jobs keep the diagnostics
+      // attributable to the reported number.
+      val med = runs.sortBy(_._1).apply((runs.length - 1) / 2)
+      (name, med._1, med._2, med._3, runs.forall(_._4), runs.map(_._1))
     }
     val total = results.map(_._2).sum
     val gcTotal = results.map(_._3).sum
@@ -76,7 +99,7 @@ object Bench {
     def num(v: Double, dp: Int): String =
       s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
     val gcTop = results.sortBy(-_._3).take(5).filter(_._3 >= 0.005)
-      .map { case (k, _, g, _, _) => "\"" + k + "\":" + num(g, 2) }
+      .map { case (k, _, g, _, _, _) => "\"" + k + "\":" + num(g, 2) }
       .mkString("{", ",", "}")
     // The driver captures only the LAST 2000 chars of stdout; a JSON line
     // longer than that loses its head and fails to parse (observed in
@@ -84,7 +107,7 @@ object Bench {
     // is plenty for per-query seconds; drop to 2 dp if the line still
     // wouldn't fit.
     def render(dp: Int, withGcTop: Boolean): String = {
-      val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + num(v, dp) }
+      val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + num(v, dp) }
         .mkString("{", ",", "}")
       val top = if (withGcTop) s""","gc_top":$gcTop""" else ""
       // "failed" appears only when something failed — a throwing query
@@ -111,8 +134,10 @@ object Bench {
     // uncontaminated copy. Full per-query diagnostics (sec/gc/jobs) go to
     // a sibling detail file with no length constraint.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    val detail = results.map { case (k, v, g, j, ok) =>
-      "\"" + k + s"""":{"sec":${num(v, 3)},"gc_sec":${num(g, 2)},"jobs":$j,"ok":$ok}"""
+    val detail = results.map { case (k, v, g, j, ok, rs) =>
+      val repsArr = rs.map(num(_, 3)).mkString("[", ",", "]")
+      "\"" + k + s"""":{"sec":${num(v, 3)},"gc_sec":${num(g, 2)},"jobs":$j,""" +
+        s""""ok":$ok,"reps":$repsArr}"""
     }.mkString("{", ",", "}")
     try {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")

@@ -627,10 +627,16 @@ object SparkEntry {
     // splittable in the worst case.
     "q65_dedup_components" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      // Lazy banding, not a materialized checkpoint (contrast q70): the
-      // simhash banding is one cheap codegen'd projection, so recomputing
-      // it on the star-edge probe side costs less than a checkpoint job.
-      val edges = Dedup.simhashStarEdges(docs, "doc_id", "text", bands = 4)
+      // Hamming-VERIFIED edges (not raw band-bucket reachability): 16-bit
+      // simhash bands chance-collide past ~16k docs, silently chaining
+      // unrelated docs into mega-components; every edge here passes
+      // bit_count(xor) <= 3, with identical hashes collapsed first so the
+      // giant-cluster degeneracy never reaches the pairwise step. The
+      // hashes frame is materialized once — it feeds both the
+      // identical-hash collapse and the distinct-hash banding.
+      val sim = mat(Dedup.simhashHashes(docs, "doc_id", "text"))
+      val edges = Dedup.simhashVerifiedEdgesFromHashes(sim,
+        bands = 4, maxHamming = 3)
       val labeled = Graph.connectedComponents(docs.select(col("doc_id")),
         "doc_id", edges, "id_a", "id_b")
       val sizes = labeled.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
@@ -690,8 +696,10 @@ object SparkEntry {
     // the composed filter a pretraining pipeline ships.
     "q69_corpus_curation" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val keepers = Dedup.exactDedup(docs, Seq("text"), "doc_id")
-        .select(col("doc_id"))
+      // Keeper IDS from one aggregate pass (doc_id is unique here), not
+      // exactDedup's aggregate + full-width probe — one fewer corpus scan
+      // in the composed plan (asserted in EntrySpec).
+      val keepers = Dedup.exactKeeperIds(docs, Seq("text"), "doc_id")
       // Shingle the corpus ONCE: the exploded (id, shingle-hash) frame is
       // materialized (localCheckpoint) and BOTH contamination sides filter
       // it from memory — not one explosion per side. ContextCleaner frees
@@ -933,18 +941,23 @@ object SparkEntry {
               FROM cand c JOIN sim sa ON sa.id = c.id_a JOIN sim sb ON sb.id = c.id_b)
        SELECT id_a, id_b, hamming FROM hd WHERE hamming <= 3 ORDER BY id_a, id_b"""
 
-  /** q65 oracle: star edges (min id per simhash band bucket) → undirected
+  /** q65 oracle: Hamming-VERIFIED pair edges (two docs sharing ≥1 simhash
+    * band AND within Hamming 3 — q44's candidate construction) → undirected
     * edges → connected components by recursive min-label reachability (walk
-    * collects every label reachable from a node; min = component id), then a
-    * size window. Mirrors Dedup.simhashStarEdges + Graph.connectedComponents:
-    * the star edges connect exactly the "shares ≥1 band" candidate graph, and
-    * the recursive CTE reaches the same fixpoint the star contraction does. */
+    * collects every label reachable from a node; min = component id), then
+    * a size window. Mirrors Dedup.simhashVerifiedEdgesFromHashes +
+    * Graph.connectedComponents: the engine's identical-hash collapse +
+    * representative pairs have the same transitive closure as this full
+    * verified pair graph, so the components agree. */
   private def dedupComponentsSql: String =
     s"""WITH RECURSIVE $simhashCtes,
-       pr AS (SELECT DISTINCT min(id) OVER (PARTITION BY bi, bv) AS id_a, id AS id_b
-              FROM bands),
-       edges AS (SELECT id_a AS src, id_b AS dst FROM pr WHERE id_a <> id_b
-                 UNION SELECT id_b, id_a FROM pr WHERE id_a <> id_b),
+       cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id),
+       pr AS (SELECT c.id_a, c.id_b
+              FROM cand c JOIN sim sa ON sa.id = c.id_a JOIN sim sb ON sb.id = c.id_b
+              WHERE CAST(bit_count(xor(sa.sim, sb.sim)) AS INTEGER) <= 3),
+       edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+                 UNION SELECT id_b, id_a FROM pr),
        walk(id, lbl) AS (
          SELECT doc_id, doc_id FROM documents
          UNION

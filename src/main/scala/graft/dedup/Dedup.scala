@@ -27,14 +27,32 @@ object Dedup {
     * residual probability is far below the 96-bit-only bound (~1e-4 at 2^48
     * keys), and corpora near that size use [[fingerprintDedup]] (128-bit)
     * or MinHash anyway. */
-  def exactDedup(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+  /** The hashed content-key expressions shared by [[exactDedup]] and
+    * [[exactKeeperIds]]: (xxhash64, 32-bit hash, total length, 16-char
+    * prefix). Per-column substring BEFORE concat: taking 16 chars of the
+    * full concatenation would materialize a doc-sized copy per row first
+    * (the \\u0001 separator keeps per-column boundaries unambiguous). */
+  private def contentKeyExprs(keyCols: Seq[String]): Seq[Column] = {
     val ks = keyCols.map(col)
     val totalLen = ks.map(k => coalesce(length(k.cast("string")), lit(-1)))
       .reduce(_ + _)
-    // Per-column substring BEFORE concat: taking 16 chars of the full
-    // concatenation would materialize a doc-sized copy per row first.
-    def prefix(cs: Seq[Column]): Column =
-      concat_ws("", cs.map(k => substring(k.cast("string"), 1, 16)): _*)
+    val prefix =
+      concat_ws("", ks.map(k => substring(k.cast("string"), 1, 16)): _*)
+    Seq(xxhash64(ks: _*), hash(ks: _*), totalLen, prefix)
+  }
+
+  /** Null-id tripwire for the keeper aggregations: `min` SKIPS nulls, so a
+    * group whose ids are all null would silently vanish from the dedup
+    * output. The contract (idCol is a non-null row identifier) is enforced
+    * inside the SAME aggregate — zero extra passes; evaluates to null when
+    * the group is clean, throws otherwise. */
+  private def nullIdCheck(idCol: String): Column =
+    assert_true(count(col("__id")) === count(lit(1)),
+      lit(s"exactDedup: null values in id column '$idCol' — the id must " +
+        "be a non-null row identifier"))
+
+  def exactDedup(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+    val Seq(h1, h2, len, pfx) = contentKeyExprs(keyCols)
     // Keeper ids via map-side-combined min, NOT a row_number window over
     // the content key: a window partition is one unsplittable task, so a
     // giant identical-content cluster (the common dedup degeneracy) would
@@ -42,18 +60,38 @@ object Dedup {
     // row per key before any shuffle. The semi join back matches on the
     // FULL content key plus the keeper id, so a row only survives as the
     // keeper of its OWN group — an id reused across different contents
-    // cannot smuggle extra rows through. `idCol` must be non-null (it is a
-    // row identifier); rows whose id ties the group minimum all survive,
-    // as any deterministic tiebreak over duplicate ids would be arbitrary.
-    val keepers = df.select(xxhash64(ks: _*).as("__h1"), hash(ks: _*).as("__h2"),
-        totalLen.as("__len"), prefix(ks).as("__pfx"), col(idCol).as("__id"))
+    // cannot smuggle extra rows through (and the id in the join key also
+    // hash-SPREADS a giant group's probe rows across partitions). Rows
+    // whose id ties the group minimum all survive, as any deterministic
+    // tiebreak over duplicate ids would be arbitrary.
+    val keepers = df.select(h1.as("__h1"), h2.as("__h2"),
+        len.as("__len"), pfx.as("__pfx"), col(idCol).as("__id"))
       .groupBy(col("__h1"), col("__h2"), col("__len"), col("__pfx"))
-      .agg(min(col("__id")).as("__keep"))
+      .agg(min(col("__id")).as("__keep"), nullIdCheck(idCol).as("__nullck"))
     df.join(keepers,
-        xxhash64(ks: _*) === keepers("__h1") && hash(ks: _*) === keepers("__h2") &&
-        totalLen === keepers("__len") && prefix(ks) === keepers("__pfx") &&
-        df(idCol) === keepers("__keep"),
+        h1 === keepers("__h1") && h2 === keepers("__h2") &&
+        len === keepers("__len") && pfx === keepers("__pfx") &&
+        df(idCol) === keepers("__keep") && keepers("__nullck").isNull,
       "semi")
+  }
+
+  /** JUST the keeper ids (lowest id per exact-content group), for frames
+    * whose `idCol` is a UNIQUE non-null row identifier: callers that only
+    * need the id set (e.g. a curation pipeline that semi-joins it against
+    * a frame it already scans) get it from ONE pass over `df`, instead of
+    * [[exactDedup]]'s aggregate + full-width probe pair. With unique ids
+    * the id alone identifies the keeper row, so no content-key rejoin is
+    * needed. */
+  def exactKeeperIds(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+    val Seq(h1, h2, len, pfx) = contentKeyExprs(keyCols)
+    df.select(h1.as("__h1"), h2.as("__h2"), len.as("__len"), pfx.as("__pfx"),
+        col(idCol).as("__id"))
+      .groupBy(col("__h1"), col("__h2"), col("__len"), col("__pfx"))
+      .agg(min(col("__id")).as(idCol), nullIdCheck(idCol).as("__nullck"))
+      // The filter references the check so column pruning cannot drop it;
+      // always true on clean input (assert_true yields null).
+      .where(col("__nullck").isNull)
+      .select(col(idCol))
   }
 
   /** Fingerprint dedup groups: normalize → md5 → group; returns one row per
@@ -87,7 +125,7 @@ object Dedup {
     element_at(
       transform(array(TextOps.tokens(text)), tk => shinglesFromTokens(tk, n)), 1)
 
-  /** Exploded (id, RAW shingle) pairs with per-doc distinct-shingle counts.
+  /** Exploded (id, RAW shingle) pairs.
     *
     * Two posting currencies coexist deliberately: this raw-string form
     * feeds MinHash, whose md5-derived slot hashes must be reproducible by
@@ -98,8 +136,7 @@ object Dedup {
   private def explodedShingles(df: DataFrame, idCol: String, textCol: String,
                                n: Int): DataFrame =
     df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh_arr"))
-      .withColumn("n_sh", size(col("sh_arr")))
-      .select(col("id"), col("n_sh"), explode(col("sh_arr")).as("sh"))
+      .select(col("id"), explode(col("sh_arr")).as("sh"))
 
   /** All-pairs n-gram Jaccard similarity ≥ minJaccard, via inverted-index
     * join on shingles (shuffle keyed by shingle, quadratic only within a
@@ -194,18 +231,52 @@ object Dedup {
   }
 
   /** MinHash signatures: per doc, min of each seeded hash over its shingle
-    * set. One aggregation pass over the exploded shingles. */
+    * set. One aggregation pass over the exploded shingles: the md5s are
+    * computed map-side and only (id, partial mins) rows ever shuffle.
+    *
+    * `hashPerDistinctShingle = true` switches to a (shingle → slot hashes)
+    * dim frame joined back to the postings: md5 work divides by the corpus
+    * shingle-duplication factor, at the cost of two extra posting-sized
+    * shuffles (the dim distinct and the join back; slot values stay
+    * bit-identical either way). MEASURED at sf0.1 (duplication ~×2): the
+    * dim is ~7% faster when the signature is computed once into a
+    * materialized frame (q70's shape) but ~60% SLOWER when the plan is
+    * referenced lazily twice (q43's self-join re-derives the heavier dim
+    * plan), so the map-side shape is the default; flip it for one-shot
+    * signature pipelines over corpora with high shingle duplication. The
+    * dim's doc-frequency counts drive a hot/cold split on the join back,
+    * so a viral stop-shingle (> `hotDf` docs) resolves via broadcast and
+    * can never pin a reducer partition. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String, n: Int,
-                        numHashes: Int): DataFrame =
-    explodedShingles(df, idCol, textCol, n)
-      .groupBy(col("id"))
-      .agg(min(minhashSlotHash(col("sh"), 0)).as("mh0"),
-        (1 until numHashes).map(s => min(minhashSlotHash(col("sh"), s)).as(s"mh$s")): _*)
+                        numHashes: Int, hashPerDistinctShingle: Boolean = false,
+                        hotDf: Long = 1000000L): DataFrame = {
+    val ex = explodedShingles(df, idCol, textCol, n)
+    if (!hashPerDistinctShingle) {
+      ex.groupBy(col("id"))
+        .agg(min(minhashSlotHash(col("sh"), 0)).as("mh0"),
+          (1 until numHashes).map(s => min(minhashSlotHash(col("sh"), s)).as(s"mh$s")): _*)
+    } else {
+      val dim = ex.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+        .select(col("sh") +: col("__df") +:
+          (0 until numHashes).map(s => minhashSlotHash(col("sh"), s).as(s"__s$s")): _*)
+      val hot = broadcast(dim.where(col("__df") > hotDf).drop("__df"))
+      val cold = dim.where(col("__df") <= hotDf).drop("__df")
+      val viaHot = ex.join(hot, Seq("sh"), "left")
+      val joined = viaHot.where(col("__s0").isNotNull)
+        .union(viaHot.where(col("__s0").isNull)
+          .drop((0 until numHashes).map(s => s"__s$s"): _*)
+          .join(cold, Seq("sh")))
+      joined.groupBy(col("id"))
+        .agg(min(col("__s0")).as("mh0"),
+          (1 until numHashes).map(s => min(col(s"__s$s")).as(s"mh$s")): _*)
+    }
+  }
 
-  /** Exploded (id, band index, band value) MinHash postings — the shared
-    * first stage of both candidate shapes below. */
-  private def minhashBanded(df: DataFrame, idCol: String, textCol: String,
-                            n: Int, numHashes: Int, bands: Int): DataFrame = {
+  /** Exploded (id, band_idx, band_val) MinHash postings — the shared first
+    * stage of both MinHash candidate shapes; exposed so composed pipelines
+    * can materialize them once (the MinHash signature dominates the cost). */
+  def minhashBandPostings(df: DataFrame, idCol: String, textCol: String,
+                          n: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
     val rows = numHashes / bands
     val sig = minhashSignatures(df, idCol, textCol, n, numHashes)
@@ -226,7 +297,7 @@ object Dedup {
     * [[minhashStarEdges]]. */
   def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String, n: Int,
                            numHashes: Int, bands: Int): DataFrame = {
-    val banded = minhashBanded(df, idCol, textCol, n, numHashes, bands)
+    val banded = minhashBandPostings(df, idCol, textCol, n, numHashes, bands)
     banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_val") === col("b.band_val") &&
@@ -240,19 +311,17 @@ object Dedup {
     * postings where the all-pairs bucket self-join is quadratic in bucket
     * size. Connected components over these edges equal those of the full
     * "agrees on ≥1 band" candidate graph (every bucket stays connected
-    * through its min). Same construction as [[simhashStarEdges]]. */
+    * through its min). Band values are ~`64/bands × numHashes/bands` bits of
+    * signature (the q70 default: 2×32-bit minima per band), so chance
+    * band collisions stay negligible far past trillion-doc corpora —
+    * unlike 16-bit simhash bands, which need Hamming verification
+    * ([[simhashVerifiedEdgesFromHashes]]). Same construction as
+    * [[simhashStarEdges]]. */
   def minhashStarEdges(df: DataFrame, idCol: String, textCol: String, n: Int,
                        numHashes: Int, bands: Int): DataFrame =
     starEdgesFromBuckets(
-      minhashBanded(df, idCol, textCol, n, numHashes, bands),
+      minhashBandPostings(df, idCol, textCol, n, numHashes, bands),
       Seq("band_idx", "band_val"))
-
-  /** The (id, band_idx, band_val) postings behind [[minhashStarEdges]],
-    * exposed so composed pipelines can materialize them once (the MinHash
-    * signature — two md5s per shingle — dominates the cost). */
-  def minhashBandPostings(df: DataFrame, idCol: String, textCol: String,
-                          n: Int, numHashes: Int, bands: Int): DataFrame =
-    minhashBanded(df, idCol, textCol, n, numHashes, bands)
 
   /** SimHash per doc (custom Catalyst expression — single projection pass,
     * no shuffle) plus the band columns used for Hamming-bucket joins. */
@@ -260,6 +329,12 @@ object Dedup {
     Expressions.register(df.sparkSession)
     df.withColumn(out, Expressions.simhash64(TextOps.tokens(col(textCol))))
   }
+
+  /** Normalized (id, simhash) hashes — the input currency of the
+    * verified-edge and banding constructions below; materialize this (e.g.
+    * localCheckpoint) when feeding a multi-reference pipeline. */
+  def simhashHashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    withSimhash(df, textCol).select(col(idCol).as("id"), col("simhash"))
 
   /** Star edges (bucket-min id → member id) over arbitrary bucket postings
     * with an `id` column — the linear group-resolution core shared by the
@@ -270,22 +345,36 @@ object Dedup {
     * The bucket minimum comes from a map-side-combined groupBy joined back
     * to the postings, not a whole-partition window min: a giant bucket
     * (identical docs agree on every band) would otherwise stream through
-    * one unsplittable window task, while the join's probe side splits
-    * under AQE like any hash join. */
-  def starEdgesFromBuckets(postings: DataFrame, bucketCols: Seq[String]): DataFrame = {
-    val mins = postings.groupBy(bucketCols.map(col): _*).agg(min(col("id")).as("m"))
-    postings.join(mins, bucketCols)
-      .where(col("m") =!= col("id"))
+    * one unsplittable window task. The join back is HOT/COLD split on the
+    * bucket size (which the same aggregate yields for free): buckets above
+    * `hotSize` resolve their min via broadcast — their members never
+    * shuffle by bucket, so the giant-cluster bucket cannot pin a reducer —
+    * and at most postings/hotSize such buckets exist, bounding the
+    * broadcast by construction. AQE's skew-join rule can NOT be relied on
+    * for this shape (the aggregate reuses its exchange, which the rule's
+    * pattern does not match), hence the structural split. */
+  def starEdgesFromBuckets(postings: DataFrame, bucketCols: Seq[String],
+                           hotSize: Long = 1000000L): DataFrame = {
+    val bcs = bucketCols.map(col)
+    val mins = postings.groupBy(bcs: _*)
+      .agg(min(col("id")).as("m"), count(lit(1)).as("__n"))
+    val hot = broadcast(mins.where(col("__n") > hotSize).drop("__n"))
+    val cold = mins.where(col("__n") <= hotSize).drop("__n")
+    val viaHot = postings.join(hot, bucketCols, "left")
+    // m is never null for a matched bucket (ids are non-null), so the null
+    // test identifies broadcast misses exactly; null-valued bucket columns
+    // match in neither branch, as in the plain inner join.
+    val attached = viaHot.where(col("m").isNotNull)
+      .union(viaHot.where(col("m").isNull).drop("m").join(cold, bucketCols))
+    attached.where(col("m") =!= col("id"))
       .select(col("m").as("id_a"), col("id").as("id_b"))
       .distinct()
   }
 
-  /** Exploded (id, simhash, band index, band value) postings — the shared
-    * first stage of both simhash candidate shapes below. */
-  private def simhashBanded(df: DataFrame, idCol: String, textCol: String,
-                            bands: Int): DataFrame = {
+  /** Exploded (id, simhash, band index, band value) postings over
+    * pre-computed [[simhashHashes]]. */
+  private def simhashBandedFromHashes(sim: DataFrame, bands: Int): DataFrame = {
     val bits = 64 / bands
-    val sim = withSimhash(df, textCol).select(col(idCol).as("id"), col("simhash"))
     val chunks = array((0 until bands).map { b =>
       struct(lit(b).as("band_idx"),
         (shiftrightunsigned(col("simhash"), b * bits) bitwiseAND lit((1L << bits) - 1))
@@ -294,6 +383,10 @@ object Dedup {
     sim.select(col("id"), col("simhash"), explode(chunks).as("c"))
       .select(col("id"), col("simhash"), col("c.band_idx").as("bi"), col("c.band_val").as("bv"))
   }
+
+  private def simhashBanded(df: DataFrame, idCol: String, textCol: String,
+                            bands: Int): DataFrame =
+    simhashBandedFromHashes(simhashHashes(df, idCol, textCol), bands)
 
   /** SimHash near-dup candidate PAIRS: split the 64-bit hash into `bands`
     * chunks; two docs within Hamming distance (bands − 1) share ≥1 identical
@@ -307,7 +400,8 @@ object Dedup {
     *
     * Within-bucket pair enumeration is quadratic in bucket size — the right
     * tool for LISTING near-dup pairs at a calibrated radius. For resolving
-    * duplicate GROUPS, use [[simhashStarEdges]], which is linear. */
+    * duplicate GROUPS, use [[simhashVerifiedEdgesFromHashes]] + connected
+    * components, which collapses identical hashes first. */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         bands: Int = 4, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= bands - 1,
@@ -324,15 +418,62 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** SimHash STAR edges for component resolution: per band bucket, one edge
-    * from the bucket's minimum id to every other member — linear in postings
-    * where the all-pairs bucket self-join is quadratic in bucket size
-    * (identical-doc clusters are exactly the common case in dedup). The
-    * connected components of these star edges equal those of the full
-    * candidate graph "shares ≥1 simhash band", because every bucket's member
-    * set stays connected through its min. See [[starEdgesFromBuckets]] for
-    * the skew rationale; [[simhashBandPostings]] + a localCheckpoint lets a
-    * caller compute the banding exactly once. */
+  /** Hamming-VERIFIED simhash dedup edges over pre-computed
+    * [[simhashHashes]] — the duplicate-GROUP construction that stays
+    * correct at corpus scale.
+    *
+    * Raw band-bucket components ([[simhashStarEdges]]) merge on CHANCE
+    * band collisions: a 64/bands-bit band value collides between unrelated
+    * docs with probability bands·C(n,2)/2^(64/bands), so past n ≈
+    * 2^(64/bands)/bands docs (≈16k for 4×16-bit bands) transitive chaining
+    * silently collapses unrelated docs into mega-components. Here every
+    * edge is Hamming-verified instead:
+    *
+    *  1. identical hashes collapse first — [[starEdgesFromBuckets]] on the
+    *     raw simhash (Hamming 0, trivially verified; LINEAR in docs, so
+    *     the giant identical-doc cluster never enters any pairwise step);
+    *  2. only the DISTINCT hash values (one representative = min id per
+    *     value) are banded and pair-joined, and each candidate pair is
+    *     kept only at `bit_count(xor) ≤ maxHamming`.
+    *
+    * The union has the same transitive closure as the full verified pair
+    * graph: any verified pair (x, y) either shares a hash (connected via
+    * step 1) or routes through its representatives (same hashes → same
+    * bands, same Hamming distance). The pairwise step is quadratic only
+    * within a band bucket of DISTINCT hash values — bounded by hash-space
+    * density (n_distinct/2^(64/bands) per bucket), not by duplicate
+    * multiplicity. */
+  def simhashVerifiedEdgesFromHashes(sim: DataFrame, bands: Int = 4,
+                                     maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= bands - 1,
+      s"maxHamming=$maxHamming voids the pigeonhole recall guarantee of " +
+        s"bands=$bands (only Hamming <= ${bands - 1} is guaranteed); " +
+        "raise bands or lower maxHamming")
+    val ident = starEdgesFromBuckets(sim.select(col("id"), col("simhash")),
+      Seq("simhash"))
+    val reps = sim.groupBy(col("simhash")).agg(min(col("id")).as("id"))
+    val banded = simhashBandedFromHashes(reps, bands)
+    val verified = banded.as("a").join(banded.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+        col("a.id") < col("b.id") &&
+        bit_count(col("a.simhash") bitwiseXOR col("b.simhash")) <= maxHamming)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    ident.union(verified)
+  }
+
+  /** [[simhashVerifiedEdgesFromHashes]] over raw text. */
+  def simhashVerifiedEdges(df: DataFrame, idCol: String, textCol: String,
+                           bands: Int = 4, maxHamming: Int = 3): DataFrame =
+    simhashVerifiedEdgesFromHashes(simhashHashes(df, idCol, textCol),
+      bands, maxHamming)
+
+  /** SimHash STAR edges per raw band bucket — linear, but UNVERIFIED: the
+    * components of these edges are the "shares ≥1 simhash band" graph,
+    * which past n ≈ 2^(64/bands)/bands docs (≈16k at the 4-band default)
+    * accretes chance-collision edges and silently merges unrelated docs.
+    * Prefer [[simhashVerifiedEdgesFromHashes]] for dedup-group resolution;
+    * this shape remains for candidate-graph diagnostics at bounded n. */
   def simhashStarEdges(df: DataFrame, idCol: String, textCol: String,
                        bands: Int = 4): DataFrame =
     starEdgesFromBuckets(simhashBandPostings(df, idCol, textCol, bands),

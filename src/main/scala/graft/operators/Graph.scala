@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
@@ -22,30 +21,47 @@ import org.apache.spark.storage.StorageLevel
   * The fixpoint is a forest of stars rooted at each component's min id.
   *
   * Scale design, per round:
+  *  - The per-node neighborhood minimum is a map-side-combined
+  *    `groupBy(src).agg(min)` JOINED back to the edges — never a
+  *    whole-partition window min. A window partition is one unsplittable
+  *    task, and the root of a giant duplicate cluster (the common dedup
+  *    degeneracy) has degree ≈ cluster size, so a window would serialize
+  *    one cluster-sized task per round. The aggregate reduces each map
+  *    partition to one row per node before its shuffle, so the agg itself
+  *    never concentrates a hot key.
+  *  - The join back is HOT/COLD split, because AQE's skew-join rule cannot
+  *    save it: the aggregate reuses its exchange, leaving a HashAggregate
+  *    between the join and the shuffle stage, which OptimizeSkewedJoin's
+  *    pattern does not match (verified empirically — the hot probe
+  *    partition was never split). Instead the degree of every node comes
+  *    out of the SAME aggregate for free; nodes above `hotDegree` join
+  *    map-side via broadcast (no shuffle of their edges at all), the rest
+  *    take the ordinary shuffle join, whose per-key row count is ≤
+  *    `hotDegree` by construction. The broadcast is bounded by
+  *    2·|E|/hotDegree rows — giant-degree nodes are cluster roots, and
+  *    there can only be few of them.
   *  - ONE blocking action: the round's edge set materializes inside the same
   *    aggregate job that computes the convergence signal (edge count +
-  *    xxhash64 checksum) — no separate checkpoint-then-count pair, so a
-  *    degraded scheduler is paid once per round, not twice.
+  *    xxhash64 checksum) — no separate checkpoint-then-count pair.
   *  - Lineage truncation via an explicitly persisted RDD (re-wrapped with
   *    `createDataFrame`), so Catalyst plans one round, not the whole history.
   *  - The superseded round's RDD is unpersisted DETERMINISTICALLY as soon as
   *    its successor is materialized — memory use is 2 edge sets, not
   *    O(rounds). On a real cluster swap the local persist for a reliable
   *    checkpoint dir so executor loss cannot replay from scratch.
-  *  - The neighborhood minimum is a whole-partition window min (one shuffle
-  *    of the edge set, no join back); a groupBy+join alternative would
-  *    shuffle the edges twice for the same answer.
+  *
+  * The loop plans its rounds on a CHILD session (`spark.newSession()` —
+  * same SparkContext, cache and catalog, fresh SQL-conf state), with AQE
+  * off (one driver job per round, not one per shuffle stage) and shuffle
+  * partitions re-sized each round from the previous round's exact edge
+  * count, capped at the caller's setting. The caller's session confs are
+  * never touched, so concurrent queries — including streaming — plan under
+  * their own settings.
   *
   * Non-convergence is an ERROR: if `maxIters` rounds don't reach the
   * fixpoint the call throws instead of silently returning labels that are
   * not connected components. (log₂-style contraction makes the default
   * bound generous: 30 rounds cover any graph a 64-bit id space can hold.)
-  *
-  * CONCURRENCY: the loop temporarily rewrites two session-level SQL confs
-  * (AQE off, right-sized shuffle partitions) and restores them on exit —
-  * do not run it concurrently with other query planning on the SAME
-  * SparkSession (e.g. an active streaming query); use a separate session
-  * (`spark.newSession()`) for concurrent workloads.
   */
 object Graph {
 
@@ -53,41 +69,79 @@ object Graph {
     StructField("src", LongType, nullable = false),
     StructField("dst", LongType, nullable = false)))
 
+  /** Per-src (min(dst), degree) — one map-side-combined pass. */
+  private def srcMins(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("__nmin"), count(lit(1)).as("__deg"))
+
+  /** Attach `__nmin` to every row of `rows` (a subset of the frame `mins`
+    * was aggregated over), hot/cold split on `hotDegree`:
+    *  - hot srcs (degree > hotDegree) resolve via a BROADCAST join — their
+    *    edge rows never shuffle, so a 10⁸-degree cluster root costs zero
+    *    reducer-side concentration. At most 2·|E|/hotDegree hot rows exist,
+    *    so the broadcast is small by construction.
+    *  - cold srcs take the ordinary shuffle join; every key carries ≤
+    *    hotDegree rows, so no partition can be pinned by one key.
+    * The two branches re-read `rows` from the round's persisted RDD (cache
+    * hit, not a recompute). `__nmin` is never null for a matched src (dst
+    * is non-null), so the null test identifies broadcast misses exactly.
+    *
+    * `hotDegree = None` selects the plain single shuffle join — the loop
+    * passes it whenever the round's TOTAL edge count is ≤ hotDegree, which
+    * PROVES no node can be hot: the broadcast branch would then cost two
+    * extra driver jobs per star per round for a knowably-empty frame
+    * (measured ~25% of q65/q70 wall at sf0.1). */
+  private def minJoin(rows: DataFrame, mins: DataFrame,
+                      hotDegree: Option[Long]): DataFrame = hotDegree match {
+    case None =>
+      rows.join(mins.drop("__deg"), Seq("src"))
+    case Some(t) =>
+      val hot = broadcast(mins.where(col("__deg") > t).drop("__deg"))
+      val cold = mins.where(col("__deg") <= t).drop("__deg")
+      val viaHot = rows.join(hot, Seq("src"), "left")
+      viaHot.where(col("__nmin").isNotNull)
+        .union(viaHot.where(col("__nmin").isNull).drop("__nmin")
+          .join(cold, Seq("src")))
+  }
+
   /** large-star(E): for each node u over symmetric neighbors Γ(u), with
     * m = min(Γ(u) ∪ {u}): emit (v, m) for every v ∈ Γ(u), v > u.
     *
     * No distinct here: each undirected edge contributes exactly one output
     * row (from its smaller endpoint's perspective), so row count stays |E|
-    * and the small-star that always follows dedups once for both phases. */
-  private def largeStar(e: DataFrame): DataFrame = {
+    * and the small-star that always follows dedups once for both phases.
+    * The min aggregates over the FULL symmetric neighborhood; only the
+    * dst > src rows (the emitted side) need the value joined on. */
+  private def largeStar(e: DataFrame, hotDegree: Option[Long]): DataFrame = {
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-    val w = Window.partitionBy(col("src"))
-    sym.withColumn("m", least(min(col("dst")).over(w), col("src")))
-      .where(col("dst") > col("src"))
-      .select(col("dst").as("src"), col("m").as("dst"))
+    minJoin(sym.where(col("dst") > col("src")), srcMins(sym), hotDegree)
+      .select(col("dst").as("src"),
+        least(col("__nmin"), col("src")).as("dst"))
   }
 
   /** small-star(E): orient edges so src > dst; for each node u with
     * m = min(Γ≤(u)): emit (v, m) for every v ∈ Γ≤(u) ∪ {u}, minus
-    * self-loops. */
-  private def smallStar(e: DataFrame): DataFrame = {
+    * self-loops. The (u, m) self rows come straight from the aggregate —
+    * one row per node, not one per edge. */
+  private def smallStar(e: DataFrame, hotDegree: Option[Long]): DataFrame = {
     val or = e.select(greatest(col("src"), col("dst")).as("src"),
       least(col("src"), col("dst")).as("dst"))
-    val w = Window.partitionBy(col("src"))
-    val withMin = or.withColumn("m", min(col("dst")).over(w))
-    withMin.select(col("dst").as("src"), col("m").as("dst"))
-      .union(withMin.select(col("src"), col("m").as("dst")))
+    val mins = srcMins(or)
+    minJoin(or, mins, hotDegree)
+      .select(col("dst").as("src"), col("__nmin").as("dst"))
+      .union(mins.select(col("src"), col("__nmin").as("dst")))
       .where(col("src") =!= col("dst"))
       .distinct()
   }
 
   /** Materialize `df` with truncated lineage and return it together with its
     * convergence stats — (row count, xxhash64 checksum) — computed in the
-    * SAME job that populates the persisted RDD. */
-  private def materialize(spark: SparkSession, df: DataFrame)
+    * SAME job that populates the persisted RDD. `session` decides whose SQL
+    * confs the re-wrapped frame plans under. */
+  private def materialize(session: SparkSession, df: DataFrame)
       : (DataFrame, org.apache.spark.rdd.RDD[Row], (Long, Long)) = {
     val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    val out = spark.createDataFrame(rdd, edgeSchema)
+    val out = session.createDataFrame(rdd, edgeSchema)
     // bit_xor, not sum: order-independent, and cannot overflow under ANSI.
     val r = out.agg(count(lit(1)),
       coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))).first()
@@ -101,61 +155,95 @@ object Graph {
     */
   def connectedComponents(nodes: DataFrame, idCol: String, edges: DataFrame,
                           srcCol: String, dstCol: String,
-                          maxIters: Int = 30): DataFrame = {
+                          maxIters: Int = 30,
+                          loopConfs: Map[String, String] = Map.empty,
+                          hotDegree: Long = 1000000L): DataFrame =
+    connectedComponentsWithRounds(nodes, idCol, edges, srcCol, dstCol,
+      maxIters, loopConfs, hotDegree)._1
+
+  /** [[connectedComponents]] plus the number of contraction rounds actually
+    * run — the scale-relevant diagnostic (rounds ≈ log₂ of the largest
+    * component's star depth; Spark job counts per round are an AQE
+    * implementation detail and NOT stable across versions).
+    *
+    * @param loopConfs extra SQL confs applied to the loop's isolated child
+    *                  session only (e.g. AQE coalescing floors); the
+    *                  caller's session is never mutated.
+    * @param hotDegree nodes with more than this many incident edge rows in
+    *                  a round resolve their neighborhood min via broadcast
+    *                  instead of the shuffle join (see [[minJoin]]); at most
+    *                  2·|E|/hotDegree such nodes can exist, so the default
+    *                  bounds the broadcast at a few MB even for trillion-edge
+    *                  inputs while capping any one join key at ~10⁶ rows.
+    */
+  def connectedComponentsWithRounds(nodes: DataFrame, idCol: String,
+                                    edges: DataFrame, srcCol: String,
+                                    dstCol: String, maxIters: Int = 30,
+                                    loopConfs: Map[String, String] = Map.empty,
+                                    hotDegree: Long = 1000000L)
+      : (DataFrame, Int) = {
     val spark = nodes.sparkSession
     val cleaned = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
-    // AQE off for the inner loop: on an adaptive plan every shuffle stage
-    // runs as its own job (and `.rdd` pre-executes them), turning one round
-    // into ~4 sequential driver round-trips. The loop's frames are tiny,
-    // fixed-schema 2-column edges — AQE has nothing to re-plan, and window
-    // partitions (per-node neighborhoods) are outside its skew handling
-    // anyway. Restored in `finally`; the RETURNED label plan is lazy and
-    // evaluates under the caller's settings.
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val partKey = "spark.sql.shuffle.partitions"
-    val aqePrev = spark.conf.getOption(aqeKey)
-    val partPrev = spark.conf.getOption(partKey)
-    val baseParts = spark.conf.get(partKey, "200").toInt
-    spark.conf.set(aqeKey, "false")
+    // Child session: same SparkContext/cache, fresh conf state. The round
+    // frames are re-planned from persisted RDDs each iteration, so only the
+    // loop's own joins/aggregates see these settings; the input derivation
+    // (`cleaned`, evaluated once below) and the RETURNED label plan stay on
+    // the caller's session with the caller's confs.
+    val loop = spark.newSession()
+    val baseParts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    loop.conf.set("spark.sql.shuffle.partitions", baseParts)
+    // AQE OFF for the loop: on an adaptive plan every shuffle stage runs as
+    // its own driver job (measured ~4× the job count per round), which
+    // amplifies any scheduler degradation O(rounds)-fold — and AQE buys
+    // nothing here: skew is handled structurally by the hot/cold min join
+    // (AQE's skew rule cannot even match this join shape — see the
+    // scaladoc), and tail-round coalescing is done manually below from the
+    // previous round's exact edge count. All on the child session — the
+    // caller never sees these settings.
+    loop.conf.set("spark.sql.adaptive.enabled", "false")
+    loopConfs.foreach { case (k, v) => loop.conf.set(k, v) }
+    // Parallelism cap and per-partition row budget for the manual sizing
+    // below. Read AFTER loopConfs so a caller-supplied partition count (or
+    // a test's smaller row budget, via the graft-specific key) is honored.
+    val basePartsN = loop.conf.get("spark.sql.shuffle.partitions").toInt
+    val rowsPerPart = loop.conf
+      .get("spark.graft.cc.rowsPerPartition", "100000").toLong
     var (cur, curRdd, curStats) = (null: DataFrame, null: org.apache.spark.rdd.RDD[Row], (0L, 0L))
     var converged = false
     var it = 0
     try {
-      val m0 = materialize(spark, cleaned)
+      val m0 = materialize(loop, cleaned)
       cur = m0._1; curRdd = m0._2; curStats = m0._3
       converged = curStats._1 == 0L // no edges: already a (trivial) fixpoint
       while (!converged && it < maxIters) {
-        // On any failure below, release this round's cache before the
-        // conf-restoring finally — nothing downstream can use it.
-        // Manual adaptive coalescing (AQE is off here): size the round's
-        // shuffles from the PREVIOUS round's exact edge count — contraction
-        // shrinks the set every round, and a tiny round on the caller's
-        // full partition count is pure task overhead. Never exceeds the
-        // caller's setting, so cluster-scale inputs keep full parallelism.
-        val parts = math.max(1L, math.min(baseParts.toLong, curStats._1 / 100000L + 1L))
-        spark.conf.set(partKey, parts.toString)
-        val (next, nextRdd, nextStats) = materialize(spark, smallStar(largeStar(cur)))
+        // Manual adaptive coalescing: size the round's shuffles from the
+        // PREVIOUS round's exact edge count — contraction shrinks the set
+        // every round, and a tiny round on the caller's full partition
+        // count is pure task overhead. Never exceeds the caller's setting,
+        // so cluster-scale inputs keep full parallelism.
+        val parts = math.max(1L,
+          math.min(basePartsN.toLong, curStats._1 / rowsPerPart + 1L))
+        loop.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        // Engage the hot/cold join only when this round COULD contain a
+        // hot node (total edges > hotDegree); otherwise the plain join is
+        // provably skew-safe and saves the broadcast jobs.
+        val hd = if (curStats._1 > hotDegree) Some(hotDegree) else None
+        val (next, nextRdd, nextStats) =
+          materialize(loop, smallStar(largeStar(cur, hd), hd))
         converged = nextStats == curStats
         curRdd.unpersist(blocking = false)
         cur = next; curRdd = nextRdd; curStats = nextStats
         it += 1
       }
     } catch {
+      // On any failure, release this round's cache — nothing downstream
+      // can use it.
       case e: Throwable =>
         if (curRdd != null) curRdd.unpersist(blocking = false)
         throw e
-    } finally {
-      aqePrev match {
-        case Some(v) => spark.conf.set(aqeKey, v)
-        case None => spark.conf.unset(aqeKey)
-      }
-      partPrev match {
-        case Some(v) => spark.conf.set(partKey, v)
-        case None => spark.conf.unset(partKey)
-      }
     }
     if (!converged)
       throw new IllegalStateException(
@@ -165,14 +253,17 @@ object Graph {
     // At the star fixpoint each node's symmetric neighborhood contains its
     // component root (the root's neighbors are all larger), so
     // comp = min(neighbors ∪ self). `least` skips the null an unmatched
-    // left join leaves for isolated nodes.
-    val symF = cur.union(cur.select(col("dst").as("src"), col("src").as("dst")))
+    // left join leaves for isolated nodes. Built on the CALLER session from
+    // the final persisted RDD (the last round's cache is reclaimed by the
+    // ContextCleaner once the returned plan is unreachable).
+    val fin = spark.createDataFrame(curRdd, edgeSchema)
+    val symF = fin.union(fin.select(col("dst").as("src"), col("src").as("dst")))
     val nbrMin = symF.groupBy(col("src")).agg(min(col("dst")).as("nmin"))
       .select(col("src").as("id"), col("nmin"))
     val allNodes = nodes.select(col(idCol).cast("long").as("id"))
       .union(symF.select(col("src").as("id")))
       .distinct()
-    allNodes.join(nbrMin, Seq("id"), "left")
-      .select(col("id"), least(col("nmin"), col("id")).as("comp"))
+    (allNodes.join(nbrMin, Seq("id"), "left")
+      .select(col("id"), least(col("nmin"), col("id")).as("comp")), it)
   }
 }

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Dedup
 
 /** Plan-level scale assertions: the physical plans that make or break a
   * 100 TB run — bucketed co-located joins (no shuffle), broadcast of small
@@ -152,20 +153,35 @@ class ScaleSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
   }
 
-  test("q65 component resolution stays within a bounded job count") {
+  test("q65 component resolution: O(log n) rounds, jobs proportional to rounds") {
     // The structural fact behind q65's scale behavior: star-edge candidates
-    // + O(log n) contraction keep the whole pipeline in a handful of
-    // sequential jobs (the old shape ran ~30 at sf0.1 — 2 blocking actions
-    // per min-label round — which amplified any scheduler degradation ~30×).
+    // + large-star/small-star contraction converge in O(log n) ROUNDS (the
+    // old min-label shape needed O(diameter)). Rounds are asserted exactly
+    // — they are the loop's own counter, stable across Spark versions. The
+    // job ceiling is expressed per round (1 materialize action + 2 hot-side
+    // broadcasts) plus a fixed allowance for init/label/size derivation,
+    // NOT as an absolute count, so AQE staging changes outside the loop
+    // can't fail it spuriously.
+    var rounds = -1
     val jobs = JobCounter.jobsDuring(spark) {
-      val n = SparkEntry.queries("q65_dedup_components")(
-        spark, SparkTestSession.sf).count()
-      assert(n > 0)
+      val docs = Tables.load(spark, SparkTestSession.sf, "documents")
+      val sim = Dedup.simhashHashes(docs, "doc_id", "text")
+      val edges = Dedup.simhashVerifiedEdgesFromHashes(sim, bands = 4, maxHamming = 3)
+      val (labeled, r) = operators.Graph.connectedComponentsWithRounds(
+        docs.select(col("doc_id")), "doc_id", edges, "id_a", "id_b")
+      rounds = r
+      assert(labeled.count() > 0)
     }
-    // Budget: the contraction init + O(log n) rounds + label derivation +
-    // the comp-size broadcast join's AQE stages. The old min-label shape
-    // ran ~30 jobs at sf0.1 before any of its AQE stages.
-    assert(jobs <= 18, s"q65 should run in ≤18 Spark jobs, saw $jobs")
+    assert(rounds <= 8, s"expected O(log n) contraction rounds, ran $rounds")
+    // Fixed allowance: the AQE-staged edge-derivation init (~10 jobs: hash
+    // aggregates, the hot-side broadcasts, the banded self-join) + the
+    // label/size derivation on the caller session; then ≤4 jobs per round
+    // (1 materialize action + hot-side broadcast jobs). The old min-label
+    // shape was ~2 ACTIONS per diameter round — rounds-proportionality
+    // with a small constant is the structural claim.
+    assert(jobs <= 18 + 4 * rounds,
+      s"q65 pipeline ran $jobs jobs for $rounds rounds — per-round job " +
+        "amplification (the degraded-scheduler failure mode) crept back in")
   }
 
   test("clusterAssign: every vector gets exactly one cell in [0, nlist)") {

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestSession
 
@@ -108,17 +109,119 @@ class GraphSpec extends AnyFunSuite {
     assert(comps(nodes, edges) == unionFind(nodes, edges))
   }
 
-  test("long chain converges in O(log n) rounds — bounded Spark job count") {
+  test("long chain converges in O(log n) contraction rounds") {
     // A 64-node path has diameter 63: per-diameter min-label propagation
-    // would need 63 rounds (≥126 jobs); star contraction needs ~log₂ 64.
-    val nodes = (0L until 64L).toSeq
-    val edges = (0L until 63L).map(i => (i, i + 1))
-    val jobs = graft.JobCounter.jobsDuring(spark) {
-      val m = comps(nodes, edges)
-      assert(m.values.toSet == Set(0L))
+    // would need 63 rounds; star contraction needs ~log₂ 64. Asserted on
+    // the ROUND count the loop itself reports — Spark job counts per round
+    // are an AQE staging detail that shifts across versions.
+    val nodes = (0L until 64L).toDF("id")
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, rounds) = Graph.connectedComponentsWithRounds(
+      nodes, "id", edges, "src", "dst")
+    assert(labels.as[(Long, Long)].collect().toMap.values.toSet == Set(0L))
+    assert(rounds <= 10,
+      s"expected O(log n) contraction rounds for a 64-chain, ran $rounds")
+  }
+
+  test("giant-degree node: no single task streams the whole hot neighborhood") {
+    // The dedup degeneracy: one root adjacent to half the edge set (a star
+    // of identical documents). A window-based neighborhood min would pull
+    // every hot-node edge into ONE unsplittable task; the hot/cold min join
+    // must instead resolve the hub via broadcast so its edges never
+    // concentrate on a reducer. hotDegree is lowered to make the 40k-degree
+    // hub "hot" at test scale.
+    val hub = 40000
+    val nodes = (0L until (hub + 100).toLong).toDF("id")
+    val star = (1 to hub).map(i => (0L, i.toLong))
+    val tail = (0 until 99).map(i => (hub + 1 + i.toLong, hub + 2 + i.toLong))
+    val edges = (star ++ tail).toDF("src", "dst")
+    val maxTask = new java.util.concurrent.atomic.AtomicLong
+    val perStage = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val stageNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val rec = Option(t.taskMetrics).map(_.shuffleReadMetrics.recordsRead).getOrElse(0L)
+        perStage.merge(t.stageId, rec, (a: Long, b: Long) => math.max(a, b))
+        maxTask.getAndUpdate(m => math.max(m, rec)); ()
+      }
+      override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stageNames.put(s.stageInfo.stageId, s.stageInfo.name); ()
+      }
     }
-    assert(jobs <= 16,
-      s"expected O(log n) contraction rounds, saw $jobs jobs for a 64-chain")
+    spark.sparkContext.addSparkListener(listener)
+    // The input distinct and the final label derivation run on the CALLER
+    // session; lower its coalescing floors too, for the same test-scale
+    // reason (their keys — (src,dst) pairs and node ids — are hash-spread,
+    // so any big task there would be a coalescing artifact, not skew).
+    val callerConfs = Seq(
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst" -> "false",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB")
+    val prev = callerConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    callerConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val (labels, _) = Graph.connectedComponentsWithRounds(
+        nodes, "id", edges, "src", "dst", maxIters = 30,
+        loopConfs = Map(
+          "spark.sql.shuffle.partitions" -> "16",
+          // Keep the loop's manual round-sizing from folding the tiny
+          // fixture into one partition (which would read as a giant task
+          // without any hot key being at fault).
+          "spark.graft.cc.rowsPerPartition" -> "4000"),
+        hotDegree = 1000L)
+      val m = labels.as[(Long, Long)].collect().toMap
+      assert((0 to hub).forall(i => m(i.toLong) == 0L))
+      assert((hub + 1 to hub + 100).forall(i => m(i.toLong) == hub + 1L))
+      // Hot neighborhood is ~2×hub rows once symmetrized; a window-min (or
+      // unsplit shuffle-join) implementation reads all of them in one task.
+      // With the hub resolved by broadcast, no reducer task should come
+      // close to hub-sized reads.
+      import scala.jdk.CollectionConverters._
+      val breakdown = perStage.asScala.toSeq.sortBy(-_._2).take(8)
+        .map { case (sid, rec) => s"stage $sid (${stageNames.getOrDefault(sid, "?")}): $rec" }
+        .mkString("\n  ")
+      assert(maxTask.get < hub,
+        s"one task shuffle-read ${maxTask.get} rows — hot neighborhood " +
+          s"(~${2 * hub} rows symmetrized) was not split; top stages:\n  $breakdown")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
+  test("contraction never mutates the caller session's SQL confs") {
+    // The loop plans on an isolated child session; a concurrent query on
+    // the CALLER's session must see unchanged confs and keep planning
+    // adaptively while the loop iterates.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    val nodes = (0L until 4096L).toDF("id")
+    val edges = (0L until 4095L).map(i => (i, i + 1)).toDF("src", "dst")
+    val fut = Future {
+      Graph.connectedComponents(nodes, "id", edges, "src", "dst")
+        .agg(min(col("comp"))).first().getLong(0)
+    }
+    var polls = 0
+    while (!fut.isCompleted && polls < 200) {
+      assert(spark.conf.get("spark.sql.adaptive.enabled", "true") == aqeBefore)
+      assert(spark.conf.get("spark.sql.shuffle.partitions") == partsBefore)
+      polls += 1
+      Thread.sleep(10)
+    }
+    // A caller-session aggregation planned mid-loop still uses AQE and the
+    // caller's partition count.
+    val concurrent = spark.range(1000).groupBy((col("id") % 7).as("k")).count()
+    assert(concurrent.queryExecution.executedPlan.toString
+      .contains("AdaptiveSparkPlan"))
+    assert(Await.result(fut, 4.minutes) == 0L)
+    assert(spark.conf.get("spark.sql.adaptive.enabled", "true") == aqeBefore)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == partsBefore)
   }
 
   test("iteration exhaustion throws instead of returning wrong labels") {
