@@ -45,3 +45,10 @@ run / connectInput := false
 // parser reads the final line (BENCH_r02 "parsed: null" root cause).
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
+
+// Large-scale (multi-minute, multi-GB) validation specs are tagged and
+// excluded from the default `test` run; opt in with
+//   GRAFT_LARGE_SCALE=1 sbt "testOnly graft.LargeScaleSpec"
+Test / testOptions ++= (
+  if (sys.env.contains("GRAFT_LARGE_SCALE")) Seq.empty
+  else Seq(Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.LargeScale")))

@@ -36,6 +36,10 @@ object RangeJoin {
     require(!left.columns.exists(_.startsWith("__r_")) &&
         !right.columns.exists(_.startsWith("__r_")),
       "column names starting with __r_ are reserved by the range join")
+    require(!left.columns.contains("__bucket") &&
+        !right.columns.contains("__bucket"),
+      "column name __bucket is reserved by the range join (the left " +
+        "withColumn would overwrite it; the renamed right one would collide)")
     val w = upperSec - lowerSec
     // Bucket arithmetic is internal to the join (the exact predicate decides
     // membership), so double division is fine: epoch/w magnitudes are far

@@ -3,9 +3,23 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Driver-contract smoke: entry() yields rows; every declared query runs on
-  * sf0.001 and each oracleSql key has a matching query. */
+  * sf0.001 and reproduces its committed golden ROW COUNT, and each oracleSql
+  * key has a matching query. The golden file makes silently dropping or
+  * breaking a query a build failure, not a runtime bench footnote. */
 class EntrySpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
+
+  /** name → expected rows at sf0.001, committed alongside the suite.
+    * Regenerate after intentional query changes: run graft.Verify on
+    * sf0.001 and count each result parquet. */
+  private lazy val golden: Map[String, Long] = {
+    val in = getClass.getResourceAsStream("/golden_rowcounts_sf0.001.txt")
+    assert(in != null, "missing golden_rowcounts_sf0.001.txt test resource")
+    scala.io.Source.fromInputStream(in).getLines()
+      .filter(_.nonEmpty)
+      .map { l => val Array(k, v) = l.split(' '); k -> v.toLong }
+      .toMap
+  }
 
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
@@ -16,11 +30,48 @@ class EntrySpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
 
+  test("every golden query is still declared (none silently dropped)") {
+    val dropped = golden.keySet -- SparkEntry.queries.keySet
+    assert(dropped.isEmpty,
+      s"queries present in the golden file but missing from SparkEntry: $dropped")
+  }
+
+  test("every declared query has a golden row count") {
+    val ungolden = SparkEntry.queries.keySet -- golden.keySet
+    assert(ungolden.isEmpty,
+      s"new queries without a committed golden row count: $ungolden")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
-    test(s"query $name runs on sf0.001") {
+    test(s"query $name matches its golden row count on sf0.001") {
       val df = fn(spark, SparkTestSession.sf)
       assert(df.columns.nonEmpty)
-      df.count() // must not throw
+      val n = df.count()
+      golden.get(name).foreach(want =>
+        assert(n == want, s"$name returned $n rows, golden says $want"))
     }
+  }
+
+  test("q69 shares the corpus scan: exactly 2 documents scans in the plan") {
+    // The curation pipeline reads `documents` once for the keeper-id
+    // aggregate and once for the main projection; the shingle postings come
+    // from a materialized (RDD-backed) frame. A third scan means the shared
+    // stage regressed to a re-read.
+    // Counted on the optimized LOGICAL plan: the physical plan wraps
+    // everything in a leaf-like AdaptiveSparkPlanExec, which hides the
+    // scan leaves from collectLeaves.
+    val df = SparkEntry.queries("q69_corpus_curation")(spark, SparkTestSession.sf)
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    val scans = leaves.count {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.exists(_.toString.contains("documents"))
+          case _ => false
+        }
+      case _ => false
+    }
+    assert(scans == 2, s"expected 2 documents scans in q69's plan, saw " +
+      s"$scans; leaves:\n${leaves.map(_.getClass.getName).mkString("\n")}")
   }
 }

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.Tag
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Dedup
+
+/** Marker for multi-minute validation runs, EXCLUDED from the default
+  * `sbt test` (build.sbt filters it). Run explicitly:
+  *   sbt "testOnly graft.LargeScaleSpec -- -n graft.LargeScale"
+  */
+object LargeScale extends Tag("graft.LargeScale")
+
+/** Order-of-magnitude empirical validation of the dedup stack's scale
+  * claims, on synthetic corpora far beyond the bench scale factors:
+  *
+  *  - a PATHOLOGICAL duplicate cluster (≥20% of all docs identical — the
+  *    degeneracy the hot/cold joins and star-edge shapes exist for) must
+  *    not pin the pipeline: end-to-end wall time must scale ~linearly from
+  *    N to 4N docs, and the contraction round count must stay O(log n);
+  *  - the same pipelines the oracled queries run (simhash verified edges →
+  *    connected components; MinHash band postings → star edges →
+  *    components), not reduced stand-ins.
+  *
+  * Comments and sf0.1 measurements argue the asymptotics; this spec is the
+  * datapoint: 4× the docs must cost well under the quadratic 16×.
+  */
+class LargeScaleSpec extends AnyFunSuite {
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-large-scale")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Synthetic corpus: `pct20 = n/5` docs share ONE identical text (the
+    * pathological cluster); the rest draw from a templated vocabulary with
+    * enough overlap to create realistic mid-sized near-dup groups. Pure
+    * column expressions — generation itself stays distributed. */
+  private def corpus(n: Long): DataFrame = {
+    val base = spark.range(n).select(col("id").as("doc_id"))
+    base.withColumn("text",
+      when(col("doc_id") % 5 === 0,
+        lit("the quick brown fox jumps over the lazy dog every single night"))
+      .otherwise(concat(
+        lit("document body number "), (col("doc_id") % 9973).cast("string"),
+        lit(" talks about topic "), (col("doc_id") % 211).cast("string"),
+        lit(" and subject "), (col("doc_id") % 37).cast("string"),
+        lit(" with filler words common to many rows"))))
+  }
+
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def simhashPipeline(docs: DataFrame): (Long, Int) = {
+    val sim = Dedup.simhashHashes(docs, "doc_id", "text").localCheckpoint()
+    val edges = Dedup.simhashVerifiedEdgesFromHashes(sim, bands = 4, maxHamming = 3)
+    val (labeled, rounds) = operators.Graph.connectedComponentsWithRounds(
+      docs.select(col("doc_id")), "doc_id", edges, "id_a", "id_b",
+      // Low threshold so the 20%-of-corpus cluster root takes the
+      // broadcast path — the scale shape under test.
+      hotDegree = 100000L)
+    (labeled.count(), rounds)
+  }
+
+  private def minhashPipeline(docs: DataFrame): (Long, Int) = {
+    val banded = Dedup.minhashBandPostings(docs, "doc_id", "text",
+      n = 3, numHashes = 8, bands = 4).localCheckpoint()
+    val edges = Dedup.starEdgesFromBuckets(banded, Seq("band_idx", "band_val"),
+      hotSize = 100000L)
+    val (labeled, rounds) = operators.Graph.connectedComponentsWithRounds(
+      docs.select(col("doc_id")), "doc_id", edges, "id_a", "id_b",
+      hotDegree = 100000L)
+    (labeled.count(), rounds)
+  }
+
+  test("simhash dedup components scale ~linearly with a 20% identical cluster",
+      LargeScale) {
+    val small = 500000L
+    val large = 2000000L
+    // Warm both code paths once at tiny scale so JIT/codegen isn't charged
+    // to the small run.
+    simhashPipeline(corpus(10000L))
+    val ((nSmall, rSmall), tSmall) = timed(simhashPipeline(corpus(small)))
+    val ((nLarge, rLarge), tLarge) = timed(simhashPipeline(corpus(large)))
+    assert(nSmall == small && nLarge == large)
+    assert(rSmall <= 10 && rLarge <= 12,
+      s"contraction rounds grew past O(log n): $rSmall → $rLarge")
+    val ratio = tLarge / tSmall
+    info(f"simhash: $small%,d docs in $tSmall%.1f s; $large%,d docs in " +
+      f"$tLarge%.1f s (ratio $ratio%.1f× for 4× data, $rSmall/$rLarge rounds)")
+    assert(ratio < 10.0,
+      f"4× data cost $ratio%.1f× wall — super-linear; quadratic would be ~16×")
+  }
+
+  test("minhash dedup components scale ~linearly with a 20% identical cluster",
+      LargeScale) {
+    val small = 250000L
+    val large = 1000000L
+    minhashPipeline(corpus(10000L))
+    val ((nSmall, rSmall), tSmall) = timed(minhashPipeline(corpus(small)))
+    val ((nLarge, rLarge), tLarge) = timed(minhashPipeline(corpus(large)))
+    assert(nSmall == small && nLarge == large)
+    assert(rSmall <= 10 && rLarge <= 12,
+      s"contraction rounds grew past O(log n): $rSmall → $rLarge")
+    val ratio = tLarge / tSmall
+    info(f"minhash: $small%,d docs in $tSmall%.1f s; $large%,d docs in " +
+      f"$tLarge%.1f s (ratio $ratio%.1f× for 4× data, $rSmall/$rLarge rounds)")
+    assert(ratio < 10.0,
+      f"4× data cost $ratio%.1f× wall — super-linear; quadratic would be ~16×")
+  }
+}

@@ -154,6 +154,75 @@ class DedupSpec extends AnyFunSuite {
     assert(components(star) == components(allPairs))
   }
 
+  test("simhashVerifiedEdges: components split where Hamming exceeds the radius") {
+    // Exact dups (0,3) must land in one component; a doc sharing a band by
+    // CHANCE but far in Hamming must NOT be merged. Construct the chance
+    // collision directly on hash values: x and y share band 0 (low 16 bits)
+    // but differ in 20 high bits — raw bucket edges merge them, verified
+    // edges must not.
+    val sims = Seq(
+      (0L, 0x1111222233334444L), (3L, 0x1111222233334444L), // identical
+      (1L, 0x1111222233334445L),                            // hamming 1 of 0
+      (7L, 0x0FFFFAAAECC34444L)                             // shares band 0 only, far
+    ).toDF("id", "simhash")
+    val edges = Dedup.simhashVerifiedEdgesFromHashes(sims, bands = 4, maxHamming = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(edges.contains((0L, 3L)))
+    assert(edges.contains((0L, 1L)))
+    assert(!edges.exists(e => e._1 == 7L || e._2 == 7L),
+      s"chance band collision must not produce an edge: $edges")
+    // And the raw bucket graph WOULD have merged 7 — the failure mode the
+    // verification exists for.
+    val raw = Dedup.starEdgesFromBuckets(
+      Seq((0L, 0x4444L), (3L, 0x4444L), (7L, 0x4444L)).toDF("id", "bv"),
+      Seq("bv")).as[(Long, Long)].collect().toSet
+    assert(raw.exists(e => e._1 == 7L || e._2 == 7L))
+  }
+
+  test("simhashVerifiedEdges components match brute-force verified pairs") {
+    val corpus = (0L until 40L).map { i =>
+      (i, if (i % 3 == 0) "the quick brown fox jumps over the lazy dog"
+          else if (i % 3 == 1) "the quick brown fox jumps over the lazy cat"
+          else s"unrelated text number${i % 7} content${i % 5} word${i % 11}")
+    }.toDF("doc_id", "text")
+    def components(edges: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      graft.operators.Graph.connectedComponents(
+          corpus.select(col("doc_id")), "doc_id", edges, "id_a", "id_b")
+        .as[(Long, Long)].collect().toMap
+    val verified = Dedup.simhashVerifiedEdges(corpus, "doc_id", "text",
+      bands = 4, maxHamming = 3)
+    // Brute force: the full pair listing at the same radius (q44's shape).
+    val brute = Dedup.simhashCandidates(corpus, "doc_id", "text",
+      bands = 4, maxHamming = 3).select(col("id_a"), col("id_b"))
+    assert(components(verified) == components(brute))
+  }
+
+  test("exactDedup throws on null ids instead of silently dropping groups") {
+    val withNull = Seq(
+      (java.lang.Long.valueOf(0L), "aa"), (java.lang.Long.valueOf(1L), "aa"),
+      (null.asInstanceOf[java.lang.Long], "bb"),
+      (null.asInstanceOf[java.lang.Long], "bb")
+    ).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.exactDedup(withNull, Seq("text"), "doc_id").count()
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("non-null row identifier")), ex.toString)
+    val ex2 = intercept[Exception] {
+      Dedup.exactKeeperIds(withNull, Seq("text"), "doc_id").count()
+    }
+    assert(messages(ex2).exists(_.contains("non-null row identifier")), ex2.toString)
+  }
+
+  test("exactKeeperIds equals exactDedup's id set on unique-id input") {
+    val ids = Dedup.exactKeeperIds(docs, Seq("text"), "doc_id")
+      .as[Long].collect().sorted.toSeq
+    val ref = Dedup.exactDedup(docs, Seq("text"), "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == ref && ids == Seq(0L, 1L, 2L, 4L))
+  }
+
   test("embedding cosine pairs: identical vectors similarity 1") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),

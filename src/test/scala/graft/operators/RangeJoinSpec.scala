@@ -83,4 +83,20 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"expected equi-join plan, got:\n$plan")
   }
+
+  test("reserved column names are rejected on either side") {
+    val lb = left.withColumn("__bucket", lit(1))
+    val rb = right.withColumn("__bucket", lit(1))
+    for ((l, r) <- Seq((lb, right), (left, rb))) {
+      val ex = intercept[IllegalArgumentException] {
+        RangeJoin.banded(l, r, Seq("key"), "lt", "rt", -100, 0)
+      }
+      assert(ex.getMessage.contains("__bucket"))
+    }
+    val ex2 = intercept[IllegalArgumentException] {
+      RangeJoin.banded(left.withColumn("__r_x", lit(1)), right,
+        Seq("key"), "lt", "rt", -100, 0)
+    }
+    assert(ex2.getMessage.contains("__r_"))
+  }
 }
