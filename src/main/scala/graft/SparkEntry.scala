@@ -365,7 +365,7 @@ object SparkEntry {
     // guarantee every pair within Hamming 3 shares a band.
     "q44_simhash_dedup" -> ((s, d) =>
       Dedup.simhashCandidates(t(s, d, "documents"), "doc_id", "text",
-          bands = 4, maxHamming = 3)
+          maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
     // Dedup: embedding-cosine near-dup pairs, blocked by label.
@@ -635,8 +635,7 @@ object SparkEntry {
       // hashes frame is materialized once — it feeds both the
       // identical-hash collapse and the distinct-hash banding.
       val sim = mat(Dedup.simhashHashes(docs, "doc_id", "text"))
-      val edges = Dedup.simhashVerifiedEdgesFromHashes(sim,
-        bands = 4, maxHamming = 3)
+      val edges = Dedup.simhashVerifiedEdgesFromHashes(sim, maxHamming = 3)
       val labeled = Graph.connectedComponents(docs.select(col("doc_id")),
         "doc_id", edges, "id_a", "id_b")
       val sizes = labeled.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))

@@ -388,29 +388,32 @@ object Dedup {
                             bands: Int): DataFrame =
     simhashBandedFromHashes(simhashHashes(df, idCol, textCol), bands)
 
-  /** SimHash near-dup candidate PAIRS: split the 64-bit hash into `bands`
-    * chunks; two docs within Hamming distance (bands − 1) share ≥1 identical
-    * chunk (pigeonhole), so bucket-joining chunks finds them with NO pairwise
-    * scan. Exact Hamming distance is then checked on the candidates only.
+  /** SimHash near-dup candidate PAIRS at Hamming radius `maxHamming`, via
+    * the [[simhashComboPostings]] combination bucketing: maxHamming flipped
+    * bits touch ≤ maxHamming of the `blocks` bit blocks, so every true pair
+    * agrees on ≥1 (blocks − maxHamming)-block key — full recall with a
+    * ~32-bit bucket key instead of a 16-bit band (the 4×16 banding's
+    * in-bucket pair count was measured 5-6× higher on a dense templated
+    * corpus and grows as n²/2^16 on chance collisions alone). Exact Hamming
+    * distance is then checked on the candidates only.
     *
-    * The pigeonhole guarantee REQUIRES `maxHamming ≤ bands − 1`: with h >
-    * bands − 1 flipped bits every band can differ and a true near-dup pair
-    * can be missed, so that configuration is rejected instead of silently
-    * under-recalling.
+    * `maxHamming < blocks` is REQUIRED (the pigeonhole guarantee); the
+    * configuration is rejected instead of silently under-recalling.
     *
     * Within-bucket pair enumeration is quadratic in bucket size — the right
     * tool for LISTING near-dup pairs at a calibrated radius. For resolving
     * duplicate GROUPS, use [[simhashVerifiedEdgesFromHashes]] + connected
     * components, which collapses identical hashes first. */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        bands: Int = 4, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= bands - 1,
+                        maxHamming: Int = 3, blocks: Int = 6): DataFrame = {
+    require(maxHamming < blocks,
       s"maxHamming=$maxHamming voids the pigeonhole recall guarantee of " +
-        s"bands=$bands (only Hamming <= ${bands - 1} is guaranteed); " +
-        "raise bands or lower maxHamming")
-    val banded = simhashBanded(df, idCol, textCol, bands)
-    banded.as("a").join(banded.as("b"),
-        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+        s"blocks=$blocks (only Hamming < $blocks is guaranteed); " +
+        "raise blocks or lower maxHamming")
+    val posted = simhashComboPostings(
+      simhashHashes(df, idCol, textCol), blocks, maxHamming)
+    posted.as("a").join(posted.as("b"),
+        col("a.ci") === col("b.ci") && col("a.ck") === col("b.ck") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
               bit_count(col("a.simhash") bitwiseXOR col("b.simhash")).as("hamming"))
@@ -418,43 +421,71 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Exploded (id, simhash, combo index, packed combo key) postings for
+    * Hamming-radius search, Manku-style (Detecting Near-Duplicates for Web
+    * Crawling, WWW 2007): the 64-bit hash splits into `blocks` near-equal
+    * bit blocks, and every (blocks − maxHamming)-block COMBINATION becomes
+    * one bucket key. maxHamming flipped bits touch ≤ maxHamming blocks, so
+    * some untouched combination always remains — full recall — while the
+    * key widens from one block (~64/blocks bits) to blocks−maxHamming of
+    * them (~32 bits at the 6/3 default): chance-collision bucket density
+    * drops from n/2^16 to n/2^32. The C(blocks, maxHamming) posting
+    * multiplicity (20× at the default) is the linear price that keeps the
+    * within-bucket pair join from going quadratic on templated corpora,
+    * where millions of DISTINCT hashes crowd a 16-bit band value. */
+  private def simhashComboPostings(hashes: DataFrame, blocks: Int,
+                                   maxHamming: Int): DataFrame = {
+    val widths = Array.tabulate(blocks)(b => 64 / blocks + (if (b < 64 % blocks) 1 else 0))
+    val offs = widths.scanLeft(0)(_ + _)
+    def block(b: Int): Column =
+      shiftrightunsigned(col("simhash"), offs(b)) bitwiseAND lit((1L << widths(b)) - 1)
+    val combos = (0 until blocks).combinations(blocks - maxHamming).toSeq
+    val keyStructs = array(combos.zipWithIndex.map { case (combo, ci) =>
+      // Pack the selected blocks into one long: subset widths sum ≤ 64.
+      val packed = combo.map(b => (b, block(b))).foldLeft(lit(0L): Column) {
+        case (acc, (b, blk)) => shiftleft(acc, widths(b)) bitwiseOR blk
+      }
+      struct(lit(ci).as("ci"), packed.as("ck"))
+    }: _*)
+    hashes.select(col("id"), col("simhash"), explode(keyStructs).as("c"))
+      .select(col("id"), col("simhash"), col("c.ci").as("ci"), col("c.ck").as("ck"))
+  }
+
   /** Hamming-VERIFIED simhash dedup edges over pre-computed
     * [[simhashHashes]] — the duplicate-GROUP construction that stays
     * correct at corpus scale.
     *
     * Raw band-bucket components ([[simhashStarEdges]]) merge on CHANCE
-    * band collisions: a 64/bands-bit band value collides between unrelated
-    * docs with probability bands·C(n,2)/2^(64/bands), so past n ≈
-    * 2^(64/bands)/bands docs (≈16k for 4×16-bit bands) transitive chaining
-    * silently collapses unrelated docs into mega-components. Here every
-    * edge is Hamming-verified instead:
+    * band collisions: a 16-bit band value collides between unrelated docs
+    * past n ≈ 16k, silently chaining unrelated docs into mega-components.
+    * Here every edge is Hamming-verified instead:
     *
     *  1. identical hashes collapse first — [[starEdgesFromBuckets]] on the
     *     raw simhash (Hamming 0, trivially verified; LINEAR in docs, so
     *     the giant identical-doc cluster never enters any pairwise step);
     *  2. only the DISTINCT hash values (one representative = min id per
-    *     value) are banded and pair-joined, and each candidate pair is
-    *     kept only at `bit_count(xor) ≤ maxHamming`.
+    *     value) enter the [[simhashComboPostings]] bucket join, and each
+    *     candidate pair is kept only at `bit_count(xor) ≤ maxHamming`.
     *
     * The union has the same transitive closure as the full verified pair
-    * graph: any verified pair (x, y) either shares a hash (connected via
-    * step 1) or routes through its representatives (same hashes → same
-    * bands, same Hamming distance). The pairwise step is quadratic only
-    * within a band bucket of DISTINCT hash values — bounded by hash-space
-    * density (n_distinct/2^(64/bands) per bucket), not by duplicate
-    * multiplicity. */
-  def simhashVerifiedEdgesFromHashes(sim: DataFrame, bands: Int = 4,
-                                     maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= bands - 1,
+    * graph {(x,y) : hamming ≤ maxHamming}: any verified pair either shares
+    * a hash (connected via step 1) or routes through its representatives
+    * (same hashes → same buckets, same Hamming distance). The edge SET is
+    * bucketing-independent (pigeonhole recall + explicit verification), so
+    * `blocks` is pure performance tuning and the cross-engine oracle needs
+    * no knowledge of it. */
+  def simhashVerifiedEdgesFromHashes(sim: DataFrame, maxHamming: Int = 3,
+                                     blocks: Int = 6): DataFrame = {
+    require(maxHamming < blocks,
       s"maxHamming=$maxHamming voids the pigeonhole recall guarantee of " +
-        s"bands=$bands (only Hamming <= ${bands - 1} is guaranteed); " +
-        "raise bands or lower maxHamming")
+        s"blocks=$blocks (only Hamming < $blocks is guaranteed); " +
+        "raise blocks or lower maxHamming")
     val ident = starEdgesFromBuckets(sim.select(col("id"), col("simhash")),
       Seq("simhash"))
     val reps = sim.groupBy(col("simhash")).agg(min(col("id")).as("id"))
-    val banded = simhashBandedFromHashes(reps, bands)
-    val verified = banded.as("a").join(banded.as("b"),
-        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+    val posted = simhashComboPostings(reps, blocks, maxHamming)
+    val verified = posted.as("a").join(posted.as("b"),
+        col("a.ci") === col("b.ci") && col("a.ck") === col("b.ck") &&
         col("a.id") < col("b.id") &&
         bit_count(col("a.simhash") bitwiseXOR col("b.simhash")) <= maxHamming)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -464,9 +495,9 @@ object Dedup {
 
   /** [[simhashVerifiedEdgesFromHashes]] over raw text. */
   def simhashVerifiedEdges(df: DataFrame, idCol: String, textCol: String,
-                           bands: Int = 4, maxHamming: Int = 3): DataFrame =
+                           maxHamming: Int = 3, blocks: Int = 6): DataFrame =
     simhashVerifiedEdgesFromHashes(simhashHashes(df, idCol, textCol),
-      bands, maxHamming)
+      maxHamming, blocks)
 
   /** SimHash STAR edges per raw band bucket — linear, but UNVERIFIED: the
     * components of these edges are the "shares ≥1 simhash band" graph,

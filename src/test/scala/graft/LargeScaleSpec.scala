@@ -63,7 +63,7 @@ class LargeScaleSpec extends AnyFunSuite {
 
   private def simhashPipeline(docs: DataFrame): (Long, Int) = {
     val sim = Dedup.simhashHashes(docs, "doc_id", "text").localCheckpoint()
-    val edges = Dedup.simhashVerifiedEdgesFromHashes(sim, bands = 4, maxHamming = 3)
+    val edges = Dedup.simhashVerifiedEdgesFromHashes(sim, maxHamming = 3)
     val (labeled, rounds) = operators.Graph.connectedComponentsWithRounds(
       docs.select(col("doc_id")), "doc_id", edges, "id_a", "id_b",
       // Low threshold so the 20%-of-corpus cluster root takes the

@@ -166,7 +166,7 @@ class ScaleSpec extends AnyFunSuite {
     val jobs = JobCounter.jobsDuring(spark) {
       val docs = Tables.load(spark, SparkTestSession.sf, "documents")
       val sim = Dedup.simhashHashes(docs, "doc_id", "text")
-      val edges = Dedup.simhashVerifiedEdgesFromHashes(sim, bands = 4, maxHamming = 3)
+      val edges = Dedup.simhashVerifiedEdgesFromHashes(sim, maxHamming = 3)
       val (labeled, r) = operators.Graph.connectedComponentsWithRounds(
         docs.select(col("doc_id")), "doc_id", edges, "id_a", "id_b")
       rounds = r

@@ -80,7 +80,7 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("simhashCandidates surfaces the exact dup pair") {
-    val cands = Dedup.simhashCandidates(docs, "doc_id", "text", bands = 4, maxHamming = 3)
+    val cands = Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(cands.contains((0L, 3L)))
   }
@@ -100,7 +100,7 @@ class DedupSpec extends AnyFunSuite {
       if java.lang.Long.bitCount(sims(a) ^ sims(b)) <= 3
     } yield (a, b)).toSet
     val cands = Dedup.simhashCandidates(corpus, "doc_id", "text",
-        bands = 4, maxHamming = 3)
+        maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(truth.subsetOf(cands),
       s"missed pairs within Hamming 3: ${truth.diff(cands)}")
@@ -108,7 +108,7 @@ class DedupSpec extends AnyFunSuite {
 
   test("simhashCandidates rejects maxHamming beyond the pigeonhole bound") {
     val ex = intercept[IllegalArgumentException] {
-      Dedup.simhashCandidates(docs, "doc_id", "text", bands = 4, maxHamming = 6)
+      Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 6)
     }
     assert(ex.getMessage.contains("pigeonhole"))
   }
@@ -165,7 +165,7 @@ class DedupSpec extends AnyFunSuite {
       (1L, 0x1111222233334445L),                            // hamming 1 of 0
       (7L, 0x0FFFFAAAECC34444L)                             // shares band 0 only, far
     ).toDF("id", "simhash")
-    val edges = Dedup.simhashVerifiedEdgesFromHashes(sims, bands = 4, maxHamming = 3)
+    val edges = Dedup.simhashVerifiedEdgesFromHashes(sims, maxHamming = 3)
       .as[(Long, Long)].collect().toSet
     assert(edges.contains((0L, 3L)))
     assert(edges.contains((0L, 1L)))
@@ -190,10 +190,10 @@ class DedupSpec extends AnyFunSuite {
           corpus.select(col("doc_id")), "doc_id", edges, "id_a", "id_b")
         .as[(Long, Long)].collect().toMap
     val verified = Dedup.simhashVerifiedEdges(corpus, "doc_id", "text",
-      bands = 4, maxHamming = 3)
+      maxHamming = 3)
     // Brute force: the full pair listing at the same radius (q44's shape).
     val brute = Dedup.simhashCandidates(corpus, "doc_id", "text",
-      bands = 4, maxHamming = 3).select(col("id_a"), col("id_b"))
+      maxHamming = 3).select(col("id_a"), col("id_b"))
     assert(components(verified) == components(brute))
   }
 
