@@ -47,8 +47,10 @@ import org.apache.spark.storage.StorageLevel
   *    `createDataFrame`), so Catalyst plans one round, not the whole history.
   *  - The superseded round's RDD is unpersisted DETERMINISTICALLY as soon as
   *    its successor is materialized — memory use is 2 edge sets, not
-  *    O(rounds). On a real cluster swap the local persist for a reliable
-  *    checkpoint dir so executor loss cannot replay from scratch.
+  *    O(rounds). If `sparkContext.setCheckpointDir` is configured, each
+  *    round additionally checkpoints RELIABLY (one extra cache-fed job per
+  *    round), so executor loss recovers from storage instead of replaying
+  *    the contraction from scratch.
   *
   * The loop plans its rounds on a CHILD session (`spark.newSession()` —
   * same SparkContext, cache and catalog, fresh SQL-conf state), with AQE
@@ -137,10 +139,20 @@ object Graph {
   /** Materialize `df` with truncated lineage and return it together with its
     * convergence stats — (row count, xxhash64 checksum) — computed in the
     * SAME job that populates the persisted RDD. `session` decides whose SQL
-    * confs the re-wrapped frame plans under. */
+    * confs the re-wrapped frame plans under.
+    *
+    * When the SparkContext has a checkpoint dir configured, each round also
+    * RELIABLY checkpoints: executor loss then recovers a round from storage
+    * instead of replaying the whole contraction lineage. The checkpoint
+    * write is one extra job per round, but recompute-free — it reads the
+    * copy the persist below just cached. Local runs without a checkpoint
+    * dir keep the persist-only path. Enable
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` to reclaim
+    * superseded rounds' checkpoint files automatically. */
   private def materialize(session: SparkSession, df: DataFrame)
       : (DataFrame, org.apache.spark.rdd.RDD[Row], (Long, Long)) = {
     val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+    if (session.sparkContext.getCheckpointDir.isDefined) rdd.checkpoint()
     val out = session.createDataFrame(rdd, edgeSchema)
     // bit_xor, not sum: order-independent, and cannot overflow under ANSI.
     val r = out.agg(count(lit(1)),

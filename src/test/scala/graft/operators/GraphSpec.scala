@@ -224,6 +224,30 @@ class GraphSpec extends AnyFunSuite {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == partsBefore)
   }
 
+  test("rounds reliably checkpoint when a checkpoint dir is configured") {
+    // Cluster fault-tolerance path: with sparkContext.setCheckpointDir set,
+    // each contraction round writes a recoverable checkpoint (from cache,
+    // no recompute) — results identical, checkpoint files present.
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "test expects no prior checkpoint dir")
+    sc.setCheckpointDir(dir)
+    try {
+      val m = comps(Seq(1L, 2L, 3L, 4L), Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+      assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, s"expected checkpoint files under $dir")
+    } finally {
+      // SparkContext has no public unset — clear the private[spark] var via
+      // its generated setter so later suites keep the persist-only path
+      // (their job-count assertions budget no checkpoint jobs).
+      sc.getClass.getMethod("checkpointDir_$eq", classOf[Option[_]])
+        .invoke(sc, None)
+      assert(sc.getCheckpointDir.isEmpty)
+    }
+  }
+
   test("iteration exhaustion throws instead of returning wrong labels") {
     // A 40-node path cannot converge in 1 round; the old implementation
     // silently returned non-component labels here.
