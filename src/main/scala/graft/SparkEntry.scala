@@ -752,7 +752,23 @@ object SparkEntry {
     "q71_embedding_lsh_dedup" -> ((s, d) =>
       Dedup.embeddingLshPairs(t(s, d, "embeddings"), "vec_id", "embedding",
           numPlanes = 6, dim = 64, minSim = 0.3)
-        .orderBy(col("id_a"), col("id_b")))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Incremental ingest dedup: treat doc_id % 10 < 8 as the already-
+    // indexed corpus (its persisted fingerprint set), the rest as the new
+    // batch — survivors are batch keepers whose content the index has
+    // never seen. Intra-batch dedup runs BEFORE the index anti-join, so
+    // the join probes one row per distinct content (skew-proof).
+    "q72_incremental_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val index = docs.where(col("doc_id") % 10 < 8)
+        .select(TextOps.contentFingerprint(col("text")).as("fingerprint"))
+      Dedup.incrementalExactDedup(docs.where(col("doc_id") % 10 >= 8),
+          "doc_id", "text", index)
+        .select(col("doc_id"),
+          TextOps.contentFingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1553,6 +1569,17 @@ object SparkEntry {
          GROUP BY purchase_id ORDER BY purchase_id""",
     "q69_corpus_curation" -> curationSql,
     "q70_minhash_components" -> minhashComponentsSql,
-    "q71_embedding_lsh_dedup" -> embLshSql
+    "q71_embedding_lsh_dedup" -> embLshSql,
+    "q72_incremental_dedup" ->
+      """WITH fp AS (SELECT doc_id,
+             md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
+           FROM documents),
+         idx AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 10 < 8),
+         batch AS (SELECT * FROM fp WHERE doc_id % 10 >= 8),
+         keep AS (SELECT fingerprint, min(doc_id) AS doc_id
+                  FROM batch GROUP BY fingerprint)
+         SELECT doc_id, fingerprint FROM keep k
+         WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.fingerprint = k.fingerprint)
+         ORDER BY doc_id"""
   )
 }

@@ -94,6 +94,34 @@ object Dedup {
       .select(col(idCol))
   }
 
+  /** Incremental exact dedup — the continuously-ingested-corpus shape: from
+    * a NEW batch, keep one row per distinct content (lowest id) that is NOT
+    * already present in the existing corpus index. `indexFingerprints` is a
+    * frame with a `fingerprint` column holding
+    * [[graft.functions.TextOps.contentFingerprint]] values (md5 of
+    * normalized text) — the portable currency a pipeline persists between
+    * ingests ([[fingerprintDedup]] produces it).
+    *
+    * Both steps key on the SAME normalized fingerprint (not raw text), so
+    * whitespace/case variants dedup consistently within the batch and
+    * against the index.
+    *
+    * Order matters for skew: the INTRA-batch dedup runs first (exactDedup —
+    * map-side-combined, giant-identical-cluster-safe), so the index
+    * anti-join probes one row per distinct content — its key can never be
+    * hot no matter how degenerate the batch. The index side reduces to
+    * distinct fingerprints before the join. */
+  def incrementalExactDedup(newDocs: DataFrame, idCol: String, textCol: String,
+                            indexFingerprints: DataFrame): DataFrame = {
+    val withFp = newDocs.withColumn("__fp",
+      TextOps.contentFingerprint(col(textCol)))
+    val fresh = exactDedup(withFp, Seq("__fp"), idCol)
+    fresh.join(
+        indexFingerprints.select(col("fingerprint")).distinct(),
+        fresh("__fp") === col("fingerprint"), "anti")
+      .drop("__fp")
+  }
+
   /** Fingerprint dedup groups: normalize → md5 → group; returns one row per
     * distinct content with the keeper id and duplicate count. */
   def fingerprintDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =

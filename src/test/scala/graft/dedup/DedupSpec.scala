@@ -223,6 +223,22 @@ class DedupSpec extends AnyFunSuite {
     assert(ids == ref && ids == Seq(0L, 1L, 2L, 4L))
   }
 
+  test("incrementalExactDedup drops index dups and intra-batch dups") {
+    import graft.functions.TextOps
+    val index = Seq("seen before content right here")
+      .toDF("text").select(TextOps.contentFingerprint(col("text")).as("fingerprint"))
+    val batch = Seq(
+      (10L, "seen before content right here"),    // already in the index
+      (11L, "Seen  Before   content right here"), // index dup modulo normalization
+      (12L, "brand new content arriving now"),
+      (13L, "brand new content arriving now"),    // intra-batch dup of 12
+      (14L, "another fresh document entirely")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalExactDedup(batch, "doc_id", "text", index)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(12L, 14L))
+  }
+
   test("embedding cosine pairs: identical vectors similarity 1") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
