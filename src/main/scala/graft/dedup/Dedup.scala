@@ -16,17 +16,6 @@ import graft.plans.Expressions
   */
 object Dedup {
 
-  /** Exact dedup: keep the lowest-id row per exact key.
-    *
-    * The grouping key is two independent 32/64-bit hashes of the key tuple
-    * (96 bits total) plus two cheap deterministic disambiguators — the
-    * total key length and a 16-char key prefix — NOT the raw key columns:
-    * shuffling a multi-KB `text` column makes sort/compare cost scale with
-    * document size. For two distinct keys to be merged they must collide on
-    * both hashes AND have equal lengths AND share a 16-char prefix; the
-    * residual probability is far below the 96-bit-only bound (~1e-4 at 2^48
-    * keys), and corpora near that size use [[fingerprintDedup]] (128-bit)
-    * or MinHash anyway. */
   /** The hashed content-key expressions shared by [[exactDedup]] and
     * [[exactKeeperIds]]: (xxhash64, 32-bit hash, total length, 16-char
     * prefix). Per-column substring BEFORE concat: taking 16 chars of the
@@ -51,6 +40,17 @@ object Dedup {
       lit(s"exactDedup: null values in id column '$idCol' — the id must " +
         "be a non-null row identifier"))
 
+  /** Exact dedup: keep the lowest-id row per exact key.
+    *
+    * The grouping key is two independent 32/64-bit hashes of the key tuple
+    * (96 bits total) plus two cheap deterministic disambiguators — the
+    * total key length and a 16-char key prefix — NOT the raw key columns:
+    * shuffling a multi-KB `text` column makes sort/compare cost scale with
+    * document size. For two distinct keys to be merged they must collide on
+    * both hashes AND have equal lengths AND share a 16-char prefix; the
+    * residual probability is far below the 96-bit-only bound (~1e-4 at 2^48
+    * keys), and corpora near that size use [[fingerprintDedup]] (128-bit)
+    * or MinHash anyway. */
   def exactDedup(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
     val Seq(h1, h2, len, pfx) = contentKeyExprs(keyCols)
     // Keeper ids via map-side-combined min, NOT a row_number window over
@@ -461,23 +461,29 @@ object Dedup {
     * multiplicity (20× at the default) is the linear price that keeps the
     * within-bucket pair join from going quadratic on templated corpora,
     * where millions of DISTINCT hashes crowd a 16-bit band value. */
-  private def simhashComboPostings(hashes: DataFrame, blocks: Int,
-                                   maxHamming: Int): DataFrame = {
+  /** The array-of-(ci, ck) combo keys for a `simhash` column — exposed
+    * within the package so the streaming near-dup detector shares the
+    * exact batch bucketing. */
+  private[graft] def simhashComboKeys(blocks: Int, maxHamming: Int): Column = {
     val widths = Array.tabulate(blocks)(b => 64 / blocks + (if (b < 64 % blocks) 1 else 0))
     val offs = widths.scanLeft(0)(_ + _)
     def block(b: Int): Column =
       shiftrightunsigned(col("simhash"), offs(b)) bitwiseAND lit((1L << widths(b)) - 1)
     val combos = (0 until blocks).combinations(blocks - maxHamming).toSeq
-    val keyStructs = array(combos.zipWithIndex.map { case (combo, ci) =>
+    array(combos.zipWithIndex.map { case (combo, ci) =>
       // Pack the selected blocks into one long: subset widths sum ≤ 64.
       val packed = combo.map(b => (b, block(b))).foldLeft(lit(0L): Column) {
         case (acc, (b, blk)) => shiftleft(acc, widths(b)) bitwiseOR blk
       }
       struct(lit(ci).as("ci"), packed.as("ck"))
     }: _*)
-    hashes.select(col("id"), col("simhash"), explode(keyStructs).as("c"))
-      .select(col("id"), col("simhash"), col("c.ci").as("ci"), col("c.ck").as("ck"))
   }
+
+  private def simhashComboPostings(hashes: DataFrame, blocks: Int,
+                                   maxHamming: Int): DataFrame =
+    hashes.select(col("id"), col("simhash"),
+        explode(simhashComboKeys(blocks, maxHamming)).as("c"))
+      .select(col("id"), col("simhash"), col("c.ci").as("ci"), col("c.ck").as("ck"))
 
   /** Hamming-VERIFIED simhash dedup edges over pre-computed
     * [[simhashHashes]] — the duplicate-GROUP construction that stays
