@@ -768,6 +768,20 @@ object SparkEntry {
         .select(col("doc_id"),
           TextOps.contentFingerprint(col("text")).as("fingerprint"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Incremental NEAR-dup screening: new-batch docs whose MinHash bands
+    // collide with the persisted corpus index, with the per-doc matching-
+    // band count as the S-curve signal.
+    "q73_incremental_minhash" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val index = Dedup.minhashBandPostings(
+        docs.where(col("doc_id") % 10 < 8), "doc_id", "text",
+        n = 3, numHashes = 8, bands = 4)
+      Dedup.incrementalMinhashSuspects(docs.where(col("doc_id") % 10 >= 8),
+          "doc_id", "text", n = 3, numHashes = 8, bands = 4, index)
+        .select(col("id").as("doc_id"), col("n_matching_bands"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1580,6 +1594,13 @@ object SparkEntry {
                   FROM batch GROUP BY fingerprint)
          SELECT doc_id, fingerprint FROM keep k
          WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.fingerprint = k.fingerprint)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    "q73_incremental_minhash" ->
+      s"""WITH $minhashCtes,
+         idx AS (SELECT DISTINCT bi, bv FROM mbands WHERE id % 10 < 8),
+         bat AS (SELECT id, bi, bv FROM mbands WHERE id % 10 >= 8)
+         SELECT b.id AS doc_id, count(*) AS n_matching_bands
+         FROM bat b JOIN idx i ON b.bi = i.bi AND b.bv = i.bv
+         GROUP BY b.id ORDER BY doc_id"""
   )
 }

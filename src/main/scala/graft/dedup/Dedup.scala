@@ -351,6 +351,33 @@ object Dedup {
       minhashBandPostings(df, idCol, textCol, n, numHashes, bands),
       Seq("band_idx", "band_val"))
 
+  /** Incremental NEAR-dup screening — the MinHash counterpart of
+    * [[incrementalExactDedup]]: for each NEW-batch document, how many of
+    * its signature bands collide with the persisted corpus index
+    * (`indexBandPostings` — a stored [[minhashBandPostings]] frame; only
+    * its (band_idx, band_val) columns are read). Rows appear only for
+    * suspects (≥1 matching band); the count is the S-curve signal — gate on
+    * it or verify suspects with [[ngramJaccardPairs]] downstream.
+    *
+    * Skew shape: the batch's DISTINCT buckets (map-side-combined — a
+    * degenerate all-identical batch collapses before any shuffle)
+    * semi-join the index's distinct buckets; only then do batch postings
+    * join the (small) matched-bucket set, which AQE broadcasts at
+    * realistic sizes, and the per-doc count partial-aggregates before its
+    * id-keyed (hash-spread) shuffle. */
+  def incrementalMinhashSuspects(newDocs: DataFrame, idCol: String,
+                                 textCol: String, n: Int, numHashes: Int,
+                                 bands: Int,
+                                 indexBandPostings: DataFrame): DataFrame = {
+    val batch = minhashBandPostings(newDocs, idCol, textCol, n, numHashes, bands)
+    val matched = batch.select(col("band_idx"), col("band_val")).distinct()
+      .join(indexBandPostings.select(col("band_idx"), col("band_val")).distinct(),
+        Seq("band_idx", "band_val"), "semi")
+    batch.join(matched, Seq("band_idx", "band_val"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_matching_bands"))
+  }
+
   /** SimHash per doc (custom Catalyst expression — single projection pass,
     * no shuffle) plus the band columns used for Hamming-bucket joins. */
   def withSimhash(df: DataFrame, textCol: String, out: String = "simhash"): DataFrame = {

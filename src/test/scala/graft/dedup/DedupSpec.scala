@@ -239,6 +239,21 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Seq(12L, 14L))
   }
 
+  test("incrementalMinhashSuspects flags index near-dups with band counts") {
+    val index = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val indexPostings = Dedup.minhashBandPostings(index, "doc_id", "text", 3, 8, 4)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // exact: all 4 bands
+      (11L, "totally different words appear in this unrelated body text")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalMinhashSuspects(batch, "doc_id", "text",
+        3, 8, 4, indexPostings)
+      .as[(Long, Long)].collect().toMap
+    assert(got(10L) == 4L) // identical shingle set → every band matches
+    assert(!got.contains(11L), s"distinct doc must not be a suspect: $got")
+  }
+
   test("embedding cosine pairs: identical vectors similarity 1") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
