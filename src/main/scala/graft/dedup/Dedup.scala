@@ -26,7 +26,7 @@ object Dedup {
     val totalLen = ks.map(k => coalesce(length(k.cast("string")), lit(-1)))
       .reduce(_ + _)
     val prefix =
-      concat_ws("", ks.map(k => substring(k.cast("string"), 1, 16)): _*)
+      concat_ws("\u0001", ks.map(k => substring(k.cast("string"), 1, 16)): _*)
     Seq(xxhash64(ks: _*), hash(ks: _*), totalLen, prefix)
   }
 
@@ -113,12 +113,16 @@ object Dedup {
     * distinct fingerprints before the join. */
   def incrementalExactDedup(newDocs: DataFrame, idCol: String, textCol: String,
                             indexFingerprints: DataFrame): DataFrame = {
+    require(!newDocs.columns.contains("__fp"),
+      "column name __fp is reserved by incrementalExactDedup")
     val withFp = newDocs.withColumn("__fp",
       TextOps.contentFingerprint(col(textCol)))
     val fresh = exactDedup(withFp, Seq("__fp"), idCol)
-    fresh.join(
-        indexFingerprints.select(col("fingerprint")).distinct(),
-        fresh("__fp") === col("fingerprint"), "anti")
+    // Frame-qualified references on both sides: `newDocs` may itself carry
+    // a `fingerprint` column, which an unqualified name would make
+    // ambiguous.
+    val idx = indexFingerprints.select(col("fingerprint")).distinct()
+    fresh.join(idx, fresh("__fp") === idx("fingerprint"), "anti")
       .drop("__fp")
   }
 

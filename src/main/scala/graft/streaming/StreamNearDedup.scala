@@ -18,13 +18,23 @@ import graft.dedup.Dedup
   * alert once per agreeing bucket — downstream consumers dedupe per
   * (id, matched_id) or simply drop flagged ids.
   *
-  * State is bounded two ways, which is what keeps this runnable forever:
+  * A match requires |arrival − seen| ≤ horizon in EVENT time — an entry
+  * kept alive by unrelated bucket traffic cannot match beyond the horizon.
+  *
+  * State is bounded three ways, which is what keeps this runnable forever:
   *  - event-time TIMEOUT: a bucket with no arrivals for the horizon clears
-  *    itself, so live state covers only buckets active inside the horizon;
-  *  - `maxPerBucket` FIFO cap on hashes per bucket (a degenerate stream of
-  *    one repeated template cannot grow a bucket without bound; the oldest
-  *    hashes age out first and remain represented by newer near-identical
-  *    entries in the common case).
+  *    itself entirely;
+  *  - per-entry EVICTION below the watermark: entries too old to match any
+  *    future arrival are dropped on every update, so a continuously-active
+  *    bucket does not accumulate history;
+  *  - `maxPerBucket` LRU cap on DISTINCT hashes per bucket — a repeated
+  *    template REFRESHES its existing entry (keeping the earliest doc id)
+  *    instead of appending, so a high-volume duplicate cannot evict other
+  *    in-horizon hashes.
+  *
+  * Rows with a null event time (e.g. unparseable upstream timestamps) are
+  * dropped before the stateful operator — a poison record must not take
+  * the query down.
   */
 object StreamNearDedup {
 
@@ -35,9 +45,9 @@ object StreamNearDedup {
   /** `id` matched `matched_id` (seen earlier) at Hamming `hamming`. */
   case class Alert(id: Long, matched_id: Long, hamming: Int)
 
-  /** (simhash, first doc id seen with it) entries of one bucket. */
-  private[streaming] case class BucketState(entries: List[(Long, Long)],
-                                            maxTsMs: Long)
+  /** (simhash, earliest doc id seen with it, last-seen event-time ms)
+    * entries of one bucket, most-recently-seen first. */
+  private[streaming] case class BucketState(entries: List[(Long, Long, Long)])
 
   /** @param stream     streaming DataFrame with `idCol` (castable to long),
     *                    `textCol`, and event-time column `eventTime`
@@ -54,6 +64,7 @@ object StreamNearDedup {
     val spark = stream.sparkSession
     import spark.implicits._
     val posted = Dedup.withSimhash(stream, textCol)
+      .where(col(eventTime).isNotNull)
       .withWatermark(eventTime, s"$horizonMs milliseconds")
       .select(col(idCol).cast("long").as("id"), col(eventTime).as("ts"),
         col("simhash"),
@@ -69,28 +80,53 @@ object StreamNearDedup {
             state.remove()
             Iterator.empty
           } else {
-            val prior = state.getOption.getOrElse(BucketState(Nil, 0L))
-            var entries = prior.entries
-            var maxTs = prior.maxTsMs
-            val out = List.newBuilder[Alert]
-            // Ascending id: deterministic matched_id for intra-batch pairs.
-            rows.toSeq.sortBy(_.id).foreach { p =>
-              entries.find { case (h, mid) =>
-                mid != p.id &&
-                  java.lang.Long.bitCount(h ^ p.simhash) <= maxHamming
-              }.foreach { case (h, mid) =>
-                out += Alert(p.id, mid, java.lang.Long.bitCount(h ^ p.simhash))
-              }
-              entries = ((p.simhash, p.id) :: entries).take(maxPerBucket)
-              maxTs = math.max(maxTs, p.ts.getTime)
-            }
-            state.update(BucketState(entries, maxTs))
+            val wm = state.getCurrentWatermarkMs()
+            val (entries, alerts, maxTs) = processBucket(
+              rows.toSeq, state.getOption.map(_.entries).getOrElse(Nil),
+              wm, horizonMs, maxHamming, maxPerBucket)
+            state.update(BucketState(entries))
             // Expire once nothing inside the horizon can match anymore;
             // must be beyond the current watermark or Spark rejects it.
-            state.setTimeoutTimestamp(
-              math.max(maxTs + horizonMs, state.getCurrentWatermarkMs() + 1))
-            out.result().iterator
+            state.setTimeoutTimestamp(math.max(maxTs + horizonMs, wm + 1))
+            alerts.iterator
           }
       }
+  }
+
+  /** Pure per-bucket transition (unit-tested directly): given a batch's
+    * postings for one bucket and the prior entries, produce the updated
+    * entries, the alerts, and the newest entry timestamp. */
+  private[streaming] def processBucket(rows: Seq[Posting],
+                                       prior: List[(Long, Long, Long)],
+                                       wm: Long, horizonMs: Long,
+                                       maxHamming: Int, maxPerBucket: Int)
+      : (List[(Long, Long, Long)], List[Alert], Long) = {
+    // Entries below the watermark cannot be within the horizon of any
+    // arrival the watermark still admits — drop them even if unrelated
+    // traffic keeps this bucket alive.
+    var entries = prior.filter(_._3 >= wm)
+    val out = List.newBuilder[Alert]
+    // Ascending id: deterministic matched_id for intra-batch pairs.
+    rows.sortBy(_.id).foreach { p =>
+      val tsMs = p.ts.getTime
+      entries.find { case (h, mid, seenMs) =>
+        mid != p.id &&
+          java.lang.Long.bitCount(h ^ p.simhash) <= maxHamming &&
+          math.abs(tsMs - seenMs) <= horizonMs
+      }.foreach { case (h, mid, _) =>
+        out += Alert(p.id, mid, java.lang.Long.bitCount(h ^ p.simhash))
+      }
+      // LRU upsert keyed by hash: a repeat refreshes last-seen and keeps
+      // the EARLIEST doc id; only distinct hashes count against the cap.
+      entries = entries.find(_._1 == p.simhash) match {
+        case Some((h, mid, seenMs)) =>
+          (h, math.min(mid, p.id), math.max(seenMs, tsMs)) ::
+            entries.filterNot(_._1 == p.simhash)
+        case None =>
+          ((p.simhash, p.id, tsMs) :: entries).take(maxPerBucket)
+      }
+    }
+    val maxTs = if (entries.isEmpty) wm else entries.map(_._3).max
+    (entries, out.result(), maxTs)
   }
 }

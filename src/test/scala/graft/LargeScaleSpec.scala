@@ -7,8 +7,10 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.dedup.Dedup
 
 /** Marker for multi-minute validation runs, EXCLUDED from the default
-  * `sbt test` (build.sbt filters it). Run explicitly:
-  *   sbt "testOnly graft.LargeScaleSpec -- -n graft.LargeScale"
+  * `sbt test` (build.sbt filters it unless GRAFT_LARGE_SCALE is set — a
+  * bare `-- -n graft.LargeScale` include cannot override the exclusion).
+  * Run explicitly:
+  *   GRAFT_LARGE_SCALE=1 sbt "testOnly graft.LargeScaleSpec"
   */
 object LargeScale extends Tag("graft.LargeScale")
 

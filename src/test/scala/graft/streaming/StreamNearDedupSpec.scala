@@ -46,6 +46,53 @@ class StreamNearDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bucket transition: repeated template cannot evict distinct in-horizon hashes") {
+    import StreamNearDedup.{processBucket, Posting}
+    def p(id: Long, tsMs: Long, h: Long) =
+      Posting(id, new java.sql.Timestamp(tsMs), h, 0, 0L)
+    val hB = 0x1111L
+    val hT = 0xFFFF0000L // far from hB: no cross-matching
+    // Seed: B at t=0; then the template floods 4 arrivals with cap 2.
+    val (e1, a1, _) = processBucket(Seq(p(1, 0, hB)), Nil,
+      wm = -1, horizonMs = 1000, maxHamming = 3, maxPerBucket = 2)
+    assert(a1.isEmpty)
+    val flood = (2 to 5).map(i => p(i.toLong, i * 10L, hT))
+    val (e2, _, _) = processBucket(flood, e1,
+      wm = -1, horizonMs = 1000, maxHamming = 3, maxPerBucket = 2)
+    // B's entry must survive: the template refreshed ONE entry, not four.
+    assert(e2.exists(_._1 == hB), s"distinct hash evicted: $e2")
+    assert(e2.count(_._1 == hT) == 1)
+    assert(e2.find(_._1 == hT).get._2 == 2L) // earliest template id kept
+    // A true near-dup of B still alerts.
+    val (_, a3, _) = processBucket(Seq(p(9, 100, hB ^ 1L)), e2,
+      wm = -1, horizonMs = 1000, maxHamming = 3, maxPerBucket = 2)
+    assert(a3.map(a => (a.id, a.matched_id, a.hamming)) == List((9L, 1L, 1)))
+  }
+
+  test("bucket transition: a live bucket still refuses beyond-horizon matches") {
+    import StreamNearDedup.{processBucket, Posting}
+    def p(id: Long, tsMs: Long, h: Long) =
+      Posting(id, new java.sql.Timestamp(tsMs), h, 0, 0L)
+    val hB = 0x2222L
+    val hK = 0x7777000000L // keeps the bucket busy, never matches hB
+    var entries = processBucket(Seq(p(1, 0, hB)), Nil, -1, 1000, 3, 64)._1
+    // Unrelated traffic every 500ms keeps the bucket alive far past B's
+    // horizon (wm stays below B's ts so watermark eviction never fires).
+    (1 to 10).foreach { i =>
+      entries = processBucket(Seq(p(100 + i.toLong, i * 500L, hK + i)),
+        entries, -1, 1000, 3, 64)._1
+    }
+    // t=5000: B (seen at t=0, horizon 1000) must NOT match anymore.
+    val (_, alerts, _) = processBucket(Seq(p(200, 5000, hB)), entries,
+      -1, 1000, 3, 64)
+    assert(!alerts.exists(_.matched_id == 1L),
+      s"beyond-horizon entry matched: $alerts")
+    // And watermark-based eviction drops it outright once wm passes it.
+    val (e2, _, _) = processBucket(Seq(p(201, 5001, hK)), entries,
+      wm = 4000, horizonMs = 1000, maxHamming = 3, maxPerBucket = 64)
+    assert(!e2.exists(_._1 == hB))
+  }
+
   test("a doc seen only beyond the horizon no longer matches (state expires)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
