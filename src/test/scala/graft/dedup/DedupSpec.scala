@@ -71,6 +71,27 @@ class DedupSpec extends AnyFunSuite {
     assert(!cands.contains((2L, 4L)))
   }
 
+  test("minhash signatures are bit-identical under the distinct-shingle dim") {
+    // hashPerDistinctShingle trades md5 volume for two posting shuffles;
+    // whatever the plan shape, the signature VALUES must not move (they
+    // are the cross-engine bucket currency the oracle mirrors).
+    val corpus = (0L until 25L).map { i =>
+      (i, s"shared prefix words number${i % 4} middle${i % 3} and a tail")
+    }.toDF("doc_id", "text")
+    val direct = Dedup.minhashSignatures(corpus, "doc_id", "text", 3, 8)
+      .orderBy(col("id")).collect().toSeq
+    val dim = Dedup.minhashSignatures(corpus, "doc_id", "text", 3, 8,
+        hashPerDistinctShingle = true)
+      .orderBy(col("id")).collect().toSeq
+    assert(direct == dim)
+    // And with a hot-shingle threshold low enough to route shared shingles
+    // through the broadcast branch.
+    val hot = Dedup.minhashSignatures(corpus, "doc_id", "text", 3, 8,
+        hashPerDistinctShingle = true, hotDf = 2L)
+      .orderBy(col("id")).collect().toSeq
+    assert(direct == hot)
+  }
+
   test("simhash: identical docs distance 0, near-dups close, distinct far") {
     val sim = Dedup.withSimhash(docs, "text")
       .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
