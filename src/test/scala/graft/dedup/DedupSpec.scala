@@ -175,6 +175,33 @@ class DedupSpec extends AnyFunSuite {
     assert(components(star) == components(allPairs))
   }
 
+  test("combo-bucket pigeonhole: any pair within Hamming 3 shares a key (300 random pairs)") {
+    // Deterministic pseudo-random 64-bit hashes with 0-3 flipped bits; the
+    // pair MUST land in ≥1 common (ci, ck) bucket — the recall contract the
+    // verified-edge and streaming paths rely on. One Spark job for all
+    // pairs.
+    val rnd = new scala.util.Random(42)
+    val pairs = (0 until 300).map { i =>
+      val h = rnd.nextLong()
+      val flips = rnd.nextInt(4)
+      val h2 = (0 until flips).foldLeft(h)((acc, _) => acc ^ (1L << rnd.nextInt(64)))
+      (i.toLong, h, h2)
+    }
+    val hashes = pairs.flatMap { case (i, h, h2) =>
+      Seq((2 * i, h), (2 * i + 1, h2)) }.toDF("id", "simhash")
+    val keyed = hashes.select(col("id"),
+        explode(Dedup.simhashComboKeys(blocks = 6, maxHamming = 3)).as("c"))
+      .select((col("id") / 2).cast("long").as("pair"), col("id"),
+        col("c.ci").as("ci"), col("c.ck").as("ck"))
+    val sharing = keyed.groupBy(col("pair"), col("ci"), col("ck"))
+      .agg(countDistinct(col("id")).as("n"))
+      .where(col("n") === 2)
+      .select("pair").distinct()
+      .as[Long].collect().toSet
+    val missing = pairs.map(_._1).toSet -- sharing
+    assert(missing.isEmpty, s"pairs within Hamming 3 with NO shared bucket: $missing")
+  }
+
   test("simhashVerifiedEdges: components split where Hamming exceeds the radius") {
     // Exact dups (0,3) must land in one component; a doc sharing a band by
     // CHANCE but far in Hamming must NOT be merged. Construct the chance
