@@ -361,8 +361,10 @@ object SparkEntry {
 
     // Dedup: SimHash near-dup candidates (custom Catalyst expression;
     // oracled via a HUGEINT FNV-1a + bit-majority mirror in DuckDB).
-    // maxHamming = bands - 1: the pigeonhole recall contract — 4 bands
-    // guarantee every pair within Hamming 3 shares a band.
+    // Engine buckets by 3-of-6-block combination keys (maxHamming < blocks
+    // pigeonhole — full recall at Hamming ≤ 3); the oracle mirrors the
+    // simpler 4×16-bit banding, which by the same pigeonhole admits the
+    // identical verified pair set {hamming ≤ 3}.
     "q44_simhash_dedup" -> ((s, d) =>
       Dedup.simhashCandidates(t(s, d, "documents"), "doc_id", "text",
           maxHamming = 3)
@@ -764,9 +766,8 @@ object SparkEntry {
       val index = docs.where(col("doc_id") % 10 < 8)
         .select(TextOps.contentFingerprint(col("text")).as("fingerprint"))
       Dedup.incrementalExactDedup(docs.where(col("doc_id") % 10 >= 8),
-          "doc_id", "text", index)
-        .select(col("doc_id"),
-          TextOps.contentFingerprint(col("text")).as("fingerprint"))
+          "doc_id", "text", index, fingerprintOut = Some("fingerprint"))
+        .select(col("doc_id"), col("fingerprint"))
         .orderBy(col("doc_id"))
     }),
 

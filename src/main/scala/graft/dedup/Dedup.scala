@@ -111,10 +111,17 @@ object Dedup {
     * anti-join probes one row per distinct content — its key can never be
     * hot no matter how degenerate the batch. The index side reduces to
     * distinct fingerprints before the join. */
+  /** @param fingerprintOut when set, the survivors keep their (already
+    *                       computed) fingerprint under this column name —
+    *                       callers that persist it back into the index
+    *                       shouldn't pay the md5 twice. */
   def incrementalExactDedup(newDocs: DataFrame, idCol: String, textCol: String,
-                            indexFingerprints: DataFrame): DataFrame = {
+                            indexFingerprints: DataFrame,
+                            fingerprintOut: Option[String] = None): DataFrame = {
     require(!newDocs.columns.contains("__fp"),
       "column name __fp is reserved by incrementalExactDedup")
+    fingerprintOut.foreach(n => require(!newDocs.columns.contains(n),
+      s"fingerprintOut column '$n' already exists on the input"))
     val withFp = newDocs.withColumn("__fp",
       TextOps.contentFingerprint(col(textCol)))
     val fresh = exactDedup(withFp, Seq("__fp"), idCol)
@@ -122,8 +129,11 @@ object Dedup {
     // a `fingerprint` column, which an unqualified name would make
     // ambiguous.
     val idx = indexFingerprints.select(col("fingerprint")).distinct()
-    fresh.join(idx, fresh("__fp") === idx("fingerprint"), "anti")
-      .drop("__fp")
+    val kept = fresh.join(idx, fresh("__fp") === idx("fingerprint"), "anti")
+    fingerprintOut match {
+      case Some(n) => kept.withColumnRenamed("__fp", n)
+      case None => kept.drop("__fp")
+    }
   }
 
   /** Fingerprint dedup groups: normalize → md5 → group; returns one row per

@@ -257,11 +257,15 @@ object Graph {
         if (curRdd != null) curRdd.unpersist(blocking = false)
         throw e
     }
-    if (!converged)
+    if (!converged) {
+      // Same contract as the catch block: nothing downstream can use the
+      // final round's cache once we throw — release it.
+      if (curRdd != null) curRdd.unpersist(blocking = false)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds " +
           s"(${curStats._1} edges at round $it) — labels would NOT be " +
           "connected components; raise maxIters")
+    }
     // At the star fixpoint each node's symmetric neighborhood contains its
     // component root (the root's neighbors are all larger), so
     // comp = min(neighbors ∪ self). `least` skips the null an unmatched

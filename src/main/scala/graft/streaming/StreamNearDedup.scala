@@ -32,9 +32,9 @@ import graft.dedup.Dedup
   *    instead of appending, so a high-volume duplicate cannot evict other
   *    in-horizon hashes.
   *
-  * Rows with a null event time (e.g. unparseable upstream timestamps) are
-  * dropped before the stateful operator — a poison record must not take
-  * the query down.
+  * Rows with a null event time, a non-castable id, or a null text (e.g.
+  * unparseable upstream records) are dropped before the stateful operator
+  * — a poison record must not take the query down.
   */
 object StreamNearDedup {
 
@@ -64,7 +64,11 @@ object StreamNearDedup {
     val spark = stream.sparkSession
     import spark.implicits._
     val posted = Dedup.withSimhash(stream, textCol)
-      .where(col(eventTime).isNotNull)
+      // Poison-record guards: a null event time, an id that does not cast
+      // to long, or a null text (null simhash) must be DROPPED, not allowed
+      // to kill the query at the non-nullable Posting encoder.
+      .where(col(eventTime).isNotNull &&
+        col(idCol).cast("long").isNotNull && col("simhash").isNotNull)
       .withWatermark(eventTime, s"$horizonMs milliseconds")
       .select(col(idCol).cast("long").as("id"), col(eventTime).as("ts"),
         col("simhash"),
@@ -101,10 +105,11 @@ object StreamNearDedup {
                                        wm: Long, horizonMs: Long,
                                        maxHamming: Int, maxPerBucket: Int)
       : (List[(Long, Long, Long)], List[Alert], Long) = {
-    // Entries below the watermark cannot be within the horizon of any
-    // arrival the watermark still admits — drop them even if unrelated
-    // traffic keeps this bucket alive.
-    var entries = prior.filter(_._3 >= wm)
+    // A late arrival the watermark still admits can carry event time as
+    // low as wm, so entries down to wm − horizon can still legitimately
+    // match — evict strictly below that. Live state spans ≤ 2×horizon of
+    // event time per bucket even under constant unrelated traffic.
+    var entries = prior.filter(_._3 >= wm - horizonMs)
     val out = List.newBuilder[Alert]
     // Ascending id: deterministic matched_id for intra-batch pairs.
     rows.sortBy(_.id).foreach { p =>

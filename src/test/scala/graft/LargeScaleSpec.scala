@@ -29,6 +29,11 @@ object LargeScale extends Tag("graft.LargeScale")
   * datapoint: 4× the docs must cost well under the quadratic 16×.
   */
 class LargeScaleSpec extends AnyFunSuite {
+  // getOrCreate REUSES an existing session (e.g. SparkTestSession's
+  // local[4] when this spec runs inside a combined `sbt test` with the
+  // env opt-in); the configs below then only apply to a standalone
+  // `testOnly graft.LargeScaleSpec` run. The ratio assertions stay valid
+  // either way — both measured runs share whatever session exists.
   private lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[8]")
