@@ -733,11 +733,13 @@ object SparkEntry {
     // the large-star/small-star component resolver.
     "q70_minhash_components" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      // Materialized once: the MinHash signature (two md5s per shingle)
-      // dominates this query's cost and the star-edge core would otherwise
-      // compute it twice.
-      val banded = mat(Dedup.minhashBandPostings(docs, "doc_id", "text",
-        n = 3, numHashes = 8, bands = 4))
+      // Materialize the COMPACT signature (one row per doc) — the md5 work
+      // dominates and the star-edge core references the postings twice;
+      // the ×4 banding explode re-derives lazily from the cached frame.
+      val sig = mat(Dedup.minhashSignatures(docs, "doc_id", "text",
+        n = 3, numHashes = 8))
+      val banded = Dedup.minhashBandPostingsFromSignatures(sig,
+        numHashes = 8, bands = 4)
       val edges = Dedup.starEdgesFromBuckets(banded, Seq("band_idx", "band_val"))
       val labeled = Graph.connectedComponents(docs.select(col("doc_id")),
         "doc_id", edges, "id_a", "id_b")

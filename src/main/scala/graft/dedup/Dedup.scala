@@ -314,14 +314,16 @@ object Dedup {
     }
   }
 
-  /** Exploded (id, band_idx, band_val) MinHash postings — the shared first
-    * stage of both MinHash candidate shapes; exposed so composed pipelines
-    * can materialize them once (the MinHash signature dominates the cost). */
-  def minhashBandPostings(df: DataFrame, idCol: String, textCol: String,
-                          n: Int, numHashes: Int, bands: Int): DataFrame = {
+  /** [[minhashBandPostings]] over pre-computed [[minhashSignatures]] — a
+    * composed pipeline that references the postings twice should
+    * materialize the COMPACT signature frame (one row per doc, 8 longs)
+    * and derive the ×bands explode lazily on each side: the banding is a
+    * cheap codegen'd projection, while checkpointing the exploded postings
+    * writes bands× rows with string band values. */
+  def minhashBandPostingsFromSignatures(sig: DataFrame, numHashes: Int,
+                                        bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands evenly")
     val rows = numHashes / bands
-    val sig = minhashSignatures(df, idCol, textCol, n, numHashes)
     val bandStructs = array((0 until bands).map { b =>
       struct(lit(b).as("band_idx"),
         concat_ws("_", (0 until rows).map(r => col(s"mh${b * rows + r}")): _*).as("band_val"))
@@ -330,6 +332,15 @@ object Dedup {
       .select(col("id"), col("band.band_idx").as("band_idx"),
               col("band.band_val").as("band_val"))
   }
+
+  /** Exploded (id, band_idx, band_val) MinHash postings — the shared first
+    * stage of both MinHash candidate shapes; see
+    * [[minhashBandPostingsFromSignatures]] for the materialization-friendly
+    * split. */
+  def minhashBandPostings(df: DataFrame, idCol: String, textCol: String,
+                          n: Int, numHashes: Int, bands: Int): DataFrame =
+    minhashBandPostingsFromSignatures(
+      minhashSignatures(df, idCol, textCol, n, numHashes), numHashes, bands)
 
   /** MinHash + LSH candidate pairs: band the signature, bucket-join on
     * (band index, band value). Docs agreeing on ANY band become candidates —
