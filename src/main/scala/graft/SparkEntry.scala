@@ -785,6 +785,22 @@ object SparkEntry {
           "doc_id", "text", n = 3, numHashes = 8, bands = 4, index)
         .select(col("id").as("doc_id"), col("n_matching_bands"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Bloom-prefiltered decontamination: same contract as q66 (different
+    // split/threshold so the two queries stay distinct) but the corpus
+    // side probes a broadcast Bloom filter before anything shuffles — the
+    // shape for benchmark suites too big to broadcast exactly. The result
+    // is bit-identical to the plain join for any fpp, which is exactly
+    // what the oracle checks.
+    "q74_bloom_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tr = Dedup.shinglePostings(
+        docs.where(col("doc_id") % 40 =!= 0), "doc_id", "text", n = 3)
+      val te = Dedup.shinglePostings(
+        docs.where(col("doc_id") % 40 === 0), "doc_id", "text", n = 3)
+      Dedup.contaminationFromPostingsBloom(tr, te, minShared = 2L, fpp = 0.01)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1604,6 +1620,15 @@ object SparkEntry {
          bat AS (SELECT id, bi, bv FROM mbands WHERE id % 10 >= 8)
          SELECT b.id AS doc_id, count(*) AS n_matching_bands
          FROM bat b JOIN idx i ON b.bi = i.bi AND b.bv = i.bv
-         GROUP BY b.id ORDER BY doc_id"""
+         GROUP BY b.id ORDER BY doc_id""",
+    // The Bloom prefilter is an engine-side physical optimization with no
+    // semantic footprint: the oracle is the plain exact-join SQL.
+    "q74_bloom_decontaminate" ->
+      s"""WITH $shinglesCte,
+         te AS (SELECT DISTINCT $contShingleHashSql AS shh FROM e WHERE id % 40 = 0),
+         tr AS (SELECT id, $contShingleHashSql AS shh FROM e WHERE id % 40 <> 0)
+         SELECT id AS doc_id, count(*) AS n_shared
+         FROM tr JOIN te USING (shh)
+         GROUP BY id HAVING count(*) >= 2 ORDER BY doc_id"""
   )
 }

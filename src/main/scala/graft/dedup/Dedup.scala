@@ -248,6 +248,44 @@ object Dedup {
       .select(col("id").as("doc_id"), col("n_shared"))
   }
 
+  /** [[contaminationFromPostings]] with a broadcast Bloom prefilter on the
+    * training side — the shape for benchmark suites too big to broadcast as
+    * an exact hash set.
+    *
+    * The plain join leaves Spark two bad options once the test side
+    * outgrows the broadcast threshold: shuffle EVERY training posting
+    * (corpus-sized shuffle at 100 TB) or broadcast tens of millions of
+    * 8-byte hashes per executor. A Bloom filter over the test hashes is
+    * ~1.2 bytes/element at 1% fpp — 10M benchmark shingles broadcast as
+    * ~12 MB — and the corpus side shuffles only the bloom-positive
+    * postings: true matches (rare by construction — contamination is the
+    * exception) plus an fpp-sized sliver. The exact join against the test
+    * hashes then runs on that sliver, so false positives are eliminated
+    * and the result is BIT-IDENTICAL to [[contaminationFromPostings]] for
+    * any fpp (Bloom filters have no false negatives).
+    *
+    * The filter build is one treeAggregate action over the test postings
+    * and the verify join re-derives them, so pass a materialized frame
+    * (the [[contaminationFromPostings]] caller contract already says so
+    * for composed pipelines). `mightContainLong` is a JVM lambda — the
+    * one UDF in the engine, kept because Spark's own
+    * `BloomFilterMightContain` expression is not public API and the probe
+    * is a handful of xxhash rounds per row either way. */
+  def contaminationFromPostingsBloom(train: DataFrame, test: DataFrame,
+                                     minShared: Long,
+                                     fpp: Double = 0.01): DataFrame = {
+    val te = test.select(col("shh")).distinct()
+    val spark = te.sparkSession
+    val bloom = te.stat.bloomFilter("shh", math.max(te.count(), 1L), fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+    train.where(mightContain(col("shh")))
+      .join(te, Seq("shh"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .select(col("id").as("doc_id"), col("n_shared"))
+  }
+
   /** Benchmark decontamination: for each training doc, the number of
     * distinct n-gram shingles it shares with ANY document of the held-out
     * test/benchmark set. Docs at or above `minShared` should be dropped

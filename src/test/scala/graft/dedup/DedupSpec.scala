@@ -347,6 +347,32 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(0L -> 8L)) // 10 tokens → 8 distinct 3-gram shingles
   }
 
+  test("bloom-prefiltered contamination is bit-identical to the exact join") {
+    // A mixed corpus: one exact copy of a test doc, one partial overlap,
+    // many clean docs (the bloom must pass the first two and the exact
+    // verify join must kill any false positives among the rest).
+    val train = (
+      Seq((0L, "alpha beta gamma delta epsilon zeta eta theta"),
+          (1L, "alpha beta gamma unrelated trailing words here now")) ++
+      (2L to 60L).map(i => (i, s"clean document number $i with words w$i x$i y$i z$i"))
+    ).toDF("doc_id", "text")
+    val test_ = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val tr = Dedup.shinglePostings(train, "doc_id", "text", n = 3)
+    val te = Dedup.shinglePostings(test_, "doc_id", "text", n = 3)
+    val exact = Dedup.contaminationFromPostings(tr, te, minShared = 1L)
+      .as[(Long, Long)].collect().toMap
+    // Identical across fpp settings, INCLUDING an absurd 50% false-positive
+    // rate: the verify join makes fpp a pure performance knob.
+    for (fpp <- Seq(0.5, 0.01)) {
+      val bloom = Dedup.contaminationFromPostingsBloom(tr, te,
+          minShared = 1L, fpp = fpp)
+        .as[(Long, Long)].collect().toMap
+      assert(bloom == exact, s"fpp=$fpp diverged from exact join")
+    }
+    assert(exact.contains(0L) && exact.contains(1L) && exact.size == 2)
+  }
+
   test("rolling hash expression matches the scala reference implementation") {
     Expressions.register(spark)
     val df = docs.select(col("doc_id"), Expressions.rollingHash(col("text")).as("h"),
