@@ -801,6 +801,22 @@ object SparkEntry {
         docs.where(col("doc_id") % 40 === 0), "doc_id", "text", n = 3)
       Dedup.contaminationFromPostingsBloom(tr, te, minShared = 2L, fpp = 0.01)
         .orderBy(col("doc_id"))
+    }),
+
+    // Training-mix assembly: fill a per-source TOKEN budget (varying by
+    // source) with the deterministic md5 draw — the bucketed two-phase
+    // cumulative sum, bit-identical to the oracle's naive window.
+    "q75_mixture_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("n_toks", TextOps.tokenCount(col("text")).cast("long"))
+      val budgets = docs.select(col("source")).distinct()
+        .withColumn("budget",
+          lit(500L) + lit(250L) *
+            (substring(col("source"), 4, 10).cast("long") % 4L))
+      operators.Mixture.tokenBudgetSample(docs, "source", col("n_toks"),
+          col("doc_id"), budgets)
+        .select(col("doc_id"), col("source"), col("n_toks"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1629,6 +1645,20 @@ object SparkEntry {
          tr AS (SELECT id, $contShingleHashSql AS shh FROM e WHERE id % 40 <> 0)
          SELECT id AS doc_id, count(*) AS n_shared
          FROM tr JOIN te USING (shh)
-         GROUP BY id HAVING count(*) >= 2 ORDER BY doc_id"""
+         GROUP BY id HAVING count(*) >= 2 ORDER BY doc_id""",
+    // The oracle states the SEMANTICS (one windowed cumulative sum per
+    // source); the engine's bucketed two-phase form must be bit-identical.
+    "q75_mixture_sample" ->
+      """WITH w AS (SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks,
+             md5(CAST(doc_id AS VARCHAR)) AS k,
+             500 + 250 * (CAST(substring(source, 4) AS BIGINT) % 4) AS budget
+           FROM documents),
+         c AS (SELECT doc_id, source, n_toks, budget,
+             sum(n_toks) OVER (PARTITION BY source ORDER BY k
+                               ROWS UNBOUNDED PRECEDING) AS run
+           FROM w)
+         SELECT doc_id, source, n_toks FROM c WHERE run <= budget
+         ORDER BY doc_id"""
   )
 }

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mixture sampling for training-data pipelines: fill per-domain TOKEN
+  * budgets (not row quotas) with a deterministic, cross-engine-reproducible
+  * draw — the "sample 30B tokens of web, 5B of code" step that turns a
+  * curated corpus into a training mix.
+  *
+  * Semantics: within each stratum, rows are ordered by md5(id) and kept
+  * while the running weight total (inclusive of the current row) stays at
+  * or under the stratum's budget — exactly a windowed cumulative sum, which
+  * is what the oracle mirrors.
+  *
+  * Scale shape: the naive single window per stratum is one unsplittable
+  * task holding an entire domain — at 100 TB a "web" stratum IS most of the
+  * corpus. Instead the cumulative sum runs in two exact phases on the md5
+  * key's 3-hex-char prefix (4096 buckets):
+  *   1. per-(stratum, bucket) weight sums — a map-side-combined groupBy,
+  *      fully splittable;
+  *   2. a cumulative sum over the ≤4096 bucket rows per stratum (tiny
+  *      window), classifying each bucket as kept-whole (bucket cum ≤
+  *      budget), dropped-whole (previous cum > budget), or boundary;
+  *   3. ONLY the single boundary bucket per stratum — ~1/4096th of the
+  *      stratum — pays a per-row window, seeded with the cum of all
+  *      preceding buckets.
+  * Because the bucket is a PREFIX of the ordering key, bucket order and
+  * row order agree and the result is bit-identical to the naive window.
+  */
+object Mixture {
+
+  private val reserved = Seq("__k", "__b", "__bw", "__cum", "__before",
+    "__budget", "__run")
+
+  /** Keep rows of `df` up to a per-stratum weight budget, in md5(id) order.
+    *
+    * `budgets` is a (stratumCol, budget) frame — typically a handful of
+    * rows, joined broadcast. Strata absent from it contribute no rows.
+    * `weight` must be non-null and non-negative on every row (token counts
+    * are; a null would silently vanish from the sums).
+    *
+    * Output: `df`'s rows (original columns) that fit the budget. The
+    * running total is intentionally NOT emitted — producing it for
+    * kept-whole buckets would force the per-row window everywhere and
+    * reintroduce the giant-stratum task this exists to avoid.
+    */
+  def tokenBudgetSample(df: DataFrame, stratumCol: String, weight: Column,
+                        idExpr: Column, budgets: DataFrame): DataFrame = {
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty, s"tokenBudgetSample reserves ${reserved.mkString(", ")}; " +
+      s"input already has ${clash.mkString(", ")}")
+    require(budgets.columns.contains(stratumCol) && budgets.columns.contains("budget"),
+      s"budgets frame needs ($stratumCol, budget) columns, has ${budgets.columns.mkString(", ")}")
+
+    val keyed = df
+      .withColumn("__k", md5(idExpr.cast("string")))
+      .withColumn("__b", conv(substring(col("__k"), 1, 3), 16, 10).cast("int"))
+    val bs = broadcast(budgets.select(col(stratumCol), col("budget").as("__budget")))
+
+    // Phase 1+2: bucket sums, tiny per-stratum cumulative, classification.
+    val bucketW = Window.partitionBy(stratumCol).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val buckets = keyed.groupBy(col(stratumCol), col("__b"))
+      .agg(sum(weight).as("__bw"))
+      .withColumn("__cum", sum(col("__bw")).over(bucketW))
+      .withColumn("__before", col("__cum") - col("__bw"))
+      .join(bs, Seq(stratumCol))
+    val keepWhole = buckets.where(col("__cum") <= col("__budget"))
+      .select(col(stratumCol), col("__b"))
+    // A zero-weight row keeps its running total flat, so __before == budget
+    // is still (barely) alive — only __before > budget is surely dead.
+    val boundary = buckets
+      .where(col("__cum") > col("__budget") && col("__before") <= col("__budget"))
+      .select(col(stratumCol), col("__b"), col("__before"), col("__budget"))
+
+    // Phase 3: per-row window ONLY inside boundary buckets.
+    val inBucketW = Window.partitionBy(col(stratumCol), col("__b"))
+      .orderBy(col("__k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keptBoundary = keyed.join(broadcast(boundary), Seq(stratumCol, "__b"))
+      .withColumn("__run", col("__before") + sum(weight).over(inBucketW))
+      .where(col("__run") <= col("__budget"))
+      .drop("__before", "__budget", "__run")
+
+    keyed.join(broadcast(keepWhole), Seq(stratumCol, "__b"))
+      .unionByName(keptBoundary)
+      .drop("__k", "__b")
+  }
+
+  /** The naive single-window formulation — one unsplittable task per
+    * stratum; kept as the semantic reference the bucketed path is
+    * property-tested against, and as the right tool for SMALL strata. */
+  def tokenBudgetSampleNaive(df: DataFrame, stratumCol: String, weight: Column,
+                             idExpr: Column, budgets: DataFrame): DataFrame = {
+    val w = Window.partitionBy(stratumCol).orderBy(md5(idExpr.cast("string")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.join(broadcast(budgets.select(col(stratumCol), col("budget").as("__budget"))),
+        Seq(stratumCol))
+      .withColumn("__run", sum(weight).over(w))
+      .where(col("__run") <= col("__budget"))
+      .drop("__run", "__budget")
+  }
+}
