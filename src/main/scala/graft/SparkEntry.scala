@@ -817,6 +817,18 @@ object SparkEntry {
           col("doc_id"), budgets)
         .select(col("doc_id"), col("source"), col("n_toks"))
         .orderBy(col("doc_id"))
+    }),
+
+    // C4-style duplicate-segment removal over 12-token blocks (the corpus
+    // has no line structure): any block occurring >2 times corpus-wide is
+    // boilerplate; docs are reassembled from their surviving blocks.
+    "q76_line_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.segmentDedup(docs, "doc_id", Dedup.tokenBlocks(col("text"), 12),
+          maxCount = 2L)
+        .select(col("id").as("doc_id"), col("text_clean"),
+          col("n_kept"), col("n_removed"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1659,6 +1671,25 @@ object SparkEntry {
                                ROWS UNBOUNDED PRECEDING) AS run
            FROM w)
          SELECT doc_id, source, n_toks FROM c WHERE run <= budget
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    // Membership is by raw segment string here (hash-agnostic), so the
+    // engine's xxhash64 hot set must resolve to the same segments.
+    "q76_line_dedup" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             FROM documents),
+         lf AS (SELECT doc_id,
+             list_transform(range(1, CAST(ceil(len(toks) / 12.0) AS INT) + 1),
+               i -> array_to_string(list_slice(toks, (i - 1) * 12 + 1, (i - 1) * 12 + 12), ' ')) AS lns
+           FROM tk),
+         segs AS (SELECT doc_id, unnest(lns) AS seg,
+             generate_subscripts(lns, 1) AS idx FROM lf),
+         hot AS (SELECT seg FROM segs GROUP BY seg HAVING count(*) > 2),
+         mk AS (SELECT s.doc_id, s.idx, s.seg, (h.seg IS NOT NULL) AS hot
+                FROM segs s LEFT JOIN hot h USING (seg))
+         SELECT doc_id,
+           coalesce(string_agg(CASE WHEN NOT hot THEN seg END, chr(10) ORDER BY idx), '') AS text_clean,
+           count(CASE WHEN NOT hot THEN 1 END) AS n_kept,
+           count(*) - count(CASE WHEN NOT hot THEN 1 END) AS n_removed
+         FROM mk GROUP BY doc_id ORDER BY doc_id"""
   )
 }

@@ -286,6 +286,70 @@ object Dedup {
       .select(col("id").as("doc_id"), col("n_shared"))
   }
 
+  /** C4/CCNet-style duplicate-SEGMENT removal: drop every segment (line,
+    * paragraph, fixed token block) that occurs more than `maxCount` times
+    * across the corpus, then reassemble each document from its surviving
+    * segments in original order. This is the sub-document dedup pass of a
+    * training pipeline — boilerplate headers/footers/navigation repeat
+    * across millions of pages that are NOT document-level duplicates.
+    *
+    * `segsCol` is the ordered array of segments for the row (use
+    * [[lineDedup]] for plain newline splitting). Output: one row per input
+    * doc — (id, text_clean, n_kept, n_removed) — including docs whose
+    * every segment was removed (empty text_clean), so the caller decides
+    * the drop threshold.
+    *
+    * Scale shape: segments explode to (id, idx, xxhash64(seg)) postings;
+    * the hot set is a map-side-combined count per 8-byte hash (never a
+    * distinct over raw strings), and only HOT hashes — the duplicated
+    * sliver of the corpus — flow into the membership join, which AQE
+    * broadcasts when small. Reassembly is one groupBy(id) whose state is
+    * bounded by document size. As with [[ngramJaccardFromPostings]], hash
+    * membership trades a ~n²/2⁶⁴ false-collision (a unique line counted
+    * into a hot line's tally) for string-free shuffles. */
+  def segmentDedup(df: DataFrame, idCol: String, segsCol: Column,
+                   maxCount: Long, sep: String = "\n"): DataFrame = {
+    val segs = df
+      .select(col(idCol).as("id"), posexplode(segsCol).as(Seq("idx", "seg")))
+      .withColumn("segh", xxhash64(col("seg")))
+    val hot = segs.groupBy(col("segh")).agg(count(lit(1)).as("n"))
+      .where(col("n") > maxCount)
+      .select(col("segh"), lit(true).as("__hot"))
+    segs.join(hot, Seq("segh"), "left")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("__hot").isNull, 1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__hot").isNull, struct(col("idx"), col("seg"))))),
+            x => x.getField("seg")),
+          sep).as("text_clean"))
+      .withColumn("n_removed", col("n_total") - col("n_kept"))
+      .select(col("id"), col("text_clean"), col("n_kept"), col("n_removed"))
+  }
+
+  /** [[segmentDedup]] splitting `textCol` on newlines — the literal C4
+    * "discard any line occurring more than k times" rule. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                maxCount: Long): DataFrame =
+    segmentDedup(df, idCol, split(col(textCol), "\n"), maxCount)
+
+  /** Fixed-size token blocks of `text` — the segmenter for corpora without
+    * line structure (transcripts, OCR). Binds the token split through a
+    * one-element transform lambda for the same no-CSE-into-lambdas reason
+    * as [[shingles]]. */
+  def tokenBlocks(text: Column, blockTokens: Int): Column =
+    element_at(
+      transform(array(TextOps.tokens(text)), tk =>
+        transform(
+          sequence(lit(1),
+            floor((size(tk) + lit(blockTokens - 1)) / lit(blockTokens)).cast("int")),
+          i => array_join(
+            slice(tk, (i - 1) * blockTokens + 1, lit(blockTokens)), " "))),
+      1)
+
   /** Benchmark decontamination: for each training doc, the number of
     * distinct n-gram shingles it shares with ANY document of the held-out
     * test/benchmark set. Docs at or above `minShared` should be dropped

@@ -373,6 +373,35 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.contains(0L) && exact.contains(1L) && exact.size == 2)
   }
 
+  test("segmentDedup removes corpus-hot lines and reassembles in order") {
+    // "nav bar" appears in 3 docs (> maxCount=2) → removed everywhere;
+    // "unique line N" survives; doc 3 is ALL boilerplate → empty text.
+    val df = Seq(
+      (0L, "nav bar\nunique line zero\nfooter text"),
+      (1L, "nav bar\nunique line one\nfooter text"),
+      (2L, "nav bar\nunique line two"),
+      (3L, "nav bar\nnav bar")
+    ).toDF("doc_id", "text")
+    // "footer text" occurs twice (== maxCount) → kept.
+    val got = Dedup.lineDedup(df, "doc_id", "text", maxCount = 2L)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(0L) == (("unique line zero\nfooter text", 2L, 1L)))
+    assert(got(1L) == (("unique line one\nfooter text", 2L, 1L)))
+    assert(got(2L) == (("unique line two", 1L, 1L)))
+    assert(got(3L) == (("", 0L, 2L))) // emptied doc still emitted
+    assert(got.size == 4)
+  }
+
+  test("tokenBlocks chunks tokens into fixed-size ordered blocks") {
+    val df = Seq((0L, "a b c d e f g"), (1L, "x")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        Dedup.tokenBlocks(col("text"), 3).as("blocks"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(0L) == Seq("a b c", "d e f", "g")) // 7 tokens → 3 blocks
+    assert(got(1L) == Seq("x"))
+  }
+
   test("rolling hash expression matches the scala reference implementation") {
     Expressions.register(spark)
     val df = docs.select(col("doc_id"), Expressions.rollingHash(col("text")).as("h"),
