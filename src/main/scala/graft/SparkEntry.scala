@@ -819,6 +819,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Containment near-dup pairs over the same shingle postings as q42:
+    // |A∩B| / min(|A|,|B|) catches subset-duplicates (a short doc embedded
+    // in a long one) that symmetric Jaccard structurally misses.
+    "q77_containment_pairs" -> ((s, d) => {
+      val postings = mat(Dedup.shinglePostings(t(s, d, "documents"),
+        "doc_id", "text", 3))
+      Dedup.ngramContainmentFromPostings(postings,
+          minContainment = 0.6, maxDocFreq = Some(100L))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // C4-style duplicate-segment removal over 12-token blocks (the corpus
     // has no line structure): any block occurring >2 times corpus-wide is
     // boilerplate; docs are reassembled from their surviving blocks.
@@ -1672,6 +1683,19 @@ object SparkEntry {
            FROM w)
          SELECT doc_id, source, n_toks FROM c WHERE run <= budget
          ORDER BY doc_id""",
+    "q77_containment_pairs" ->
+      s"""WITH $shinglesCte,
+         ef AS (SELECT * FROM e WHERE sh NOT IN
+                  (SELECT sh FROM e GROUP BY sh HAVING count(*) > 100)),
+         pairs AS (
+           SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+             count(*) AS inter
+           FROM ef a JOIN ef b ON a.sh = b.sh AND a.id < b.id
+           GROUP BY 1, 2, 3, 4),
+         c AS (SELECT id_a, id_b,
+                 round(inter / least(n_a, n_b), 6) AS containment FROM pairs)
+         SELECT id_a, id_b, containment FROM c WHERE containment >= 0.6
+         ORDER BY id_a, id_b""",
     // Membership is by raw segment string here (hash-agnostic), so the
     // engine's xxhash64 hot set must resolve to the same segments.
     "q76_line_dedup" ->

@@ -204,7 +204,33 @@ object Dedup {
     * per doc, not one per posting). A 64-bit hash false-collision needs
     * ~2^32 distinct shingles to matter; corpora that big use minhash anyway. */
   def ngramJaccardFromPostings(postings: DataFrame, minJaccard: Double,
-                               maxDocFreq: Option[Long] = None): DataFrame = {
+                               maxDocFreq: Option[Long] = None): DataFrame =
+    pairOverlaps(postings, maxDocFreq)
+      .withColumn("jaccard",
+        round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 6))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** Containment near-dup pairs: |A∩B| / min(|A|, |B|) ≥ `minContainment`
+    * over the same inverted-index postings as [[ngramJaccardFromPostings]].
+    * Containment is the subset-duplicate detector Jaccard structurally
+    * misses: a wire story embedded verbatim in a 10×-longer page has
+    * Jaccard ≈ 0.1 but containment ≈ 1.0. Same scale shape — the metric is
+    * a post-aggregation projection over the identical join. */
+  def ngramContainmentFromPostings(postings: DataFrame, minContainment: Double,
+                                   maxDocFreq: Option[Long] = None): DataFrame =
+    pairOverlaps(postings, maxDocFreq)
+      .withColumn("containment",
+        round(col("inter") / least(col("n_a"), col("n_b")), 6))
+      .where(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("containment"))
+
+  /** Shared candidate core of the n-gram pair metrics: distinct-shingle
+    * overlap counts per (id_a < id_b) pair plus both set sizes, via the
+    * inverted-index self-join on 8-byte hashes with the `maxDocFreq` skew
+    * cap; sizes rejoin broadcast AFTER pair aggregation. */
+  private def pairOverlaps(postings: DataFrame,
+                           maxDocFreq: Option[Long]): DataFrame = {
     val sizes = postings.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val filtered = maxDocFreq match {
       case Some(cap) =>
@@ -220,10 +246,6 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
       .join(broadcast(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a"))), Seq("id_a"))
       .join(broadcast(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b"))), Seq("id_b"))
-      .withColumn("jaccard",
-        round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 6))
-      .where(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Exploded, distinct-per-doc (id, shingle-hash) postings — the shared

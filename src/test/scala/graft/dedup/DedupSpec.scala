@@ -373,6 +373,20 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.contains(0L) && exact.contains(1L) && exact.size == 2)
   }
 
+  test("containment flags subset-duplicates that jaccard misses") {
+    // Doc 1 is doc 0's first 12 tokens: every one of its 10 shingles is in
+    // doc 0 (containment 1.0), but doc 0 has 28 shingles → jaccard 10/28.
+    val long = (1 to 30).map(i => s"w$i").mkString(" ")
+    val short = (1 to 12).map(i => s"w$i").mkString(" ")
+    val df = Seq((0L, long), (1L, short)).toDF("doc_id", "text")
+    val postings = Dedup.shinglePostings(df, "doc_id", "text", 3)
+    val cont = Dedup.ngramContainmentFromPostings(postings, 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(cont == Seq((0L, 1L, 1.0)))
+    val jac = Dedup.ngramJaccardFromPostings(postings, 0.9)
+    assert(jac.isEmpty, "jaccard at the same threshold must miss the subset pair")
+  }
+
   test("segmentDedup removes corpus-hot lines and reassembles in order") {
     // "nav bar" appears in 3 docs (> maxCount=2) → removed everywhere;
     // "unique line N" survives; doc 3 is ALL boilerplate → empty text.
