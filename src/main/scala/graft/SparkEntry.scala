@@ -795,12 +795,20 @@ object SparkEntry {
     // what the oracle checks.
     "q74_bloom_decontaminate" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val tr = Dedup.shinglePostings(
-        docs.where(col("doc_id") % 40 =!= 0), "doc_id", "text", n = 3)
-      val te = Dedup.shinglePostings(
-        docs.where(col("doc_id") % 40 === 0), "doc_id", "text", n = 3)
-      Dedup.contaminationFromPostingsBloom(tr, te, minShared = 2L, fpp = 0.01)
-        .orderBy(col("doc_id"))
+      val tr = mat(Dedup.shinglePostings(
+        docs.where(col("doc_id") % 40 =!= 0), "doc_id", "text", n = 3))
+      val te = mat(Dedup.shinglePostings(
+        docs.where(col("doc_id") % 40 === 0), "doc_id", "text", n = 3))
+      // The bloom build is an ACTION at construction time; under lazy plan
+      // inspection (graft.materialize=false) degrade to the plain exact
+      // join — same semantics by the operator's bit-identity contract, and
+      // no job may run before Explain prints a plan.
+      if (s.conf.getOption("graft.materialize").contains("false"))
+        Dedup.contaminationFromPostings(tr, te, minShared = 2L)
+          .orderBy(col("doc_id"))
+      else
+        Dedup.contaminationFromPostingsBloom(tr, te, minShared = 2L, fpp = 0.01)
+          .orderBy(col("doc_id"))
     }),
 
     // Training-mix assembly: fill a per-source TOKEN budget (varying by

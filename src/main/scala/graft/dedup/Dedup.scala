@@ -286,19 +286,22 @@ object Dedup {
     * and the result is BIT-IDENTICAL to [[contaminationFromPostings]] for
     * any fpp (Bloom filters have no false negatives).
     *
-    * The filter build is one treeAggregate action over the test postings
-    * and the verify join re-derives them, so pass a materialized frame
-    * (the [[contaminationFromPostings]] caller contract already says so
-    * for composed pipelines). `mightContainLong` is a JVM lambda — the
-    * one UDF in the engine, kept because Spark's own
-    * `BloomFilterMightContain` expression is not public API and the probe
-    * is a handful of xxhash rounds per row either way. */
+    * CONSTRUCTION RUNS JOBS: the filter build is a treeAggregate action
+    * (plus a count when `expectedItems` is not given), and the verify join
+    * re-derives the test postings — so pass MATERIALIZED frames, and from
+    * plan-inspection paths (graft.materialize=false) call the plain
+    * [[contaminationFromPostings]] instead, the way q74 does.
+    * `mightContainLong` is a JVM lambda — the one UDF in the engine, kept
+    * because Spark's own `BloomFilterMightContain` expression is not
+    * public API and the probe is a handful of xxhash rounds per row
+    * either way. */
   def contaminationFromPostingsBloom(train: DataFrame, test: DataFrame,
-                                     minShared: Long,
-                                     fpp: Double = 0.01): DataFrame = {
+                                     minShared: Long, fpp: Double = 0.01,
+                                     expectedItems: Option[Long] = None): DataFrame = {
     val te = test.select(col("shh")).distinct()
     val spark = te.sparkSession
-    val bloom = te.stat.bloomFilter("shh", math.max(te.count(), 1L), fpp)
+    val bloom = te.stat.bloomFilter("shh",
+      expectedItems.getOrElse(math.max(te.count(), 1L)), fpp)
     val bc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
     train.where(mightContain(col("shh")))
@@ -331,21 +334,27 @@ object Dedup {
     * into a hot line's tally) for string-free shuffles. */
   def segmentDedup(df: DataFrame, idCol: String, segsCol: Column,
                    maxCount: Long, sep: String = "\n"): DataFrame = {
+    // posexplode_outer keeps docs whose segment array is null/empty as one
+    // (null idx, null seg) row — a plain posexplode would silently drop
+    // them from the output, breaking the one-row-per-doc contract. Null
+    // segs are excluded from the hot tally and from every count below.
     val segs = df
-      .select(col(idCol).as("id"), posexplode(segsCol).as(Seq("idx", "seg")))
+      .select(col(idCol).as("id"),
+        posexplode_outer(segsCol).as(Seq("idx", "seg")))
       .withColumn("segh", xxhash64(col("seg")))
-    val hot = segs.groupBy(col("segh")).agg(count(lit(1)).as("n"))
+    val hot = segs.where(col("seg").isNotNull)
+      .groupBy(col("segh")).agg(count(lit(1)).as("n"))
       .where(col("n") > maxCount)
       .select(col("segh"), lit(true).as("__hot"))
+    val live = col("__hot").isNull && col("seg").isNotNull
     segs.join(hot, Seq("segh"), "left")
       .groupBy(col("id"))
       .agg(
-        count(lit(1)).as("n_total"),
-        count(when(col("__hot").isNull, 1)).as("n_kept"),
+        count(col("seg")).as("n_total"),
+        count(when(live, 1)).as("n_kept"),
         array_join(
           transform(
-            array_sort(collect_list(
-              when(col("__hot").isNull, struct(col("idx"), col("seg"))))),
+            array_sort(collect_list(when(live, struct(col("idx"), col("seg"))))),
             x => x.getField("seg")),
           sep).as("text_clean"))
       .withColumn("n_removed", col("n_total") - col("n_kept"))
@@ -361,15 +370,20 @@ object Dedup {
   /** Fixed-size token blocks of `text` — the segmenter for corpora without
     * line structure (transcripts, OCR). Binds the token split through a
     * one-element transform lambda for the same no-CSE-into-lambdas reason
-    * as [[shingles]]. */
+    * as [[shingles]], and guards the degenerate token count the same way
+    * as [[shinglesFromTokens]]: null text or an empty token array must
+    * yield an EMPTY block array — an unguarded `sequence(1, 0)` is the
+    * DESCENDING array [1, 0] and would fabricate two garbage segments. */
   def tokenBlocks(text: Column, blockTokens: Int): Column =
     element_at(
       transform(array(TextOps.tokens(text)), tk =>
-        transform(
-          sequence(lit(1),
-            floor((size(tk) + lit(blockTokens - 1)) / lit(blockTokens)).cast("int")),
-          i => array_join(
-            slice(tk, (i - 1) * blockTokens + 1, lit(blockTokens)), " "))),
+        when(size(tk) >= 1,
+          transform(
+            sequence(lit(1),
+              floor((size(tk) + lit(blockTokens - 1)) / lit(blockTokens)).cast("int")),
+            i => array_join(
+              slice(tk, (i - 1) * blockTokens + 1, lit(blockTokens)), " ")))
+          .otherwise(lit(Array.empty[String]))),
       1)
 
   /** Benchmark decontamination: for each training doc, the number of

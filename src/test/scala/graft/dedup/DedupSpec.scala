@@ -394,7 +394,8 @@ class DedupSpec extends AnyFunSuite {
       (0L, "nav bar\nunique line zero\nfooter text"),
       (1L, "nav bar\nunique line one\nfooter text"),
       (2L, "nav bar\nunique line two"),
-      (3L, "nav bar\nnav bar")
+      (3L, "nav bar\nnav bar"),
+      (4L, null.asInstanceOf[String]) // null text must not vanish
     ).toDF("doc_id", "text")
     // "footer text" occurs twice (== maxCount) → kept.
     val got = Dedup.lineDedup(df, "doc_id", "text", maxCount = 2L)
@@ -404,7 +405,18 @@ class DedupSpec extends AnyFunSuite {
     assert(got(1L) == (("unique line one\nfooter text", 2L, 1L)))
     assert(got(2L) == (("unique line two", 1L, 1L)))
     assert(got(3L) == (("", 0L, 2L))) // emptied doc still emitted
-    assert(got.size == 4)
+    assert(got(4L) == (("", 0L, 0L))) // null doc emitted with zero counts
+    assert(got.size == 5)
+  }
+
+  test("tokenBlocks yields empty arrays for null text") {
+    val df = Seq((0L, null.asInstanceOf[String]), (1L, "a b"))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        Dedup.tokenBlocks(col("text"), 3).as("blocks"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(0L) == Seq.empty)
+    assert(got(1L) == Seq("a b"))
   }
 
   test("tokenBlocks chunks tokens into fixed-size ordered blocks") {
