@@ -109,6 +109,48 @@ class LargeScaleSpec extends AnyFunSuite {
       f"4× data cost $ratio%.1f× wall — super-linear; quadratic would be ~16×")
   }
 
+  /** ONE stratum holding the whole corpus — the exact degeneracy the
+    * bucketed cumulative sum exists for (a "web" domain that IS most of a
+    * training mix). The naive window serializes all n rows through a
+    * single task; the bucketed path must (a) agree with it bit-for-bit
+    * and (b) scale ~linearly in n. Budget scales with n so the kept
+    * fraction — and therefore the work profile — is constant across
+    * sizes. */
+  private def mixturePipeline(n: Long): Long = {
+    import spark.implicits._
+    val docs = spark.range(n).select(col("id"),
+      lit("web").as("stratum"), (col("id") % 97).as("w"))
+    val budgets = Seq(("web", 24L * n)).toDF("stratum", "budget")
+    operators.Mixture.tokenBudgetSample(docs, "stratum", col("w"), col("id"),
+      budgets).count()
+  }
+
+  test("token-budget sampling scales ~linearly on ONE giant stratum",
+      LargeScale) {
+    import spark.implicits._
+    val small = 500000L
+    val large = 2000000L
+    mixturePipeline(10000L)
+    // Bit-identity vs the naive single-window reference at the small size.
+    val docs = spark.range(small).select(col("id"),
+      lit("web").as("stratum"), (col("id") % 97).as("w"))
+    val budgets = Seq(("web", 24L * small)).toDF("stratum", "budget")
+    val naive = operators.Mixture.tokenBudgetSampleNaive(docs, "stratum",
+      col("w"), col("id"), budgets).count()
+    val ((kSmall, kLarge), _) = timed {
+      (mixturePipeline(small), mixturePipeline(large))
+    }
+    assert(kSmall == naive,
+      s"bucketed path kept $kSmall rows, naive window kept $naive")
+    val (_, tSmall) = timed(mixturePipeline(small))
+    val (_, tLarge) = timed(mixturePipeline(large))
+    val ratio = tLarge / tSmall
+    info(f"mixture: $small%,d rows in $tSmall%.1f s ($kSmall%,d kept); " +
+      f"$large%,d rows in $tLarge%.1f s ($kLarge%,d kept; ratio $ratio%.1f× for 4× data)")
+    assert(kLarge > 0 && ratio < 10.0,
+      f"4× data cost $ratio%.1f× wall — super-linear")
+  }
+
   test("minhash dedup components scale ~linearly with a 20% identical cluster",
       LargeScale) {
     val small = 250000L
