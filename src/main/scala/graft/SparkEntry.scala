@@ -838,6 +838,18 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Quality-weighted importance sampling: each doc keeps with
+    // probability quality_milli/1000 under a deterministic md5 draw —
+    // soft filtering instead of a hard quality threshold.
+    "q78_importance_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("quality_milli", TextOps.qualityScoreMilli(col("text")))
+      operators.WindowOps.importanceSample(docs, col("doc_id"),
+          col("quality_milli"))
+        .select(col("doc_id"), col("quality_milli"))
+        .orderBy(col("doc_id"))
+    }),
+
     // C4-style duplicate-segment removal over 12-token blocks (the corpus
     // has no line structure): any block occurring >2 times corpus-wide is
     // boilerplate; docs are reassembled from their surviving blocks.
@@ -869,6 +881,24 @@ object SparkEntry {
 
   private def langScoreSql(words: Seq[String]): String =
     words.map(occSql).mkString("(", " + ", ")")
+
+  /** Shared DuckDB CTE mirroring [[TextOps.qualityScoreMilli]] (integer
+    * arithmetic only — see that Scaladoc for why no floats): yields
+    * `q(doc_id, quality_milli)`. Used by q38 and q78. */
+  private def qualityMilliCte: String = {
+    val stop = langScoreSql(Seq("the", "a", "of", "and", "is"))
+    """f AS (SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS nc,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt,
+         CAST(STOP AS BIGINT) AS stop,
+         CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS pu
+       FROM documents),
+       q AS (SELECT doc_id,
+         (400 * least(nc, 500)) // 500
+         + (300 * least(stop * 5, nt)) // nt
+         + 300 - (300 * least(pu * 10, nc)) // nc AS quality_milli
+       FROM f)""".replace("STOP", stop)
+  }
 
   private def langIdSql: String = {
     val scores = TextOps.LangMarkers.map { case (l, ws) => l -> s"s_$l" }
@@ -1418,20 +1448,9 @@ object SparkEntry {
                / len(string_split_regex(trim(text), '\s+')), 6) AS avg_token_len
          FROM documents ORDER BY doc_id""",
     "q37_lang_id" -> langIdSql,
-    "q38_quality_score" -> {
-      val stop = langScoreSql(Seq("the", "a", "of", "and", "is"))
-      """WITH f AS (SELECT doc_id,
-           CAST(length(text) AS BIGINT) AS nc,
-           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt,
-           CAST(STOP AS BIGINT) AS stop,
-           CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS pu
-         FROM documents)
-         SELECT doc_id,
-           (400 * least(nc, 500)) // 500
-           + (300 * least(stop * 5, nt)) // nt
-           + 300 - (300 * least(pu * 10, nc)) // nc AS quality_milli
-         FROM f ORDER BY doc_id""".replace("STOP", stop)
-    },
+    "q38_quality_score" ->
+      s"""WITH $qualityMilliCte
+         SELECT doc_id, quality_milli FROM q ORDER BY doc_id""",
     "q39_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
          FROM documents ORDER BY doc_id""",
@@ -1690,6 +1709,14 @@ object SparkEntry {
                                ROWS UNBOUNDED PRECEDING) AS run
            FROM w)
          SELECT doc_id, source, n_toks FROM c WHERE run <= budget
+         ORDER BY doc_id""",
+    // Same md5-hex-chunk draw as the minhash slot hashes — integer-only,
+    // so the acceptance decision is bit-identical across engines.
+    "q78_importance_sample" ->
+      s"""WITH $qualityMilliCte
+         SELECT doc_id, quality_milli FROM q
+         WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000
+               < quality_milli
          ORDER BY doc_id""",
     "q77_containment_pairs" ->
       s"""WITH $shinglesCte,

@@ -106,4 +106,21 @@ object WindowOps {
     // two-phase rank so one stratum never funnels through one reducer.
     topKPerGroupSalted(df, strata, Seq(md5(idExpr.cast("string"))), nPerGroup,
       out = out)
+
+  /** Deterministic importance sampling: keep a row iff its md5-derived
+    * pseudo-uniform draw in [0, 1000) falls below `weightMilli` — soft
+    * quality filtering (keep a 900‰-quality doc with p ≈ 0.9, garbage at
+    * 100‰ with p ≈ 0.1) instead of a hard threshold, the shape modern
+    * curation pipelines prefer because hard cutoffs throw away the
+    * mid-quality mass that still teaches the model.
+    *
+    * Integer-only and seeded by row identity: the same row draws the same
+    * fate in every engine and every run (the md5-hex-chunk idiom of
+    * [[graft.dedup.Dedup.minhashSlotHash]]), so the sample is reproducible
+    * and oracle-checkable. A pure per-row filter — fully pushed down, no
+    * shuffle, trivially parallel at any scale. */
+  def importanceSample(df: DataFrame, idExpr: Column, weightMilli: Column): DataFrame =
+    df.where(
+      conv(substring(md5(idExpr.cast("string")), 1, 8), 16, 10).cast("long")
+        % 1000 < weightMilli)
 }

@@ -106,4 +106,20 @@ class OperatorSpecs extends AnyFunSuite {
     val again = UpsertWriter.read(spark, dir).get.orderBy("k").as[(Int, Double)].collect().toSeq
     assert(again == got)
   }
+
+  test("importanceSample draws match the scala md5 reference, 0 and 1000 are total") {
+    val df = (0L until 200L).map(i => (i, (i * 5) % 1001)).toDF("id", "w")
+    def draw(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 1000
+    }
+    val want = (0L until 200L).filter(i => draw(i) < (i * 5) % 1001).toSet
+    val got = WindowOps.importanceSample(df, col("id"), col("w"))
+      .select("id").as[Long].collect().toSet
+    assert(got == want)
+    assert(WindowOps.importanceSample(df, col("id"), lit(0)).isEmpty)
+    assert(WindowOps.importanceSample(df, col("id"), lit(1000)).count() == 200)
+  }
 }
