@@ -45,6 +45,38 @@ class MixtureSpec extends AnyFunSuite {
     assert(keptIds(kept) == wantOrder)
   }
 
+  test("no window node ever processes the giant stratum") {
+    // 20k rows in ONE stratum: the naive formulation would stream all 20k
+    // through a single Window task. In the bucketed path every WindowExec
+    // (the ≤4096-row bucket cumsum AND the boundary-bucket-only per-row
+    // window) must see a small fraction — the structural proof of the
+    // skew-immunity claim, read off the executed plan's SQLMetrics.
+    val n = 20000L
+    val df = spark.range(n).select(col("id"), lit("web").as("stratum"),
+      (col("id") % 7).as("w"))
+    val budgets = Seq(("web", (3L * n) / 2)).toDF("stratum", "budget")
+    val out = Mixture.tokenBudgetSample(df, "stratum", col("w"), col("id"), budgets)
+    out.count() // populate metrics
+    val windows = out.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // AQE can hide finished subtrees; walk adaptive nodes too.
+    val adaptive = out.queryExecution.executedPlan.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+    }.flatten
+    val all = windows ++ adaptive
+    assert(all.nonEmpty, "expected WindowExec nodes in the bucketed plan")
+    all.foreach { w =>
+      val rows = w.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+      assert(rows < n / 4,
+        s"a window processed $rows of $n rows — the giant stratum leaked " +
+          "into an unsplittable window task")
+    }
+  }
+
   test("strata without a budget row contribute nothing") {
     val df = Seq((1L, "a", 5), (2L, "b", 5)).toDF("id", "stratum", "w")
     val budgets = Seq(("a", 100L)).toDF("stratum", "budget")
