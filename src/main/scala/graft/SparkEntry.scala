@@ -838,6 +838,31 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // The curation pipeline of the NEW ops, composed end-to-end:
+    // boilerplate-block removal → quality scoring of the CLEANED text →
+    // quality-weighted importance sampling → per-source token-budget
+    // mixture. Every stage deterministic, so the whole chain oracles.
+    "q79_curation_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cleaned = Dedup.segmentDedup(docs, "doc_id",
+          Dedup.tokenBlocks(col("text"), 12), maxCount = 2L)
+        .where(col("n_kept") >= 1)
+        .select(col("id").as("doc_id"), col("text_clean"))
+      val scored = cleaned
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .withColumn("quality_milli",
+          TextOps.qualityScoreMilli(col("text_clean")))
+      val sampled = operators.WindowOps.importanceSample(scored,
+          col("doc_id"), col("quality_milli"))
+        .withColumn("n_toks", TextOps.tokenCount(col("text_clean")).cast("long"))
+      val budgets = docs.select(col("source")).distinct()
+        .withColumn("budget", lit(800L))
+      operators.Mixture.tokenBudgetSample(sampled, "source", col("n_toks"),
+          col("doc_id"), budgets)
+        .select(col("doc_id"), col("source"), col("quality_milli"), col("n_toks"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Quality-weighted importance sampling: each doc keeps with
     // probability quality_milli/1000 under a deterministic md5 draw —
     // soft filtering instead of a hard quality threshold.
@@ -874,13 +899,13 @@ object SparkEntry {
 
   /** DuckDB occurrence count of ` w ` in ` lower(text) ` — mirrors
     * TextOps.wordOccurrences exactly (same replace/length arithmetic). */
-  private def occSql(w: String): String = {
+  private def occSql(w: String, textCol: String = "text"): String = {
     val pat = s" $w "
-    s"(length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', '$pat', ''))) / ${pat.length}"
+    s"(length(' '||lower($textCol)||' ') - length(replace(' '||lower($textCol)||' ', '$pat', ''))) / ${pat.length}"
   }
 
-  private def langScoreSql(words: Seq[String]): String =
-    words.map(occSql).mkString("(", " + ", ")")
+  private def langScoreSql(words: Seq[String], textCol: String = "text"): String =
+    words.map(occSql(_, textCol)).mkString("(", " + ", ")")
 
   /** Shared DuckDB CTE mirroring [[TextOps.qualityScoreMilli]] (integer
     * arithmetic only — see that Scaladoc for why no floats): yields
@@ -1710,6 +1735,53 @@ object SparkEntry {
            FROM w)
          SELECT doc_id, source, n_toks FROM c WHERE run <= budget
          ORDER BY doc_id""",
+    // The q76 cleaning CTEs, then quality/draw/window over the CLEANED
+    // text — stage-for-stage the engine pipeline's mirror.
+    "q79_curation_pipeline" -> {
+      val stopTc = langScoreSql(Seq("the", "a", "of", "and", "is"), "text_clean")
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             FROM documents),
+         lf AS (SELECT doc_id,
+             list_transform(range(1, CAST(ceil(len(toks) / 12.0) AS INT) + 1),
+               i -> array_to_string(list_slice(toks, (i - 1) * 12 + 1, (i - 1) * 12 + 12), ' ')) AS lns
+           FROM tk),
+         segs AS (SELECT doc_id, unnest(lns) AS seg,
+             generate_subscripts(lns, 1) AS idx FROM lf),
+         hot AS (SELECT seg FROM segs GROUP BY seg HAVING count(*) > 2),
+         mk AS (SELECT s.doc_id, s.idx, s.seg, (h.seg IS NOT NULL) AS hot
+                FROM segs s LEFT JOIN hot h USING (seg)),
+         cleaned AS (SELECT doc_id,
+             coalesce(string_agg(CASE WHEN NOT hot THEN seg END, chr(10) ORDER BY idx), '') AS text_clean,
+             count(CASE WHEN NOT hot THEN 1 END) AS n_kept
+           FROM mk GROUP BY doc_id),
+         cd AS (SELECT c.doc_id, c.text_clean, d.source
+                FROM cleaned c JOIN documents d USING (doc_id)
+                WHERE c.n_kept >= 1),
+         f AS (SELECT doc_id, source, text_clean,
+             CAST(length(text_clean) AS BIGINT) AS nc,
+             CAST(len(string_split_regex(trim(text_clean), '\s+')) AS BIGINT) AS nt,
+             CAST(STOPTC AS BIGINT) AS stop,
+             CAST(length(regexp_replace(text_clean, '[A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS pu
+           FROM cd),
+         q AS (SELECT doc_id, source, text_clean,
+             (400 * least(nc, 500)) // 500
+             + (300 * least(stop * 5, nt)) // nt
+             + 300 - (300 * least(pu * 10, nc)) // nc AS quality_milli
+           FROM f),
+         samp AS (SELECT doc_id, source, quality_milli,
+             CAST(len(string_split_regex(trim(text_clean), '\s+')) AS BIGINT) AS n_toks
+           FROM q
+           WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000
+                 < quality_milli),
+         c2 AS (SELECT doc_id, source, quality_milli, n_toks,
+             sum(n_toks) OVER (PARTITION BY source
+                               ORDER BY md5(CAST(doc_id AS VARCHAR))
+                               ROWS UNBOUNDED PRECEDING) AS run
+           FROM samp)
+         SELECT doc_id, source, quality_milli, n_toks FROM c2
+         WHERE run <= 800 ORDER BY doc_id""".replace("STOPTC", stopTc)
+    },
+
     // Same md5-hex-chunk draw as the minhash slot hashes — integer-only,
     // so the acceptance decision is bit-identical across engines.
     "q78_importance_sample" ->
