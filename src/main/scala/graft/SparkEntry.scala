@@ -852,9 +852,12 @@ object SparkEntry {
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
         .withColumn("quality_milli",
           TextOps.qualityScoreMilli(col("text_clean")))
-      val sampled = operators.WindowOps.importanceSample(scored,
+      // Materialized: Mixture references its input three times (bucket
+      // sums + kept-whole join + boundary join) — without the checkpoint
+      // each reference re-derives the whole clean→score→sample chain.
+      val sampled = mat(operators.WindowOps.importanceSample(scored,
           col("doc_id"), col("quality_milli"))
-        .withColumn("n_toks", TextOps.tokenCount(col("text_clean")).cast("long"))
+        .withColumn("n_toks", TextOps.tokenCount(col("text_clean")).cast("long")))
       val budgets = docs.select(col("source")).distinct()
         .withColumn("budget", lit(800L))
       operators.Mixture.tokenBudgetSample(sampled, "source", col("n_toks"),
