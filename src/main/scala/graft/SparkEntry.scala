@@ -888,7 +888,38 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("text_clean"),
           col("n_kept"), col("n_removed"))
         .orderBy(col("doc_id"))
-    })
+    }),
+
+    // Deterministic stratified train/val/test split — hash-labeled, no
+    // shuffle; summarized per (source, split) so the oracle checks both
+    // membership and token accounting.
+    "q80_split_assign" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("n_toks", TextOps.tokenCount(col("text")).cast("long"))
+      operators.Splits.assignSplit(docs, col("doc_id"),
+          Seq(("train", 90), ("val", 95), ("test", 100)))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_toks"))
+        .orderBy(col("source"), col("split"))
+    }),
+
+    // Concat-and-chunk sequence packing: md5-ordered global token stream
+    // chunked into 2048-token bins via the bucketed exact cumulative sum
+    // (no giant single-partition window).
+    "q81_pack_sequences" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("n_toks", TextOps.tokenCount(col("text")).cast("long"))
+      operators.Packing.packBins(docs, col("n_toks"), col("doc_id"), 2048L)
+        .select(col("doc_id"), col("bin"), col("bin_offset"), col("n_toks"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SemDeDup: cluster embeddings by nearest stride centroid, drop any
+    // vector with a lower-id >= 0.3-cosine neighbor in its cell.
+    "q82_semantic_dedup" -> ((s, d) =>
+      similarity.Ann.semanticDedup(t(s, d, "embeddings"), "vec_id",
+          "embedding", nlist = 16, minCosine = 0.3)
+        .orderBy(col("vec_id")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1824,6 +1855,56 @@ object SparkEntry {
            coalesce(string_agg(CASE WHEN NOT hot THEN seg END, chr(10) ORDER BY idx), '') AS text_clean,
            count(CASE WHEN NOT hot THEN 1 END) AS n_kept,
            count(*) - count(CASE WHEN NOT hot THEN 1 END) AS n_removed
-         FROM mk GROUP BY doc_id ORDER BY doc_id"""
+         FROM mk GROUP BY doc_id ORDER BY doc_id""",
+
+    // Same 8-hex-char md5 draw as q78, mod 100 against the cut points.
+    "q80_split_assign" ->
+      """WITH s AS (SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS draw
+           FROM documents),
+         l AS (SELECT *, CASE WHEN draw < 90 THEN 'train'
+                              WHEN draw < 95 THEN 'val'
+                              ELSE 'test' END AS split FROM s)
+         SELECT source, split, count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_toks
+         FROM l GROUP BY 1, 2 ORDER BY source, split""",
+
+    // The naive global-window cumsum the bucketed engine path is
+    // bit-identical to (Packing.scala's prefix-bucket argument).
+    "q81_pack_sequences" ->
+      """WITH w AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks,
+             md5(CAST(doc_id AS VARCHAR)) AS k
+           FROM documents),
+         c AS (SELECT doc_id, n_toks,
+             CAST(sum(n_toks) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+                  - n_toks AS BIGINT) AS bef
+           FROM w)
+         SELECT doc_id, bef // 2048 AS bin, bef % 2048 AS bin_offset, n_toks
+         FROM c ORDER BY doc_id""",
+
+    // q56's stride-centroid assignment mirror (zero-norm vectors excluded
+    // BEFORE the count/stride pick, matching the engine), then the
+    // within-cell lower-id near-neighbor drop rule on the rounded cosine.
+    "q82_semantic_dedup" ->
+      """WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM p
+               WHERE list_dot_product(vec, vec) > 0),
+         cnt AS (SELECT count(*) AS c FROM n),
+         cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                    vec AS cvec, norm AS cnorm
+                  FROM n WHERE vec_id % greatest(1, (SELECT c FROM cnt) // 16) = 0
+                  ORDER BY vec_id LIMIT 16),
+         ranked AS (SELECT v.vec_id, v.vec, v.norm, c.cid,
+                      row_number() OVER (PARTITION BY v.vec_id
+                        ORDER BY list_dot_product(v.vec, c.cvec) / c.cnorm DESC, c.cid DESC) AS cr
+                    FROM n v CROSS JOIN cent c),
+         corp AS (SELECT vec_id, vec, norm, cid AS cell FROM ranked WHERE cr = 1),
+         drp AS (SELECT DISTINCT b.vec_id
+                 FROM corp a JOIN corp b ON a.cell = b.cell AND a.vec_id < b.vec_id
+                 WHERE round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 6) >= 0.3)
+         SELECT c.vec_id, c.cell FROM corp c LEFT JOIN drp d ON c.vec_id = d.vec_id
+         WHERE d.vec_id IS NULL ORDER BY c.vec_id"""
   )
 }

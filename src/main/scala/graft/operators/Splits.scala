@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training pipelines: every row gets a
+  * stable train/val/test label derived from a hash of its id — no RNG, no
+  * seed file, reproducible across engines, runs, and cluster sizes.
+  *
+  * The draw is the first 8 hex chars of md5(id) mod 100, the same
+  * cross-engine-reproducible construction as
+  * [[WindowOps.importanceSample]] — DuckDB, Spark, and any engine with md5
+  * agree bit-for-bit, so split membership is auditable downstream.
+  *
+  * Scale shape: a pure narrow projection — no shuffle, no state, no join.
+  * At 100 TB this is the only acceptable shape for a split: any
+  * sample/except formulation shuffles the corpus; a hash label streams
+  * through the scan and costs nothing.
+  */
+object Splits {
+
+  /** Add `splitCol` labeling each row by its md5 percentile.
+    *
+    * `cuts` is a sequence of (label, cumulative-upper-percent) with the
+    * last entry at 100, e.g. `Seq(("train", 90), ("val", 95),
+    * ("test", 100))`: draws in [0,90) → train, [90,95) → val,
+    * [95,100) → test. Boundaries are exact integer comparisons on the
+    * integer draw — no float thresholds to disagree across engines.
+    */
+  def assignSplit(df: DataFrame, idExpr: Column, cuts: Seq[(String, Int)],
+                  splitCol: String = "split"): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == 100,
+      s"cuts must end at 100, got ${cuts.map(_._2).mkString(",")}")
+    val pcts = cuts.map(_._2)
+    require(pcts.zip(pcts.tail).forall { case (a, b) => a < b } && pcts.head > 0,
+      s"cuts must be strictly increasing and positive, got ${pcts.mkString(",")}")
+    val draw =
+      conv(substring(md5(idExpr.cast("string")), 1, 8), 16, 10).cast("long") % 100
+    val label = cuts.init.foldLeft(Option.empty[Column]) {
+      case (acc, (name, pct)) =>
+        Some(acc.fold(when(draw < pct, lit(name)))(_.when(draw < pct, lit(name))))
+    }.fold(lit(cuts.last._1))(_.otherwise(lit(cuts.last._1)))
+    df.withColumn(splitCol, label)
+  }
+}

@@ -145,6 +145,45 @@ object Ann {
       .select(col("corpus_id").as(idCol), col("cell_1").as("cell"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus by nearest centroid, then drop
+    * every vector that has a lower-id ≥ `minCosine` neighbor WITHIN its
+    * cluster — each survivor is the minimum-id representative of its
+    * within-cell near-duplicate neighborhood. Zero-norm vectors have no
+    * direction (cosine is 0/0) and are excluded up front.
+    *
+    * The threshold compares the cosine ROUNDED to 6 decimals, so the
+    * keep/drop decision is reproducible across engines (same contract as
+    * [[graft.dedup.Dedup.embeddingCosinePairs]]).
+    *
+    * Scale shape: this is THE reason SemDeDup clusters first — the
+    * quadratic pair join is confined within a cell, so total work is
+    * ~n²/nlist instead of n²; pick nlist ∝ corpus size to hold expected
+    * cell size constant (the paper uses ~√n clusters). Centroids broadcast
+    * (a few thousand doubles); the self-join shuffles both sides by cell
+    * once. Returns the kept (id, cell) rows.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int, minCosine: Double,
+                    lloydIters: Int = 0): DataFrame = {
+    val c = prepared(corpus, idCol, vecCol, "corpus_id", "cv", "cn")
+      .where(col("cn") > 0)
+    val seeds = pickCentroids(c, nlist)
+    val cents =
+      if (lloydIters > 0) refineCentroids(c, seeds, lloydIters) else seeds
+    val asg = assignCells(c, "cv", cents, 1)
+      .select(col("corpus_id"), col("cv"), col("cn"), col("cell_1").as("cell"))
+    val a = asg.select(col("cell"), col("corpus_id").as("id_a"),
+      col("cv").as("va"), col("cn").as("na"))
+    val b = asg.select(col("cell"), col("corpus_id").as("id_b"),
+      col("cv").as("vb"), col("cn").as("nb"))
+    val dropped = a.join(b, Seq("cell")).where(col("id_a") < col("id_b"))
+      .where(round(cosine(col("va"), col("na"), col("vb"), col("nb")), 6) >= minCosine)
+      .select(col("id_b").as("corpus_id")).distinct()
+    asg.join(dropped, Seq("corpus_id"), "left_anti")
+      .select(col("corpus_id").as(idCol), col("cell"))
+  }
+
   /** Deterministic centroid pick: every stride-th corpus id — collects ONLY
     * the ~nlist centroid rows to the driver, never the corpus. (A k-means
     * refinement would re-assign and re-average around these seeds.) */

@@ -71,6 +71,38 @@ class AnnSpec extends AnyFunSuite {
     assert(r2 >= r0 - 0.1, s"lloyd recall regressed: $r2 vs seed $r0")
   }
 
+  test("semantic dedup keeps exactly the min-id representative of each clique") {
+    // 30 vectors in 3 orthogonal directions (id % 3), ids dense so the
+    // stride-10 centroid pick lands one centroid per direction. Within a
+    // cell all vectors are identical (cosine 1), so only the minimum id of
+    // each direction survives.
+    val rows = (0L until 30L).map { i =>
+      val v = Array.fill(4)(0f); v((i % 3).toInt) = 1f; (i, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val kept = Ann.semanticDedup(df, "vec_id", "embedding", nlist = 3, minCosine = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 2L))
+  }
+
+  test("semantic dedup agrees with clusterAssign + embeddingCosinePairs") {
+    val emb = Tables.embeddings(spark, SparkTestSession.sf)
+    // Guard the comparison's premise: semanticDedup drops zero-norm vectors
+    // before the stride pick; with none present, clusterAssign sees the
+    // identical corpus and the two cell assignments coincide.
+    val zeroNorm = emb.where(aggregate(transform(col("embedding"),
+      x => x.cast("double")), lit(0.0d), (a, x) => a + x * x) === 0.0).count()
+    assert(zeroNorm == 0, "test premise: corpus has no zero-norm vectors")
+    val cells = Ann.clusterAssign(emb, "vec_id", "embedding", nlist = 16)
+    val dropped = graft.dedup.Dedup.embeddingCosinePairs(
+        emb.join(cells, "vec_id"), "vec_id", "embedding", "cell", minSim = 0.3)
+      .select(col("id_b")).as[Long].collect().toSet
+    val expected = emb.select("vec_id").as[Long].collect().toSet -- dropped
+    val kept = Ann.semanticDedup(emb, "vec_id", "embedding", nlist = 16,
+      minCosine = 0.3).select("vec_id").as[Long].collect().toSet
+    assert(kept == expected)
+  }
+
   test("GraftExtensions instantiates and applies cleanly") {
     val ext = new graft.plans.GraftExtensions
     ext.apply(new org.apache.spark.sql.SparkSessionExtensions)
