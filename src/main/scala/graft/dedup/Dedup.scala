@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
 import graft.plans.Expressions
+import graft.similarity.Ann
 
 /** Deduplication operators for training-data pipelines: exact,
   * fingerprint, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
@@ -751,7 +752,6 @@ object Dedup {
     * [[embeddingCosinePairs]] within a curated blocking column instead). */
   def embeddingLshPairs(df: DataFrame, idCol: String, vecCol: String,
                         numPlanes: Int, dim: Int, minSim: Double): DataFrame = {
-    import graft.similarity.Ann
     val planes = Ann.hyperplanes(numPlanes, dim)
     // Zero-norm vectors have no direction: their cosine is 0/0 = NaN, and
     // Spark orders NaN ABOVE every real number, so `cosine >= minSim` would
@@ -761,16 +761,8 @@ object Dedup {
       .withColumn("norm",
         sqrt(aggregate(col("vec"), lit(0.0d), (acc, x) => acc + x * x)))
       .where(col("norm") > 0)
-      .withColumn("bucket", Ann.signature(col("vec"), planes))
-    val a = v.select(col("bucket"), col("id").as("id_a"),
-      col("vec").as("vec_a"), col("norm").as("norm_a"))
-    val b = v.select(col("bucket"), col("id").as("id_b"),
-      col("vec").as("vec_b"), col("norm").as("norm_b"))
-    a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(
-        Ann.cosine(col("vec_a"), col("norm_a"), col("vec_b"), col("norm_b")), 6))
-      .where(col("cosine") >= minSim)
-      .select(col("bucket"), col("id_a"), col("id_b"), col("cosine"))
+      .withColumn("block", Ann.signature(col("vec"), planes))
+    Ann.blockedCosinePairs(v, minSim).withColumnRenamed("block", "bucket")
   }
 
   /** Embedding near-dup pairs within a blocking key (e.g. a cluster/label
@@ -779,21 +771,12 @@ object Dedup {
     * corpora use [[embeddingLshPairs]], which blocks by LSH sign buckets. */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                            blockCol: String, minSim: Double): DataFrame = {
-    val v = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("vec"))
     // norm > 0: see embeddingLshPairs — NaN cosine would pass >= minSim.
-    val withNorm = v.withColumn("norm",
+    val v = df.select(col(blockCol).as("block"), col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("vec"))
+      .withColumn("norm",
         sqrt(aggregate(col("vec"), lit(0.0d), (acc, x) => acc + x * x)))
       .where(col("norm") > 0)
-    val a = withNorm.select(col("block"), col("id").as("id_a"),
-      col("vec").as("vec_a"), col("norm").as("norm_a"))
-    val b = withNorm.select(col("block"), col("id").as("id_b"),
-      col("vec").as("vec_b"), col("norm").as("norm_b"))
-    a.join(b, Seq("block")).where(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(
-        aggregate(zip_with(col("vec_a"), col("vec_b"), (x, y) => x * y),
-          lit(0.0d), (acc, x) => acc + x) / (col("norm_a") * col("norm_b")), 6))
-      .where(col("cosine") >= minSim)
-      .select(col("block"), col("id_a"), col("id_b"), col("cosine"))
+    Ann.blockedCosinePairs(v, minSim)
   }
 }

@@ -34,6 +34,24 @@ object Mixture {
   private val reserved = Seq("__k", "__b", "__bw", "__cum", "__before",
     "__budget", "__run")
 
+  /** Shared scaffolding of the two-phase exact cumulative sum ([[Mixture]]
+    * and [[Packing]]): `__k` = md5(id) — the deterministic ordering key —
+    * and `__b` = its first 3 hex chars as an int (4096 buckets). The
+    * bucket is a PREFIX of the ordering key, so bucket order and row order
+    * agree — the single fact both operators' bit-identity proofs rest on;
+    * any change to the key or prefix width must happen HERE, for both.
+    * Rejects inputs whose columns collide with the operator's reserved
+    * working names. */
+  private[operators] def md5Bucketed(df: DataFrame, idExpr: Column,
+                                     reservedNames: Seq[String],
+                                     op: String): DataFrame = {
+    val clash = df.columns.toSet.intersect(reservedNames.toSet)
+    require(clash.isEmpty, s"$op reserves ${reservedNames.mkString(", ")}; " +
+      s"input already has ${clash.mkString(", ")}")
+    df.withColumn("__k", md5(idExpr.cast("string")))
+      .withColumn("__b", conv(substring(col("__k"), 1, 3), 16, 10).cast("int"))
+  }
+
   /** Keep rows of `df` up to a per-stratum weight budget, in md5(id) order.
     *
     * `budgets` is a (stratumCol, budget) frame — typically a handful of
@@ -48,15 +66,10 @@ object Mixture {
     */
   def tokenBudgetSample(df: DataFrame, stratumCol: String, weight: Column,
                         idExpr: Column, budgets: DataFrame): DataFrame = {
-    val clash = df.columns.toSet.intersect(reserved.toSet)
-    require(clash.isEmpty, s"tokenBudgetSample reserves ${reserved.mkString(", ")}; " +
-      s"input already has ${clash.mkString(", ")}")
     require(budgets.columns.contains(stratumCol) && budgets.columns.contains("budget"),
       s"budgets frame needs ($stratumCol, budget) columns, has ${budgets.columns.mkString(", ")}")
 
-    val keyed = df
-      .withColumn("__k", md5(idExpr.cast("string")))
-      .withColumn("__b", conv(substring(col("__k"), 1, 3), 16, 10).cast("int"))
+    val keyed = md5Bucketed(df, idExpr, reserved, "tokenBudgetSample")
     val bs = broadcast(budgets.select(col(stratumCol), col("budget").as("__budget")))
 
     // Phase 1+2: bucket sums, tiny per-stratum cumulative, classification.

@@ -40,13 +40,13 @@ object Packing {
   def packBins(df: DataFrame, weight: Column, idExpr: Column, binBudget: Long,
                binCol: String = "bin", offsetCol: String = "bin_offset"): DataFrame = {
     require(binBudget > 0, s"binBudget must be positive, got $binBudget")
-    val clash = df.columns.toSet.intersect(reserved.toSet)
-    require(clash.isEmpty, s"packBins reserves ${reserved.mkString(", ")}; " +
-      s"input already has ${clash.mkString(", ")}")
+    val outClash = df.columns.toSet.intersect(Set(binCol, offsetCol))
+    require(outClash.isEmpty,
+      s"packBins would overwrite existing column(s) ${outClash.mkString(", ")}")
 
-    val keyed = df
-      .withColumn("__k", md5(idExpr.cast("string")))
-      .withColumn("__b", conv(substring(col("__k"), 1, 3), 16, 10).cast("int"))
+    // Shared md5-key/3-hex-prefix scaffolding — see Mixture.md5Bucketed for
+    // the prefix-order argument both bit-identity proofs rest on.
+    val keyed = Mixture.md5Bucketed(df, idExpr, reserved, "packBins")
 
     // Phase 1+2: per-bucket sums, then a cumulative over ≤4096 tiny rows.
     // The single-partition window is deliberate — it runs over the

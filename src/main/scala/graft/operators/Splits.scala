@@ -34,12 +34,19 @@ object Splits {
     val pcts = cuts.map(_._2)
     require(pcts.zip(pcts.tail).forall { case (a, b) => a < b } && pcts.head > 0,
       s"cuts must be strictly increasing and positive, got ${pcts.mkString(",")}")
+    require(!df.columns.contains(splitCol),
+      s"assignSplit: input already has a '$splitCol' column")
     val draw =
       conv(substring(md5(idExpr.cast("string")), 1, 8), 16, 10).cast("long") % 100
-    val label = cuts.init.foldLeft(Option.empty[Column]) {
-      case (acc, (name, pct)) =>
-        Some(acc.fold(when(draw < pct, lit(name)))(_.when(draw < pct, lit(name))))
-    }.fold(lit(cuts.last._1))(_.otherwise(lit(cuts.last._1)))
-    df.withColumn(splitCol, label)
+    // Null-id tripwire: md5(null) is null, every `draw < pct` is null, and
+    // the otherwise() branch would silently dump ALL null-id rows into the
+    // last cut — correlated rows flooding the smallest (test) split. Fail
+    // loudly instead; zero cost on the non-null path.
+    val chained = cuts.init.foldLeft(
+      when(idExpr.isNull, raise_error(
+        lit("assignSplit: null id — the id must be a non-null row identifier")))) {
+      case (acc, (name, pct)) => acc.when(draw < pct, lit(name))
+    }
+    df.withColumn(splitCol, chained.otherwise(lit(cuts.last._1)))
   }
 }

@@ -29,6 +29,27 @@ object Ann {
     aggregate(zip_with(vecA, vecB, (x, y) => x * y), lit(0.0d),
       (acc, x) => acc + x) / (normA * normB)
 
+  /** Within-block cosine near-dup pairs over a PREPARED frame with columns
+    * (block, id, vec, norm), norm > 0 rows only — the single home of the
+    * cross-engine pair contract shared by
+    * [[graft.dedup.Dedup.embeddingCosinePairs]],
+    * [[graft.dedup.Dedup.embeddingLshPairs]], and [[semanticDedup]]:
+    * candidates are id_a < id_b within a block, and the threshold compares
+    * the cosine ROUNDED to 6 decimals so the keep/drop decision is
+    * bit-reproducible against a SQL oracle. Change the rounding or the
+    * tie-break here and every caller (and its oracle) moves together. */
+  private[graft] def blockedCosinePairs(v: DataFrame, minSim: Double): DataFrame = {
+    val a = v.select(col("block"), col("id").as("id_a"),
+      col("vec").as("__va"), col("norm").as("__na"))
+    val b = v.select(col("block"), col("id").as("id_b"),
+      col("vec").as("__vb"), col("norm").as("__nb"))
+    a.join(b, Seq("block")).where(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(cosine(col("__va"), col("__na"), col("__vb"), col("__nb")), 6))
+      .where(col("cosine") >= minSim)
+      .select(col("block"), col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Exact top-k neighbors per query (self-matches excluded). The per-query
     * rank orders by ROUNDED similarity with the corpus id as tiebreak, so
     * results are stable across engines and runs. */
@@ -171,17 +192,20 @@ object Ann {
     val seeds = pickCentroids(c, nlist)
     val cents =
       if (lloydIters > 0) refineCentroids(c, seeds, lloydIters) else seeds
-    val asg = assignCells(c, "cv", cents, 1)
-      .select(col("corpus_id"), col("cv"), col("cn"), col("cell_1").as("cell"))
-    val a = asg.select(col("cell"), col("corpus_id").as("id_a"),
-      col("cv").as("va"), col("cn").as("na"))
-    val b = asg.select(col("cell"), col("corpus_id").as("id_b"),
-      col("cv").as("vb"), col("cn").as("nb"))
-    val dropped = a.join(b, Seq("cell")).where(col("id_a") < col("id_b"))
-      .where(round(cosine(col("va"), col("na"), col("vb"), col("nb")), 6) >= minCosine)
-      .select(col("id_b").as("corpus_id")).distinct()
-    asg.join(dropped, Seq("corpus_id"), "left_anti")
-      .select(col("corpus_id").as(idCol), col("cell"))
+    val asgRaw = assignCells(c, "cv", cents, 1)
+      .select(col("corpus_id").as("id"), col("cv").as("vec"),
+        col("cn").as("norm"), col("cell_1").as("block"))
+    // Referenced three times (both pair-join sides + the anti-join probe):
+    // materialize the scan+cast+assignment once, unless the session asks
+    // for lazy, inspectable plans (graft.materialize=false — Explain).
+    val asg =
+      if (asgRaw.sparkSession.conf.getOption("graft.materialize").contains("false"))
+        asgRaw
+      else asgRaw.localCheckpoint()
+    val dropped = blockedCosinePairs(asg, minCosine)
+      .select(col("id_b").as("id")).distinct()
+    asg.join(dropped, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("block").as("cell"))
   }
 
   /** Deterministic centroid pick: every stride-th corpus id — collects ONLY

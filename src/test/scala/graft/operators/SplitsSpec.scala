@@ -38,6 +38,14 @@ class SplitsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("a null id fails loudly instead of flooding the last cut") {
+    val df = Seq(Some(1L), None, Some(3L)).toDF("id")
+    val ex = intercept[Exception] {
+      Splits.assignSplit(df, col("id"), cuts).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("malformed cuts are rejected") {
     val df = Seq(1L).toDF("id")
     intercept[IllegalArgumentException] { // must end at 100

@@ -86,6 +86,9 @@ class AnnSpec extends AnyFunSuite {
   }
 
   test("semantic dedup agrees with clusterAssign + embeddingCosinePairs") {
+    // Both paths share Ann.blockedCosinePairs (the single pair contract),
+    // so this checks the two independent cell-assignment + prepared-frame
+    // plumbings agree — not two pair-rule implementations.
     val emb = Tables.embeddings(spark, SparkTestSession.sf)
     // Guard the comparison's premise: semanticDedup drops zero-norm vectors
     // before the stride pick; with none present, clusterAssign sees the
