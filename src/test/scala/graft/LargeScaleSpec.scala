@@ -167,4 +167,34 @@ class LargeScaleSpec extends AnyFunSuite {
     assert(ratio < 10.0,
       f"4× data cost $ratio%.1f× wall — super-linear; quadratic would be ~16×")
   }
+
+  private def packingPipeline(n: Long): Long = {
+    val docs = spark.range(n).select(col("id"), (col("id") % 97).as("w"))
+    operators.Packing.packBins(docs, col("w"), col("id"), 4096L)
+      .groupBy("bin").count().count()
+  }
+
+  test("global sequence packing scales ~linearly (no corpus-wide window task)",
+      LargeScale) {
+    import spark.implicits._
+    val small = 500000L
+    val large = 2000000L
+    packingPipeline(10000L)
+    // Bit-identity vs the naive global window at the small size, via a
+    // positional checksum (bin*8192 + offset < 2^26 per row — no overflow).
+    val docs = spark.range(small).select(col("id"), (col("id") % 97).as("w"))
+    def checksum(df: DataFrame): Long =
+      df.agg(sum(col("bin") * 8192 + col("bin_offset"))).as[Long].head()
+    val fast = checksum(operators.Packing.packBins(docs, col("w"), col("id"), 4096L))
+    val slow = checksum(operators.Packing.packBinsNaive(docs, col("w"), col("id"), 4096L))
+    assert(fast == slow, s"bucketed checksum $fast != naive $slow")
+    val (binsSmall, tSmall) = timed(packingPipeline(small))
+    val (binsLarge, tLarge) = timed(packingPipeline(large))
+    val ratio = tLarge / tSmall
+    info(f"packing: $small%,d rows → $binsSmall%,d bins in $tSmall%.1f s; " +
+      f"$large%,d rows → $binsLarge%,d bins in $tLarge%.1f s " +
+      f"(ratio $ratio%.1f× for 4× data)")
+    assert(binsLarge > binsSmall && ratio < 10.0,
+      f"4× data cost $ratio%.1f× wall — super-linear")
+  }
 }
