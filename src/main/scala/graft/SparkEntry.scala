@@ -919,7 +919,14 @@ object SparkEntry {
     "q82_semantic_dedup" -> ((s, d) =>
       similarity.Ann.semanticDedup(t(s, d, "embeddings"), "vec_id",
           "embedding", nlist = 16, minCosine = 0.3)
-        .orderBy(col("vec_id")))
+        .orderBy(col("vec_id"))),
+
+    // Exact dedup keeping the BEST copy (q40's groups, different keeper):
+    // highest source-trust tier wins, ties -> lowest id.
+    "q83_dedup_keep_best" -> ((s, d) =>
+      Dedup.exactDedupKeepBest(t(s, d, "documents"), Seq("text"), "doc_id",
+          substring(col("source"), 4, 10).cast("long") % 7)
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1905,6 +1912,15 @@ object SparkEntry {
                  FROM corp a JOIN corp b ON a.cell = b.cell AND a.vec_id < b.vec_id
                  WHERE round(list_dot_product(a.vec, b.vec) / (a.norm * b.norm), 6) >= 0.3)
          SELECT c.vec_id, c.cell FROM corp c LEFT JOIN drp d ON c.vec_id = d.vec_id
-         WHERE d.vec_id IS NULL ORDER BY c.vec_id"""
+         WHERE d.vec_id IS NULL ORDER BY c.vec_id""",
+
+    // Independent formulation: window argmax (priority DESC, id ASC) vs
+    // the engine's map-side min(struct(-priority, id)) aggregate.
+    "q83_dedup_keep_best" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+             row_number() OVER (PARTITION BY text
+               ORDER BY (CAST(substring(source, 4) AS BIGINT) % 7) DESC, doc_id) AS rn
+           FROM documents) WHERE rn = 1 ORDER BY doc_id"""
   )
 }

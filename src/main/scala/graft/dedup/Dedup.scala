@@ -76,6 +76,41 @@ object Dedup {
       "semi")
   }
 
+  /** Exact dedup keeping the BEST copy per duplicate group instead of the
+    * lowest-id one: the keeper maximizes `priority` (a per-row score —
+    * source trust, crawl recency, quality), ties broken by lowest id so
+    * the choice is deterministic. The common real-world shape: the same
+    * document crawled from several mirrors, keep the most trusted copy.
+    *
+    * Same skew-proof shape as [[exactDedup]]: the keeper is
+    * `min(struct(-priority, id))` — a map-side-combined aggregate, so a
+    * giant identical-content cluster reduces partition-locally and no
+    * window task ever holds the whole group; the semi-join back matches
+    * the full content key plus the keeper id.
+    *
+    * Contract: `idCol` and `priority` are non-null and `priority >= 0`
+    * (the negation trick needs it) — all three enforced inside the keeper
+    * aggregate at zero extra passes. */
+  def exactDedupKeepBest(df: DataFrame, keyCols: Seq[String], idCol: String,
+                         priority: Column): DataFrame = {
+    val Seq(h1, h2, len, pfx) = contentKeyExprs(keyCols)
+    val keepers = df.select(h1.as("__h1"), h2.as("__h2"),
+        len.as("__len"), pfx.as("__pfx"), col(idCol).as("__id"),
+        priority.as("__p"))
+      .groupBy(col("__h1"), col("__h2"), col("__len"), col("__pfx"))
+      .agg(min(struct((-col("__p")).as("np"), col("__id").as("i"))).as("__best"),
+        nullIdCheck(idCol).as("__nullck"),
+        assert_true(count(col("__p")) === count(lit(1)) && min(col("__p")) >= 0,
+          lit("exactDedupKeepBest: priority must be non-null and >= 0"))
+          .as("__pck"))
+    df.join(keepers,
+        h1 === keepers("__h1") && h2 === keepers("__h2") &&
+        len === keepers("__len") && pfx === keepers("__pfx") &&
+        df(idCol) === keepers("__best").getField("i") &&
+        keepers("__nullck").isNull && keepers("__pck").isNull,
+      "semi")
+  }
+
   /** JUST the keeper ids (lowest id per exact-content group), for frames
     * whose `idCol` is a UNIQUE non-null row identifier: callers that only
     * need the id set (e.g. a curation pipeline that semi-joins it against

@@ -23,6 +23,33 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Seq(0L, 1L, 2L, 4L))
   }
 
+  test("exactDedupKeepBest keeps the max-priority copy, ties -> lowest id") {
+    // doc 3 duplicates doc 0 but carries higher priority → 3 wins its
+    // group; docs 1/2/4 are singletons and survive regardless.
+    val prioritized = docs.withColumn("trust",
+      when(col("doc_id") === 3, 9L).otherwise(col("doc_id") % 2))
+    val kept = Dedup.exactDedupKeepBest(prioritized, Seq("text"), "doc_id",
+        col("trust"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L, 4L))
+    // Equal priorities degrade to exactDedup's lowest-id rule.
+    val flat = Dedup.exactDedupKeepBest(docs, Seq("text"), "doc_id", lit(1L))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(flat == Seq(0L, 1L, 2L, 4L))
+  }
+
+  test("exactDedupKeepBest throws on null or negative priority") {
+    val nullP = docs.withColumn("p",
+      when(col("doc_id") === 3, lit(null).cast("long")).otherwise(lit(1L)))
+    intercept[Exception] {
+      Dedup.exactDedupKeepBest(nullP, Seq("text"), "doc_id", col("p")).count()
+    }
+    val negP = docs.withColumn("p", lit(-1L))
+    intercept[Exception] {
+      Dedup.exactDedupKeepBest(negP, Seq("text"), "doc_id", col("p")).count()
+    }
+  }
+
   test("ngramJaccardPairs finds near-dups and exact dups") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
