@@ -926,7 +926,28 @@ object SparkEntry {
     "q83_dedup_keep_best" -> ((s, d) =>
       Dedup.exactDedupKeepBest(t(s, d, "documents"), Seq("text"), "doc_id",
           substring(col("source"), 4, 10).cast("long") % 7)
-        .select(col("doc_id"), col("source")).orderBy(col("doc_id")))
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))),
+
+    // Representative selection over NEAR-dup groups: q70's MinHash
+    // components, then keep the highest-trust member of each component
+    // (ties -> lowest id) — the full dedup story: resolve groups, then
+    // pick the copy worth training on.
+    "q84_near_dup_keep_best" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sig = mat(Dedup.minhashSignatures(docs, "doc_id", "text",
+        n = 3, numHashes = 8))
+      val banded = Dedup.minhashBandPostingsFromSignatures(sig,
+        numHashes = 8, bands = 4)
+      val edges = Dedup.starEdgesFromBuckets(banded, Seq("band_idx", "band_val"))
+      val labeled = Graph.connectedComponents(docs.select(col("doc_id")),
+        "doc_id", edges, "id_a", "id_b")
+      val withMeta = labeled.select(col("id").as("doc_id"), col("comp"))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .withColumn("trust", substring(col("source"), 4, 10).cast("long") % 7)
+      Dedup.keepBestPerGroup(withMeta, "comp", "doc_id", col("trust"))
+        .select(col("doc_id"), col("comp"), col("source"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1069,8 +1090,10 @@ object SparkEntry {
   /** q70 oracle: MinHash star edges (min id per band bucket) → recursive
     * min-label reachability — the same component construction as q65's
     * oracle, over the MinHash candidate graph. */
-  private def minhashComponentsSql: String =
-    s"""WITH RECURSIVE $minhashCtes,
+  /** Shared CTE chain (q70, q84): minhash banding → star edges → recursive
+    * reachability → `comp(doc_id, comp)`. */
+  private def minhashCompCtes: String =
+    s"""$minhashCtes,
        pr AS (SELECT DISTINCT min(id) OVER (PARTITION BY bi, bv) AS id_a, id AS id_b
               FROM mbands),
        edges AS (SELECT id_a AS src, id_b AS dst FROM pr WHERE id_a <> id_b
@@ -1079,7 +1102,10 @@ object SparkEntry {
          SELECT doc_id, doc_id FROM documents
          UNION
          SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id),
-       comp AS (SELECT id AS doc_id, min(lbl) AS comp FROM walk GROUP BY id)
+       comp AS (SELECT id AS doc_id, min(lbl) AS comp FROM walk GROUP BY id)"""
+
+  private def minhashComponentsSql: String =
+    s"""WITH RECURSIVE $minhashCompCtes
        SELECT doc_id, comp, count(*) OVER (PARTITION BY comp) AS comp_size
        FROM comp ORDER BY doc_id"""
 
@@ -1921,6 +1947,18 @@ object SparkEntry {
            SELECT doc_id, source,
              row_number() OVER (PARTITION BY text
                ORDER BY (CAST(substring(source, 4) AS BIGINT) % 7) DESC, doc_id) AS rn
-           FROM documents) WHERE rn = 1 ORDER BY doc_id"""
+           FROM documents) WHERE rn = 1 ORDER BY doc_id""",
+
+    // q70's component CTEs, then the window-argmax keeper — independent of
+    // the engine's map-side min(struct(-priority, id)) formulation.
+    "q84_near_dup_keep_best" ->
+      s"""WITH RECURSIVE $minhashCompCtes,
+         pri AS (SELECT c.doc_id, c.comp, d.source,
+                   (CAST(substring(d.source, 4) AS BIGINT) % 7) AS trust
+                 FROM comp c JOIN documents d USING (doc_id)),
+         r AS (SELECT doc_id, comp, source,
+                 row_number() OVER (PARTITION BY comp
+                   ORDER BY trust DESC, doc_id) AS rn FROM pri)
+         SELECT doc_id, comp, source FROM r WHERE rn = 1 ORDER BY doc_id"""
   )
 }

@@ -36,10 +36,16 @@ object Dedup {
     * output. The contract (idCol is a non-null row identifier) is enforced
     * inside the SAME aggregate — zero extra passes; evaluates to null when
     * the group is clean, throws otherwise. */
-  private def nullIdCheck(idCol: String): Column =
+  private def nullIdCheck(idCol: String, op: String = "exactDedup"): Column =
     assert_true(count(col("__id")) === count(lit(1)),
-      lit(s"exactDedup: null values in id column '$idCol' — the id must " +
+      lit(s"$op: null values in id column '$idCol' — the id must " +
         "be a non-null row identifier"))
+
+  /** Priority tripwire: non-null and >= 0 (the keeper aggregations negate
+    * it inside a struct ordering, which needs a sign-safe domain). */
+  private def priorityCheck(op: String): Column =
+    assert_true(count(col("__p")) === count(lit(1)) && min(col("__p")) >= 0,
+      lit(s"$op: priority must be non-null and >= 0"))
 
   /** Exact dedup: keep the lowest-id row per exact key.
     *
@@ -99,15 +105,42 @@ object Dedup {
         priority.as("__p"))
       .groupBy(col("__h1"), col("__h2"), col("__len"), col("__pfx"))
       .agg(min(struct((-col("__p")).as("np"), col("__id").as("i"))).as("__best"),
-        nullIdCheck(idCol).as("__nullck"),
-        assert_true(count(col("__p")) === count(lit(1)) && min(col("__p")) >= 0,
-          lit("exactDedupKeepBest: priority must be non-null and >= 0"))
-          .as("__pck"))
+        nullIdCheck(idCol, "exactDedupKeepBest").as("__nullck"),
+        priorityCheck("exactDedupKeepBest").as("__pck"))
     df.join(keepers,
         h1 === keepers("__h1") && h2 === keepers("__h2") &&
         len === keepers("__len") && pfx === keepers("__pfx") &&
         df(idCol) === keepers("__best").getField("i") &&
         keepers("__nullck").isNull && keepers("__pck").isNull,
+      "semi")
+  }
+
+  /** Keep the best row of each PRE-RESOLVED group — the representative-
+    * selection step after near-dup group resolution (connected components,
+    * band buckets, clusters): keeper maximizes `priority`, ties → lowest
+    * id. Same contracts and skew-proof map-side `min(struct(-p, id))`
+    * shape as [[exactDedupKeepBest]], keyed by an explicit group column
+    * instead of the content hash. */
+  def keepBestPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                       priority: Column): DataFrame = {
+    val best = df.select(col(groupCol).as("__g"), col(idCol).as("__id"),
+        priority.as("__p"))
+      .groupBy(col("__g"))
+      .agg(min(struct((-col("__p")).as("np"), col("__id").as("i"))).as("__best"),
+        nullIdCheck(idCol, "keepBestPerGroup").as("__nullck"),
+        priorityCheck("keepBestPerGroup").as("__pck"),
+        // Null-group tripwire. NOTE the join below matches groups with
+        // null-SAFE equality (<=>): with a plain ===, the optimizer infers
+        // IsNotNull(__g) from the null-rejecting equi-key and pushes it
+        // BELOW this aggregate — the null-group rows are filtered away
+        // before the assert ever sees them, and the drop is silent again.
+        assert_true(count(col("__g")) === count(lit(1)),
+          lit(s"keepBestPerGroup: null values in group column '$groupCol'"))
+          .as("__gck"))
+    df.join(best,
+        df(groupCol) <=> best("__g") && best("__gck").isNull &&
+        df(idCol) === best("__best").getField("i") &&
+        best("__nullck").isNull && best("__pck").isNull,
       "semi")
   }
 

@@ -38,6 +38,24 @@ class DedupSpec extends AnyFunSuite {
     assert(flat == Seq(0L, 1L, 2L, 4L))
   }
 
+  test("keepBestPerGroup picks max-priority (ties lowest id) per group") {
+    val grouped = Seq(
+      (0L, 10L, 1L), (1L, 10L, 5L), (2L, 10L, 5L), // grp 10: 1 wins (5, tie -> low id)
+      (3L, 20L, 0L),                               // singleton
+      (4L, 30L, 2L), (5L, 30L, 7L)                 // grp 30: 5 wins
+    ).toDF("id", "grp", "p")
+    val kept = Dedup.keepBestPerGroup(grouped, "grp", "id", col("p"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 5L))
+  }
+
+  test("keepBestPerGroup throws on a null group instead of dropping it") {
+    val g = Seq((0L, Some(1L), 1L), (1L, None, 2L)).toDF("id", "grp", "p")
+    intercept[Exception] {
+      Dedup.keepBestPerGroup(g, "grp", "id", col("p")).count()
+    }
+  }
+
   test("exactDedupKeepBest throws on null or negative priority") {
     val nullP = docs.withColumn("p",
       when(col("doc_id") === 3, lit(null).cast("long")).otherwise(lit(1L)))
