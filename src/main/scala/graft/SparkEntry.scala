@@ -42,6 +42,31 @@ object SparkEntry {
     if (df.sparkSession.conf.getOption("graft.materialize").contains("false")) df
     else df.localCheckpoint()
 
+  /** The numeric suffix of `source` ("srcN" → N) — UNBOUNDED suffix, like
+    * the oracle-side `CAST(substring(source, 4) AS BIGINT)`; a fixed-width
+    * substring would silently diverge from the oracle past 10 digits.
+    * Feeds q75's budget tiers and the q83/q84 trust tiers. */
+  private def sourceNum: Column =
+    col("source").substr(lit(4), length(col("source"))).cast("long")
+
+  /** MinHash banding → star edges → connected components over `docs` —
+    * the shared group-resolution chain behind q70 (components + sizes) and
+    * q84 (components + keeper); parameters here are mirrored by the
+    * oracle-side `minhashCompCtes`, so tune them in BOTH places or the
+    * engine and oracle silently desynchronize. The compact signature is
+    * materialized (one row per doc): the md5 work dominates and the
+    * star-edge core references the postings twice; the ×4 banding explode
+    * re-derives lazily from the cached frame. */
+  private def minhashComponents(docs: DataFrame): DataFrame = {
+    val sig = mat(Dedup.minhashSignatures(docs, "doc_id", "text",
+      n = 3, numHashes = 8))
+    val banded = Dedup.minhashBandPostingsFromSignatures(sig,
+      numHashes = 8, bands = 4)
+    val edges = Dedup.starEdgesFromBuckets(banded, Seq("band_idx", "band_val"))
+    Graph.connectedComponents(docs.select(col("doc_id")),
+      "doc_id", edges, "id_a", "id_b")
+  }
+
   /** Flagship: multi-join regional revenue (TPC-H Q5 shape) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
     queries("q22_regional_revenue")(spark, "/root/testdata/sf0.001")
@@ -733,16 +758,7 @@ object SparkEntry {
     // the large-star/small-star component resolver.
     "q70_minhash_components" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      // Materialize the COMPACT signature (one row per doc) — the md5 work
-      // dominates and the star-edge core references the postings twice;
-      // the ×4 banding explode re-derives lazily from the cached frame.
-      val sig = mat(Dedup.minhashSignatures(docs, "doc_id", "text",
-        n = 3, numHashes = 8))
-      val banded = Dedup.minhashBandPostingsFromSignatures(sig,
-        numHashes = 8, bands = 4)
-      val edges = Dedup.starEdgesFromBuckets(banded, Seq("band_idx", "band_val"))
-      val labeled = Graph.connectedComponents(docs.select(col("doc_id")),
-        "doc_id", edges, "id_a", "id_b")
+      val labeled = minhashComponents(docs)
       val sizes = labeled.groupBy(col("comp")).agg(count(lit(1)).as("comp_size"))
       labeled.join(sizes, Seq("comp")) // see q65: sizes join, not a window
         .select(col("id").as("doc_id"), col("comp"), col("comp_size"))
@@ -820,7 +836,7 @@ object SparkEntry {
       val budgets = docs.select(col("source")).distinct()
         .withColumn("budget",
           lit(500L) + lit(250L) *
-            (substring(col("source"), 4, 10).cast("long") % 4L))
+            (sourceNum % 4L))
       operators.Mixture.tokenBudgetSample(docs, "source", col("n_toks"),
           col("doc_id"), budgets)
         .select(col("doc_id"), col("source"), col("n_toks"))
@@ -925,7 +941,7 @@ object SparkEntry {
     // highest source-trust tier wins, ties -> lowest id.
     "q83_dedup_keep_best" -> ((s, d) =>
       Dedup.exactDedupKeepBest(t(s, d, "documents"), Seq("text"), "doc_id",
-          substring(col("source"), 4, 10).cast("long") % 7)
+          sourceNum % 7)
         .select(col("doc_id"), col("source")).orderBy(col("doc_id"))),
 
     // Representative selection over NEAR-dup groups: q70's MinHash
@@ -934,16 +950,10 @@ object SparkEntry {
     // pick the copy worth training on.
     "q84_near_dup_keep_best" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val sig = mat(Dedup.minhashSignatures(docs, "doc_id", "text",
-        n = 3, numHashes = 8))
-      val banded = Dedup.minhashBandPostingsFromSignatures(sig,
-        numHashes = 8, bands = 4)
-      val edges = Dedup.starEdgesFromBuckets(banded, Seq("band_idx", "band_val"))
-      val labeled = Graph.connectedComponents(docs.select(col("doc_id")),
-        "doc_id", edges, "id_a", "id_b")
-      val withMeta = labeled.select(col("id").as("doc_id"), col("comp"))
+      val withMeta = minhashComponents(docs)
+        .select(col("id").as("doc_id"), col("comp"))
         .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-        .withColumn("trust", substring(col("source"), 4, 10).cast("long") % 7)
+        .withColumn("trust", sourceNum % 7)
       Dedup.keepBestPerGroup(withMeta, "comp", "doc_id", col("trust"))
         .select(col("doc_id"), col("comp"), col("source"))
         .orderBy(col("doc_id"))

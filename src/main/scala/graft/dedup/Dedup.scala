@@ -47,6 +47,16 @@ object Dedup {
     assert_true(count(col("__p")) === count(lit(1)) && min(col("__p")) >= 0,
       lit(s"$op: priority must be non-null and >= 0"))
 
+  /** The max-priority/lowest-id keeper aggregate (`min(struct(-p, id))` —
+    * map-side combinable, so a giant group reduces partition-locally) plus
+    * its tripwires — the single home of the keep-best contract shared by
+    * [[exactDedupKeepBest]] and [[keepBestPerGroup]]. Expects the
+    * pre-aggregate frame to carry `__id` and `__p`. */
+  private def bestKeeperAggs(idCol: String, op: String): Seq[Column] = Seq(
+    min(struct((-col("__p")).as("np"), col("__id").as("i"))).as("__best"),
+    nullIdCheck(idCol, op).as("__nullck"),
+    priorityCheck(op).as("__pck"))
+
   /** Exact dedup: keep the lowest-id row per exact key.
     *
     * The grouping key is two independent 32/64-bit hashes of the key tuple
@@ -96,17 +106,20 @@ object Dedup {
     *
     * Contract: `idCol` and `priority` are non-null and `priority >= 0`
     * (the negation trick needs it) — all three enforced inside the keeper
-    * aggregate at zero extra passes. */
+    * aggregate at zero extra passes. Like [[exactDedup]], rows DUPLICATING
+    * the keeper's id all survive (the semi-join matches on content key +
+    * id) — including a lower-priority row that shares the keeper's id; a
+    * unique id is the caller's contract, any tiebreak over duplicate ids
+    * would be arbitrary. */
   def exactDedupKeepBest(df: DataFrame, keyCols: Seq[String], idCol: String,
                          priority: Column): DataFrame = {
     val Seq(h1, h2, len, pfx) = contentKeyExprs(keyCols)
+    val aggs = bestKeeperAggs(idCol, "exactDedupKeepBest")
     val keepers = df.select(h1.as("__h1"), h2.as("__h2"),
         len.as("__len"), pfx.as("__pfx"), col(idCol).as("__id"),
         priority.as("__p"))
       .groupBy(col("__h1"), col("__h2"), col("__len"), col("__pfx"))
-      .agg(min(struct((-col("__p")).as("np"), col("__id").as("i"))).as("__best"),
-        nullIdCheck(idCol, "exactDedupKeepBest").as("__nullck"),
-        priorityCheck("exactDedupKeepBest").as("__pck"))
+      .agg(aggs.head, aggs.tail: _*)
     df.join(keepers,
         h1 === keepers("__h1") && h2 === keepers("__h2") &&
         len === keepers("__len") && pfx === keepers("__pfx") &&
@@ -120,23 +133,24 @@ object Dedup {
     * band buckets, clusters): keeper maximizes `priority`, ties → lowest
     * id. Same contracts and skew-proof map-side `min(struct(-p, id))`
     * shape as [[exactDedupKeepBest]], keyed by an explicit group column
-    * instead of the content hash. */
+    * instead of the content hash — including the duplicate-keeper-id edge
+    * (all rows sharing the keeper's (group, id) survive; unique ids are
+    * the caller's contract). */
   def keepBestPerGroup(df: DataFrame, groupCol: String, idCol: String,
                        priority: Column): DataFrame = {
+    // Null-group tripwire. NOTE the join below matches groups with
+    // null-SAFE equality (<=>): with a plain ===, the optimizer infers
+    // IsNotNull(__g) from the null-rejecting equi-key and pushes it
+    // BELOW this aggregate — the null-group rows are filtered away
+    // before the assert ever sees them, and the drop is silent again.
+    val aggs = bestKeeperAggs(idCol, "keepBestPerGroup") :+
+      assert_true(count(col("__g")) === count(lit(1)),
+        lit(s"keepBestPerGroup: null values in group column '$groupCol'"))
+        .as("__gck")
     val best = df.select(col(groupCol).as("__g"), col(idCol).as("__id"),
         priority.as("__p"))
       .groupBy(col("__g"))
-      .agg(min(struct((-col("__p")).as("np"), col("__id").as("i"))).as("__best"),
-        nullIdCheck(idCol, "keepBestPerGroup").as("__nullck"),
-        priorityCheck("keepBestPerGroup").as("__pck"),
-        // Null-group tripwire. NOTE the join below matches groups with
-        // null-SAFE equality (<=>): with a plain ===, the optimizer infers
-        // IsNotNull(__g) from the null-rejecting equi-key and pushes it
-        // BELOW this aggregate — the null-group rows are filtered away
-        // before the assert ever sees them, and the drop is silent again.
-        assert_true(count(col("__g")) === count(lit(1)),
-          lit(s"keepBestPerGroup: null values in group column '$groupCol'"))
-          .as("__gck"))
+      .agg(aggs.head, aggs.tail: _*)
     df.join(best,
         df(groupCol) <=> best("__g") && best("__gck").isNull &&
         df(idCol) === best("__best").getField("i") &&
@@ -156,7 +170,8 @@ object Dedup {
     df.select(h1.as("__h1"), h2.as("__h2"), len.as("__len"), pfx.as("__pfx"),
         col(idCol).as("__id"))
       .groupBy(col("__h1"), col("__h2"), col("__len"), col("__pfx"))
-      .agg(min(col("__id")).as(idCol), nullIdCheck(idCol).as("__nullck"))
+      .agg(min(col("__id")).as(idCol),
+        nullIdCheck(idCol, "exactKeeperIds").as("__nullck"))
       // The filter references the check so column pruning cannot drop it;
       // always true on clean input (assert_true yields null).
       .where(col("__nullck").isNull)
