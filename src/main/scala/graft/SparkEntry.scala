@@ -944,6 +944,22 @@ object SparkEntry {
           sourceNum % 7)
         .select(col("doc_id"), col("source")).orderBy(col("doc_id"))),
 
+    // Corpus vocabulary: token frequencies per language, top-20 via the
+    // salted two-phase top-k (few groups — a plain rank window would
+    // funnel each language through ONE reducer; see topKPerGroupSalted).
+    // groupBy-count itself is skew-immune: hot tokens reduce map-side.
+    "q85_vocab_topk" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val counts = docs
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+        .where(col("token") =!= "")
+        .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
+      operators.WindowOps.topKPerGroupSalted(counts, Seq(col("lang")),
+          Seq(col("n").desc, col("token")), k = 20)
+        .select(col("lang"), col("token"), col("n"), col("rank"))
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // Representative selection over NEAR-dup groups: q70's MinHash
     // components, then keep the highest-trust member of each component
     // (ties -> lowest id) — the full dedup story: resolve groups, then
@@ -1969,6 +1985,18 @@ object SparkEntry {
          r AS (SELECT doc_id, comp, source,
                  row_number() OVER (PARTITION BY comp
                    ORDER BY trust DESC, doc_id) AS rn FROM pri)
-         SELECT doc_id, comp, source FROM r WHERE rn = 1 ORDER BY doc_id"""
+         SELECT doc_id, comp, source FROM r WHERE rn = 1 ORDER BY doc_id""",
+
+    "q85_vocab_topk" ->
+      """WITH tk AS (SELECT lang,
+             unnest(string_split_regex(trim(text), '\s+')) AS token
+           FROM documents),
+         c AS (SELECT lang, token, count(*) AS n FROM tk
+               WHERE token <> '' GROUP BY 1, 2),
+         r AS (SELECT lang, token, n,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY n DESC, token) AS "rank" FROM c)
+         SELECT lang, token, n, "rank" FROM r WHERE "rank" <= 20
+         ORDER BY lang, "rank""""
   )
 }
