@@ -960,6 +960,12 @@ object SparkEntry {
         .orderBy(col("lang"), col("rank"))
     }),
 
+    // Statistical LM quality scoring (CCNet shape): per-doc average NLL
+    // under an add-one-smoothed bigram model trained on the corpus itself.
+    "q86_bigram_lm_score" -> ((s, d) =>
+      functions.LmScore.bigramNll(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // Representative selection over NEAR-dup groups: q70's MinHash
     // components, then keep the highest-trust member of each component
     // (ties -> lowest id) — the full dedup story: resolve groups, then
@@ -1997,6 +2003,28 @@ object SparkEntry {
                  row_number() OVER (PARTITION BY lang
                    ORDER BY n DESC, token) AS "rank" FROM c)
          SELECT lang, token, n, "rank" FROM r WHERE "rank" <= 20
-         ORDER BY lang, "rank""""
+         ORDER BY lang, "rank"""",
+
+    // Bigram instances via the pos+1 self-join (same shape as the
+    // engine); counts are exact integers, only the per-doc avg of logs
+    // is rounded.
+    "q86_bigram_lm_score" ->
+      """WITH tk AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos
+           FROM (SELECT doc_id,
+                   string_split_regex(trim(text), '\s+') AS toks
+                 FROM documents)),
+         tkf AS (SELECT * FROM tk WHERE tok <> ''),
+         big AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+                 FROM tkf a JOIN tkf b
+                   ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         c12 AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY 1, 2),
+         c1 AS (SELECT w1, count(*) AS c FROM big GROUP BY 1),
+         v AS (SELECT count(DISTINCT tok) AS v FROM tkf)
+         SELECT g.doc_id, count(*) AS n_bigrams,
+           round(avg(-ln((c12.c + 1.0) / (c1.c + v.v))), 6) AS avg_nll
+         FROM big g JOIN c12 ON g.w1 = c12.w1 AND g.w2 = c12.w2
+         JOIN c1 ON g.w1 = c1.w1 CROSS JOIN v
+         GROUP BY g.doc_id ORDER BY g.doc_id"""
   )
 }

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Statistical language-model quality scoring (the CCNet shape: score
+  * every document by a cheap LM and filter the tail): an add-one-smoothed
+  * bigram
+  * model trained on the corpus itself, scoring each document's average
+  * negative log-likelihood. High NLL = improbable token transitions =
+  * boilerplate/gibberish candidates; low NLL = fluent, predictable text.
+  *
+  * Everything derives from integer counts, so the model is deterministic
+  * and cross-engine reproducible; only the final per-doc average of logs
+  * is order-dependent and is rounded (6 dp) like every other accumulated
+  * double in the oracle contract.
+  *
+  * Scale shape: token positions explode once; bigram instances form by an
+  * (id, pos+1) equi-join (splittable — no per-doc window); the count
+  * tables are map-side-combined groupBys (hot bigrams reduce partition-
+  * locally); instances join the counts on short string keys with AQE
+  * handling hot-key skew. Nothing holds a corpus-wide partition.
+  */
+object LmScore {
+
+  /** Per-document bigram NLL under the corpus-trained model.
+    *
+    * Output: (idCol, n_bigrams, avg_nll) — `avg_nll` = round(avg over the
+    * doc's bigrams of −ln((c(w1,w2) + 1) / (c(w1·) + V)), 6) where c(w1·)
+    * counts bigrams STARTING with w1 and V is the corpus distinct-token
+    * count. Documents with fewer than two tokens have no bigrams and are
+    * absent from the output (score of nothing is nothing — callers decide
+    * their fate). */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("__id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("__pos", "__tok")))
+      .where(col("__tok") =!= "")
+    val big = toks.alias("a").join(toks.alias("b"),
+        col("a.__id") === col("b.__id") &&
+          col("b.__pos") === col("a.__pos") + 1)
+      .select(col("a.__id").as("__id"), col("a.__tok").as("__w1"),
+        col("b.__tok").as("__w2"))
+    val c12 = big.groupBy(col("__w1"), col("__w2"))
+      .agg(count(lit(1)).as("__c12"))
+    val c1 = big.groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
+    // V is one scalar: computed distributed, joined as a 1-row broadcast
+    // (a literal would force an eager action at plan-construction time).
+    val v = toks.select(countDistinct(col("__tok")).as("__v"))
+    big.join(c12, Seq("__w1", "__w2")).join(c1, Seq("__w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("__nll",
+        -log((col("__c12") + 1.0) / (col("__c1") + col("__v"))))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("__nll")), 6).as("avg_nll"))
+      .select(col("__id").as(idCol), col("n_bigrams"), col("avg_nll"))
+  }
+}
