@@ -2019,7 +2019,7 @@ object SparkEntry {
                  FROM tkf a JOIN tkf b
                    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
          c12 AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY 1, 2),
-         c1 AS (SELECT w1, count(*) AS c FROM big GROUP BY 1),
+         c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c FROM c12 GROUP BY 1),
          v AS (SELECT count(DISTINCT tok) AS v FROM tkf)
          SELECT g.doc_id, count(*) AS n_bigrams,
            round(avg(-ln((c12.c + 1.0) / (c1.c + v.v))), 6) AS avg_nll

@@ -42,7 +42,10 @@ object LmScore {
         col("b.__tok").as("__w2"))
     val c12 = big.groupBy(col("__w1"), col("__w2"))
       .agg(count(lit(1)).as("__c12"))
-    val c1 = big.groupBy(col("__w1")).agg(count(lit(1)).as("__c1"))
+    // c(w1·) = Σ_w2 c(w1,w2): derived from the distinct-bigram table, NOT
+    // a third aggregation over the instance join — ReuseExchange shares
+    // c12's (w1,w2) exchange and no bigram instance shuffles twice.
+    val c1 = c12.groupBy(col("__w1")).agg(sum(col("__c12")).as("__c1"))
     // V is one scalar: computed distributed, joined as a 1-row broadcast
     // (a literal would force an eager action at plan-construction time).
     val v = toks.select(countDistinct(col("__tok")).as("__v"))
