@@ -960,6 +960,26 @@ object SparkEntry {
         .orderBy(col("lang"), col("rank"))
     }),
 
+    // The pre-training assembly pipeline end-to-end: exact-dedup keepers →
+    // quality gate → deterministic train split → global concat-and-chunk
+    // packing. Every stage deterministic, so the whole chain oracles
+    // against one independent CTE chain.
+    "q87_pretraining_pipeline" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val keepers = Dedup.exactDedup(docs, Seq("text"), "doc_id")
+      val scored = keepers
+        .withColumn("quality_milli", TextOps.qualityScoreMilli(col("text")))
+        .where(col("quality_milli") >= 600)
+      val train = operators.Splits.assignSplit(scored, col("doc_id"),
+          Seq(("train", 90), ("holdout", 100)))
+        .where(col("split") === "train")
+        .withColumn("n_toks", TextOps.tokenCount(col("text")).cast("long"))
+      operators.Packing.packBins(train, col("n_toks"), col("doc_id"), 1024L)
+        .select(col("doc_id"), col("quality_milli"), col("bin"),
+          col("bin_offset"), col("n_toks"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Statistical LM quality scoring (CCNet shape): per-doc average NLL
     // under an add-one-smoothed bigram model trained on the corpus itself.
     "q86_bigram_lm_score" -> ((s, d) =>
@@ -2025,6 +2045,30 @@ object SparkEntry {
            round(avg(-ln((c12.c + 1.0) / (c1.c + v.v))), 6) AS avg_nll
          FROM big g JOIN c12 ON g.w1 = c12.w1 AND g.w2 = c12.w2
          JOIN c1 ON g.w1 = c1.w1 CROSS JOIN v
-         GROUP BY g.doc_id ORDER BY g.doc_id"""
+         GROUP BY g.doc_id ORDER BY g.doc_id""",
+
+    // Dedup only REMOVES rows, so quality computed over ALL docs (the
+    // shared q CTE) joined to the keeper set equals the engine's
+    // keepers-then-score order. Stage thresholds are exact integers; the
+    // split draw and packing cumsum reuse the q80/q81 constructions.
+    "q87_pretraining_pipeline" -> {
+      s"""WITH $qualityMilliCte,
+         k AS (SELECT doc_id FROM (
+                 SELECT doc_id, row_number() OVER (PARTITION BY text
+                   ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1),
+         s AS (SELECT q.doc_id, q.quality_milli FROM q JOIN k USING (doc_id)
+               WHERE q.quality_milli >= 600),
+         tr AS (SELECT s.doc_id, s.quality_milli,
+                  CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS n_toks
+                FROM s JOIN documents d USING (doc_id)
+                WHERE CAST('0x' || substring(md5(CAST(s.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 90),
+         c AS (SELECT doc_id, quality_milli, n_toks,
+                 CAST(sum(n_toks) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))
+                   ROWS UNBOUNDED PRECEDING) - n_toks AS BIGINT) AS bef
+               FROM tr)
+         SELECT doc_id, quality_milli, bef // 1024 AS bin,
+           bef % 1024 AS bin_offset, n_toks
+         FROM c ORDER BY doc_id"""
+    }
   )
 }
