@@ -963,7 +963,10 @@ object SparkEntry {
     // The pre-training assembly pipeline end-to-end: exact-dedup keepers →
     // quality gate → deterministic train split → global concat-and-chunk
     // packing. Every stage deterministic, so the whole chain oracles
-    // against one independent CTE chain.
+    // against one independent CTE chain. Premise: doc_id is unique (the
+    // corpus contract) — a duplicated id would survive dedup twice in the
+    // engine (documented exactDedup tie behavior) but multiply through the
+    // oracle's re-join instead.
     "q87_pretraining_pipeline" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val keepers = Dedup.exactDedup(docs, Seq("text"), "doc_id")
@@ -2039,7 +2042,9 @@ object SparkEntry {
                  FROM tkf a JOIN tkf b
                    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
          c12 AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY 1, 2),
-         c1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c FROM c12 GROUP BY 1),
+         -- deliberately counts INSTANCES, not Σ over c12: independently
+         -- verifies the engine's marginal derivation c(w1·) = Σ_w2 c(w1,w2)
+         c1 AS (SELECT w1, count(*) AS c FROM big GROUP BY 1),
          v AS (SELECT count(DISTINCT tok) AS v FROM tkf)
          SELECT g.doc_id, count(*) AS n_bigrams,
            round(avg(-ln((c12.c + 1.0) / (c1.c + v.v))), 6) AS avg_nll
