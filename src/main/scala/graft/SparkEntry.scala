@@ -983,6 +983,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Winnowed sub-document overlap: MOSS-style local-min fingerprints
+    // (4-token grams, ±3 neighborhood, portable md5 keys), hot
+    // fingerprints (doc freq > 50) pruned, docs paired on >= 2 shared
+    // selections — catches partial/quoted overlap that doc-level
+    // fingerprints and MinHash signatures miss.
+    "q88_winnowed_overlap" -> ((s, d) => {
+      val fps = mat(Dedup.winnowedFingerprints(t(s, d, "documents"),
+        "doc_id", "text", k = 4, w = 4))
+      val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+        .where(col("__df") > 50).select(col("fp"))
+      val pruned = fps.join(hot, Seq("fp"), "left_anti")
+      val a = pruned.select(col("fp"), col("id").as("id_a"))
+      val b = pruned.select(col("fp"), col("id").as("id_b"))
+      a.join(b, Seq("fp")).where(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Statistical LM quality scoring (CCNet shape): per-doc average NLL
     // under an add-one-smoothed bigram model trained on the corpus itself.
     "q86_bigram_lm_score" -> ((s, d) =>
@@ -2074,6 +2093,30 @@ object SparkEntry {
          SELECT doc_id, quality_milli, bef // 1024 AS bin,
            bef % 1024 AS bin_offset, n_toks
          FROM c ORDER BY doc_id"""
-    }
+    },
+
+    // Same gram/fingerprint/neighborhood-min construction (portable md5
+    // keys make the SELECTION itself reproducible, not just membership).
+    "q88_winnowed_overlap" ->
+      """WITH tk AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         lf AS (SELECT doc_id,
+             list_transform(range(1, len(toks) - 2), i ->
+               array_to_string(list_slice(toks, i, i + 3), ' ')) AS gs
+           FROM tk WHERE len(toks) >= 4),
+         g AS (SELECT doc_id, unnest(gs) AS gram,
+             generate_subscripts(gs, 1) AS pos FROM lf),
+         f AS (SELECT doc_id, pos,
+             CAST('0x' || substring(md5(gram), 1, 15) AS BIGINT) AS fp FROM g),
+         sel AS (SELECT DISTINCT doc_id, fp FROM (
+             SELECT doc_id, fp,
+               min(fp) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nmin
+             FROM f) WHERE fp = nmin),
+         hot AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) > 50),
+         pr AS (SELECT * FROM sel WHERE fp NOT IN (SELECT fp FROM hot))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b"""
   )
 }

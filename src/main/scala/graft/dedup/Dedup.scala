@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextOps
 import graft.plans.Expressions
@@ -469,6 +470,40 @@ object Dedup {
               slice(tk, (i - 1) * blockTokens + 1, lit(blockTokens)), " ")))
           .otherwise(lit(Array.empty[String]))),
       1)
+
+  /** Winnowing-style fingerprint selection (the MOSS family — Schleimer,
+    * Wilkerson, Aiken 2003, "Winnowing: Local Algorithms for Document
+    * Fingerprinting"): slide a k-token gram over each document, hash each
+    * gram with the PORTABLE md5-60-bit key (an independent SQL engine
+    * reproduces the selection bit-for-bit, unlike xxhash64), and select
+    * the grams that are the minimum of their ±(w−1)-gram neighborhood. In
+    * the no-tie case every w consecutive grams contain a selected one
+    * (density ~2/(w+1)), giving position-independent SUB-document overlap
+    * detection — partial plagiarism/quotation that whole-doc fingerprints
+    * and MinHash doc signatures structurally miss.
+    *
+    * Scale shape: grams explode once (narrow); the neighborhood min is a
+    * bounded sliding frame (≤ 2w−1 rows) over per-doc partitions — bounded
+    * by document length, not corpus size; output is distinct (id, fp). */
+  def winnowedFingerprints(df: DataFrame, idCol: String, textCol: String,
+                           k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
+    val grams = df
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__tk"))
+      .where(size(col("__tk")) >= k)
+      .select(col("id"), posexplode(
+        transform(sequence(lit(1), size(col("__tk")) - (k - 1)),
+          i => array_join(slice(col("__tk"), i, lit(k)), " ")))
+        .as(Seq("__pos", "__gram")))
+    val nbr = Window.partitionBy(col("id")).orderBy(col("__pos"))
+      .rowsBetween(-(w - 1), w - 1)
+    grams
+      .withColumn("fp",
+        conv(substring(md5(col("__gram")), 1, 15), 16, 10).cast("long"))
+      .withColumn("__nmin", min(col("fp")).over(nbr))
+      .where(col("fp") === col("__nmin"))
+      .select(col("id"), col("fp")).distinct()
+  }
 
   /** Benchmark decontamination: for each training doc, the number of
     * distinct n-gram shingles it shares with ANY document of the held-out

@@ -38,6 +38,26 @@ class DedupSpec extends AnyFunSuite {
     assert(flat == Seq(0L, 1L, 2L, 4L))
   }
 
+  test("winnowed fingerprints: identical content, embedded passages, short docs") {
+    val passage = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six").trim
+    val host = s"totally different preamble text starts here $passage and trailing words close it out"
+    val other = "unrelated content entirely about cooking with many various ingredient tokens inside the pot"
+    val docs = Seq((0L, passage), (1L, host), (2L, other), (3L, passage),
+      (4L, "too short")).toDF("doc_id", "text")
+    val byDoc = Dedup.winnowedFingerprints(docs, "doc_id", "text", k = 4, w = 4)
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // Selection is content-local: identical docs get identical sets.
+    assert(byDoc(0L) == byDoc(3L) && byDoc(0L).nonEmpty)
+    // The embedded passage surfaces shared selections; disjoint vocab none.
+    assert((byDoc(0L) & byDoc(1L)).nonEmpty)
+    assert((byDoc(0L) & byDoc(2L)).isEmpty)
+    // Fewer than k tokens -> no grams, no fingerprints.
+    assert(!byDoc.contains(4L))
+  }
+
   test("keepBestPerGroup picks max-priority (ties lowest id) per group") {
     val grouped = Seq(
       (0L, 10L, 1L), (1L, 10L, 5L), (2L, 10L, 5L), // grp 10: 1 wins (5, tie -> low id)
