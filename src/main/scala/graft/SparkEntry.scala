@@ -1002,6 +1002,63 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ANN retrieval quality as a first-class oracled query: recall@10 of
+    // the LSH index (q47's construction) against the brute-force exact
+    // ranking (q46's) per query point. The approximate paths' recall was
+    // previously spec-only (AnnSpec); this makes the measurement itself
+    // cross-engine-verified. n_exact is always k (corpus >> k, self
+    // excluded on both sides); recall_milli is floor-exact integer.
+    "q89_ann_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.where(col("vec_id") < 20)
+      val exact = Ann.bruteForceTopK(qs, emb, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("corpus_id"))
+      val approx = Ann.lshTopK(qs, emb, "vec_id", "embedding",
+          k = 10, numPlanes = 6, dim = 64, multiProbe = 1)
+        .select(col("query_id"), col("corpus_id"), lit(1).as("__hit"))
+      exact.join(approx, Seq("query_id", "corpus_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hit"))
+        .withColumn("recall_milli",
+          floor(col("n_hit") * lit(1000) / col("n_exact")).cast("long"))
+        .orderBy(col("query_id"))
+    }),
+
+    // Per-key exact EWMA (pandas ewm(alpha=0.2, adjust=False) semantics)
+    // via ScanOps' in-row sequential fold — a linear recurrence that no
+    // window frame or higher-order fold expresses per-row (the naive
+    // c^(−j) sum formulation overflows past a few thousand rows). Keyed by
+    // (user_id, event_type): bounded per-key series, ONE shuffle. The
+    // oracle runs the SAME double chain via list_reduce prefix folds, so
+    // values agree bit-for-bit before the 6 dp display rounding. The
+    // unbounded-single-series scale path is ScanOps.ewmaGlobal
+    // (segmented scan, spec-verified — float drift makes it non-oracleable).
+    "q90_ewma" -> ((s, d) =>
+      ScanOps.ewmaPerKey(t(s, d, "events"), Seq("user_id", "event_type"),
+          Seq("ts", "event_id"), col("value"), alpha = 0.2, "value", "ewma")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("value"), round(col("ewma"), 6).as("ewma"))
+        .orderBy(col("user_id"), col("event_type"), col("event_id"))),
+
+    // Pre-training prep: sliding-window token chunking (max_len=64 tokens,
+    // stride=48 → 16-token overlap), the standard long-document splitter
+    // feeding sequence packing (q81). sequence+slice+explode — per-doc
+    // bounded work, scan-local until the display sort; chunk identity
+    // travels as md5 so the output stays narrow at corpus scale.
+    "q91_doc_chunks" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+            lit(48))).as("s"))
+        .select(col("doc_id"),
+          (col("s") / lit(48)).cast("long").as("chunk_idx"),
+          slice(col("toks"), col("s") + 1, lit(64)).as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).as("n_chunk_toks"),
+          md5(array_join(col("chunk"), " ").cast("binary")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // Statistical LM quality scoring (CCNet shape): per-doc average NLL
     // under an add-one-smoothed bigram model trained on the corpus itself.
     "q86_bigram_lm_score" -> ((s, d) =>
@@ -1283,14 +1340,22 @@ object SparkEntry {
     * here as literals via Ann.hyperplanes), the signature dot products sum
     * in the same left-to-right IEEE order, query buckets probe Hamming
     * radius 1 (sig XOR {0, 1<<p}). */
-  private def annLshSql: String = {
+  /** md5-parity hyperplane signature + multiprobe-offset literals shared by
+    * the LSH oracle mirrors ([[annLshSql]], [[annRecallSql]]). */
+  private lazy val annSigExpr: String = {
     val planes = graft.similarity.Ann.hyperplanes(6, 64)
     def dot(p: Array[Double]): String =
       p.zipWithIndex.map { case (s, d) =>
         s"vec[${d + 1}] * (${if (s > 0) "1.0" else "-1.0"})" }.mkString(" + ")
-    val sigExpr = planes.zipWithIndex.map { case (pl, p) =>
+    planes.zipWithIndex.map { case (pl, p) =>
       s"(CASE WHEN ${dot(pl)} >= 0 THEN ${1L << p} ELSE 0 END)" }.mkString(" + ")
-    val probes = (0L +: (0 until 6).map(p => 1L << p)).mkString("[", ", ", "]")
+  }
+  private lazy val annProbes: String =
+    (0L +: (0 until 6).map(p => 1L << p)).mkString("[", ", ", "]")
+
+  private def annLshSql: String = {
+    val sigExpr = annSigExpr
+    val probes = annProbes
     s"""WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
        n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm, $sigExpr AS sig
              FROM p),
@@ -1306,6 +1371,42 @@ object SparkEntry {
                  ORDER BY cosine DESC, corpus_id) AS "rank" FROM sims)
        SELECT query_id, corpus_id, cosine, "rank" FROM r WHERE "rank" <= 10
        ORDER BY query_id, "rank""""
+  }
+
+  /** q89 oracle: recall@10 of the LSH retrieval (annLshSql's construction)
+    * vs the exact brute-force ranking (q46's construction) — both CTE
+    * chains inlined over ONE shared signature CTE, counts left-joined per
+    * query point. recall_milli uses floor integer division, mirroring the
+    * engine's floor(n_hit*1000/n_exact). */
+  private def annRecallSql: String = {
+    val sigExpr = annSigExpr
+    val probes = annProbes
+    s"""WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm, $sigExpr AS sig
+             FROM p),
+       exr AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(list_dot_product(q.vec, c.vec) / (q.norm * c.norm), 6) DESC,
+                            c.vec_id) AS r
+               FROM n c, n q WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+       exact AS (SELECT query_id, corpus_id FROM exr WHERE r <= 10),
+       qb AS (SELECT vec_id, vec, norm,
+                unnest(list_transform($probes, o -> xor(sig, CAST(o AS BIGINT)))) AS bucket
+              FROM n WHERE vec_id < 20),
+       asims AS (SELECT DISTINCT qb.vec_id AS query_id, c.vec_id AS corpus_id,
+                   round(list_dot_product(qb.vec, c.vec) / (qb.norm * c.norm), 6) AS cosine
+                 FROM n c JOIN qb ON c.sig = qb.bucket
+                 WHERE qb.vec_id <> c.vec_id),
+       ar AS (SELECT query_id, corpus_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, corpus_id) AS r FROM asims),
+       approx AS (SELECT query_id, corpus_id FROM ar WHERE r <= 10)
+       SELECT e.query_id, count(*) AS n_exact,
+         CAST(count(a.corpus_id) AS BIGINT) AS n_hit,
+         CAST(count(a.corpus_id) * 1000 // count(*) AS BIGINT) AS recall_milli
+       FROM exact e LEFT JOIN approx a
+         ON e.query_id = a.query_id AND e.corpus_id = a.corpus_id
+       GROUP BY e.query_id ORDER BY e.query_id"""
   }
 
   /** Mirrors Ann.ivfTopK(nlist=16, nprobe=4, k=10): stride-sampled centroid
@@ -2117,6 +2218,37 @@ object SparkEntry {
          pr AS (SELECT * FROM sel WHERE fp NOT IN (SELECT fp FROM hot))
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
          FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b"""
+         GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b""",
+    "q89_ann_recall" -> annRecallSql,
+    // The lambda's constants are forced to DOUBLE and the decay factor is
+    // written as (1 - 0.2) IN DOUBLE ARITHMETIC: the engine computes
+    // c = 1.0 - alpha as a double subtraction, and 1.0-0.2 in binary is a
+    // DIFFERENT double than the literal 0.8 — a decimal-typed 0.8 here
+    // would desynchronize the fold chains.
+    "q90_ewma" ->
+      """WITH s AS (
+           SELECT user_id, event_type,
+                  list(value ORDER BY ts, event_id) AS vals,
+                  list(event_id ORDER BY ts, event_id) AS ids
+           FROM events GROUP BY 1, 2),
+         e AS (
+           SELECT user_id, event_type, ids[i] AS event_id, vals[i] AS value,
+                  round(list_reduce(vals[1:i],
+                    (acc, x) -> (CAST(1 AS DOUBLE) - CAST(0.2 AS DOUBLE)) * acc
+                                + CAST(0.2 AS DOUBLE) * x), 6) AS ewma
+           FROM s, unnest(generate_series(1, len(vals))) AS t(i))
+         SELECT user_id, event_type, event_id, value, ewma FROM e
+         ORDER BY user_id, event_type, event_id""",
+    "q91_doc_chunks" ->
+      """WITH tk AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id, CAST(s // 48 AS BIGINT) AS chunk_idx,
+                  toks[s + 1 : s + 64] AS chunk
+           FROM tk, unnest(generate_series(0, len(toks) - 1, 48)) AS g(s))
+         SELECT doc_id, chunk_idx, CAST(len(chunk) AS INTEGER) AS n_chunk_toks,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+         FROM c ORDER BY doc_id, chunk_idx"""
   )
 }

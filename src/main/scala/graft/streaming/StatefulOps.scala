@@ -36,4 +36,37 @@ object StatefulOps {
           Iterator(VwapUpdate(symbol, vwap, s.cumQty, s.n))
       }
   }
+
+  case class SeriesEvent(symbol: String, ts: Long, value: Double)
+  case class EwmaState(ewma: Double, lastTs: Long, n: Long)
+  case class EwmaUpdate(symbol: String, ts: Long, ewma: Double, n: Long)
+
+  /** Streaming counterpart of [[graft.operators.ScanOps.ewmaPerKey]]: the
+    * same y_0 = x_0; y = (1−a)·y + a·x recurrence folded across
+    * micro-batches, one EwmaState per key. A micro-batch's group iterator
+    * carries no order guarantee, so each batch's events are sorted by
+    * (ts, value) before folding — the within-batch sort is bounded by the
+    * batch's per-key row count, and cross-batch order holds when upstream
+    * watermarking delivers batches in event-time order (late rows would
+    * need the full out-of-order merge the batch operator does for free).
+    * Emits one update per key per touched batch (the post-batch state). */
+  def runningEwma(events: Dataset[SeriesEvent], alpha: Double): Dataset[EwmaUpdate] = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val c = 1.0 - alpha
+    import events.sparkSession.implicits._
+    events.groupByKey(_.symbol)
+      .flatMapGroupsWithState[EwmaState, EwmaUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (symbol: String, batch: Iterator[SeriesEvent], state: GroupState[EwmaState]) =>
+          val sorted = batch.toVector.sortBy(e => (e.ts, e.value))
+          var s = state.getOption.getOrElse(EwmaState(Double.NaN, Long.MinValue, 0L))
+          sorted.foreach { e =>
+            s =
+              if (s.n == 0L) EwmaState(e.value, e.ts, 1L)
+              else EwmaState(c * s.ewma + alpha * e.value, e.ts, s.n + 1L)
+          }
+          state.update(s)
+          Iterator(EwmaUpdate(symbol, s.lastTs, s.ewma, s.n))
+      }
+  }
 }

@@ -37,6 +37,32 @@ class StatefulAndSaltingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState running EWMA matches the batch fold across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StatefulOps.SeriesEvent
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SeriesEvent]
+    val out = StatefulOps.runningEwma(mem.toDS(), alpha = 0.25)
+    val q = out.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("ewma_out").start()
+    try {
+      // batch 1: out-of-order WITHIN the batch — must fold in ts order
+      mem.addData(SeriesEvent("A", 2L, 20.0), SeriesEvent("A", 1L, 10.0),
+        SeriesEvent("B", 1L, 5.0))
+      q.processAllAvailable()
+      // batch 2 folds on top of persisted state
+      mem.addData(SeriesEvent("A", 3L, 30.0))
+      q.processAllAvailable()
+      val rows = spark.sql("select * from ewma_out").as[StatefulOps.EwmaUpdate]
+        .collect().groupBy(_.symbol)
+      // reference: same fold as ScanOps — y0=x0, y=0.75y+0.25x
+      val a1 = 0.75 * 10.0 + 0.25 * 20.0            // after batch 1
+      val a2 = 0.75 * a1 + 0.25 * 30.0              // after batch 2
+      assert(rows("A").map(u => (u.n, u.ewma)).toSet == Set((2L, a1), (3L, a2)))
+      assert(rows("B").map(u => (u.n, u.ewma)).toSet == Set((1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("salted aggregation matches direct groupBy on skewed keys") {
     // 90% of rows share one hot key.
     val df = spark.range(10000)
