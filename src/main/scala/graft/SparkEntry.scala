@@ -1059,6 +1059,56 @@ object SparkEntry {
           md5(array_join(col("chunk"), " ").cast("binary")).as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // Rolling 60-minute correlation between two pivot-aligned series —
+    // the co-movement diagnostic over q23's minute matrix. Partitioned by
+    // DAY so no task ever holds the whole history (frames reset at
+    // midnight — the standard daily-analytics convention, and the price
+    // of a splittable plan); gated on full frames AND nonzero variance.
+    // The correlation is spelled covar/sqrt(var·var) rather than corr():
+    // a window corr() evaluates on EVERY frame before the projection's
+    // conditional, so a zero-variance frame (common here — the fillna-0
+    // pivot leaves sparse series flat for long stretches) throws
+    // DIVIDE_BY_ZERO under ANSI mode; CASE WHEN only evaluates the
+    // division on gated frames, and the oracle mirrors the same spelling.
+    "q92_rolling_corr" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = JoinOps.pivotAlign(t(s, d, "events"), TimeOps.minuteFloor(col("ts")),
+        "event_type", eventTypes, col("value"))
+      val w = Window.partitionBy(date_trunc("day", col("bucket")))
+        .orderBy(col("bucket")).rowsBetween(-59, 0)
+      def gated(a: String, b: String): Column = {
+        val va = var_samp(col(a)).over(w)
+        val vb = var_samp(col(b)).over(w)
+        when(count(lit(1)).over(w) >= 60 && va > 0 && vb > 0,
+          round(covar_samp(col(a), col(b)).over(w) / sqrt(va * vb), 6))
+      }
+      p.select(col("bucket"),
+          gated("click", "view").as("corr_click_view"),
+          gated("purchase", "signup").as("corr_purchase_signup"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Event-sequence funnel: for every click, the exact microsecond lag to
+    // the SAME user's next purchase, kept when conversion lands within 30
+    // minutes. The "next matching event" comes from a min over the
+    // strictly-following window frame — per-user partitions, bounded
+    // state, no self-join. (asofJoin covers the backward direction; this
+    // is the forward shape.)
+    "q93_funnel" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      t(s, d, "events")
+        .withColumn("__np",
+          min(when(col("event_type") === "purchase", col("ts"))).over(w))
+        .where(col("event_type") === "click" && col("__np").isNotNull)
+        .select(col("user_id"), col("event_id").as("click_id"),
+          (unix_micros(col("__np")) - unix_micros(col("ts"))).as("us_to_purchase"))
+        .where(col("us_to_purchase") <= 1800L * 1000000L)
+        .orderBy(col("user_id"), col("click_id"))
+    }),
+
     // Statistical LM quality scoring (CCNet shape): per-doc average NLL
     // under an add-one-smoothed bigram model trained on the corpus itself.
     "q86_bigram_lm_score" -> ((s, d) =>
@@ -2249,6 +2299,37 @@ object SparkEntry {
            FROM tk, unnest(generate_series(0, len(toks) - 1, 48)) AS g(s))
          SELECT doc_id, chunk_idx, CAST(len(chunk) AS INTEGER) AS n_chunk_toks,
            md5(array_to_string(chunk, ' ')) AS chunk_md5
-         FROM c ORDER BY doc_id, chunk_idx"""
+         FROM c ORDER BY doc_id, chunk_idx""",
+    "q92_rolling_corr" -> {
+      val piv = eventTypes.map(e =>
+        s"coalesce(round(avg(CASE WHEN event_type = '$e' THEN value END), 6), 0.0) AS $e").mkString(", ")
+      def gated(a: String, b: String, out: String) =
+        s"""CASE WHEN count(*) OVER w >= 60
+              AND var_samp($a) OVER w > 0 AND var_samp($b) OVER w > 0
+            THEN round(covar_samp($a, $b) OVER w
+                       / sqrt((var_samp($a) OVER w) * (var_samp($b) OVER w)), 6)
+            END AS $out"""
+      s"""WITH p AS (SELECT date_trunc('minute', ts) AS bucket, $piv
+            FROM events GROUP BY 1)
+          SELECT bucket, ${gated("click", "view", "corr_click_view")},
+            ${gated("purchase", "signup", "corr_purchase_signup")}
+          FROM p
+          WINDOW w AS (PARTITION BY date_trunc('day', bucket) ORDER BY bucket
+            ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+          ORDER BY bucket"""
+    },
+    "q93_funnel" ->
+      """WITH n AS (
+           SELECT user_id, event_id, event_type, ts,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
+           FROM events)
+         SELECT user_id, event_id AS click_id,
+           CAST(epoch_us(np) - epoch_us(ts) AS BIGINT) AS us_to_purchase
+         FROM n
+         WHERE event_type = 'click' AND np IS NOT NULL
+           AND epoch_us(np) - epoch_us(ts) <= 1800 * 1000000
+         ORDER BY user_id, click_id"""
   )
 }
