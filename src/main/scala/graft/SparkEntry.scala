@@ -1109,6 +1109,53 @@ object SparkEntry {
         .orderBy(col("user_id"), col("click_id"))
     }),
 
+    // Distribution-drift monitoring: exact two-sample Kolmogorov–Smirnov
+    // statistic per event_type between the even- and odd-id halves (the
+    // train/holdout drift check a data pipeline runs between snapshots).
+    // The ECDFs run over the DISTINCT-value spine: the groupBy collapses
+    // row count to value cardinality first (map-side combined), so the
+    // per-type window scans distinct values, not raw rows — at
+    // unbounded-cardinality 100 TB the spine itself would first be
+    // histogram-bucketed (approx_percentile cut points), trading exactness
+    // for a bound; here the metric domain is small and the ECDF is exact.
+    "q94_ks_drift" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = t(s, d, "events")
+        .groupBy(col("event_type"), col("value"))
+        .agg(count(when(col("event_id") % 2 === 0, 1)).as("__ca"),
+             count(when(col("event_id") % 2 =!= 0, 1)).as("__cb"))
+      val wv = Window.partitionBy(col("event_type")).orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy(col("event_type"))
+      c.select(col("event_type"),
+          sum(col("__ca")).over(wv).as("__cuma"),
+          sum(col("__cb")).over(wv).as("__cumb"),
+          sum(col("__ca")).over(wt).as("__na"),
+          sum(col("__cb")).over(wt).as("__nb"))
+        .groupBy(col("event_type"))
+        .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+          round(max(abs(col("__cuma") / col("__na") - col("__cumb") / col("__nb"))), 6)
+            .as("ks"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Categorical drift: chi-square independence statistic of the
+    // (event_type × id-parity-half) contingency table — one aggregation
+    // over 5×2 counts, totals joined back as a broadcast 1-row frame.
+    "q95_chi2_drift" -> ((s, d) => {
+      val o = t(s, d, "events").groupBy(col("event_type"))
+        .agg(count(when(col("event_id") % 2 === 0, 1)).as("__oa"),
+             count(when(col("event_id") % 2 =!= 0, 1)).as("__ob"))
+      val tot = o.agg(sum(col("__oa")).as("__ta"), sum(col("__ob")).as("__tb"))
+      o.crossJoin(broadcast(tot))
+        .withColumn("__n", col("__ta") + col("__tb"))
+        .withColumn("__ea", (col("__oa") + col("__ob")) * col("__ta") / col("__n"))
+        .withColumn("__eb", (col("__oa") + col("__ob")) * col("__tb") / col("__n"))
+        .agg(round(sum(pow(col("__oa") - col("__ea"), 2) / col("__ea") +
+                       pow(col("__ob") - col("__eb"), 2) / col("__eb")), 6).as("chi2"),
+             (count_distinct(col("event_type")) - 1).as("dof"))
+    }),
+
     // Statistical LM quality scoring (CCNet shape): per-doc average NLL
     // under an add-one-smoothed bigram model trained on the corpus itself.
     "q86_bigram_lm_score" -> ((s, d) =>
@@ -2330,6 +2377,37 @@ object SparkEntry {
          FROM n
          WHERE event_type = 'click' AND np IS NOT NULL
            AND epoch_us(np) - epoch_us(ts) <= 1800 * 1000000
-         ORDER BY user_id, click_id"""
+         ORDER BY user_id, click_id""",
+    "q94_ks_drift" ->
+      """WITH c AS (SELECT event_type, value,
+             count(CASE WHEN event_id % 2 = 0 THEN 1 END) AS ca,
+             count(CASE WHEN event_id % 2 <> 0 THEN 1 END) AS cb
+           FROM events GROUP BY 1, 2),
+         e AS (SELECT event_type,
+             sum(ca) OVER wv AS cuma, sum(cb) OVER wv AS cumb,
+             sum(ca) OVER wt AS na, sum(cb) OVER wt AS nb
+           FROM c
+           WINDOW wv AS (PARTITION BY event_type ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wt AS (PARTITION BY event_type))
+         SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
+           CAST(max(nb) AS BIGINT) AS n_b,
+           round(max(abs(CAST(cuma AS DOUBLE) / na
+                         - CAST(cumb AS DOUBLE) / nb)), 6) AS ks
+         FROM e GROUP BY 1 ORDER BY event_type""",
+    "q95_chi2_drift" ->
+      """WITH o AS (SELECT event_type,
+             count(CASE WHEN event_id % 2 = 0 THEN 1 END) AS oa,
+             count(CASE WHEN event_id % 2 <> 0 THEN 1 END) AS ob
+           FROM events GROUP BY 1),
+         t AS (SELECT CAST(sum(oa) AS BIGINT) AS ta,
+                      CAST(sum(ob) AS BIGINT) AS tb FROM o),
+         x AS (SELECT event_type, oa, ob,
+             CAST((oa + ob) * ta AS DOUBLE) / (ta + tb) AS ea,
+             CAST((oa + ob) * tb AS DOUBLE) / (ta + tb) AS eb
+           FROM o, t)
+         SELECT round(sum(pow(oa - ea, 2) / ea + pow(ob - eb, 2) / eb), 6) AS chi2,
+           CAST(count(DISTINCT event_type) - 1 AS BIGINT) AS dof
+         FROM x"""
   )
 }
