@@ -874,10 +874,11 @@ object Dedup {
     // Zero-norm vectors have no direction: their cosine is 0/0 = NaN, and
     // Spark orders NaN ABOVE every real number, so `cosine >= minSim` would
     // admit the pair. Excluded on both sides (mirrored in the oracle).
+    graft.plans.Expressions.ensureRegistered(df.sparkSession)
     val v = df.select(col(idCol).as("id"),
         transform(col(vecCol), x => x.cast("double")).as("vec"))
       .withColumn("norm",
-        sqrt(aggregate(col("vec"), lit(0.0d), (acc, x) => acc + x * x)))
+        sqrt(graft.plans.Expressions.dotProduct(col("vec"), col("vec"))))
       .where(col("norm") > 0)
       .withColumn("block", Ann.signature(col("vec"), planes))
     Ann.blockedCosinePairs(v, minSim).withColumnRenamed("block", "bucket")
@@ -890,10 +891,11 @@ object Dedup {
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
                            blockCol: String, minSim: Double): DataFrame = {
     // norm > 0: see embeddingLshPairs — NaN cosine would pass >= minSim.
+    graft.plans.Expressions.ensureRegistered(df.sparkSession)
     val v = df.select(col(blockCol).as("block"), col(idCol).as("id"),
         transform(col(vecCol), x => x.cast("double")).as("vec"))
       .withColumn("norm",
-        sqrt(aggregate(col("vec"), lit(0.0d), (acc, x) => acc + x * x)))
+        sqrt(graft.plans.Expressions.dotProduct(col("vec"), col("vec"))))
       .where(col("norm") > 0)
     Ann.blockedCosinePairs(v, minSim)
   }

@@ -19,15 +19,22 @@ object Ann {
 
   /** Cast float vector to double + L2 norm, computed once. */
   private def prepared(df: DataFrame, idCol: String, vecCol: String,
-                       idOut: String, vecOut: String, normOut: String): DataFrame =
+                       idOut: String, vecOut: String, normOut: String): DataFrame = {
+    graft.plans.Expressions.ensureRegistered(df.sparkSession)
     df.select(col(idCol).as(idOut),
         transform(col(vecCol), x => x.cast("double")).as(vecOut))
       .withColumn(normOut,
-        sqrt(aggregate(col(vecOut), lit(0.0d), (acc, x) => acc + x * x)))
+        sqrt(graft.plans.Expressions.dotProduct(col(vecOut), col(vecOut))))
+  }
 
+  /** Cosine over prepared (double, norm>0) vectors. The dot product is the
+    * fused [[graft.plans.Expressions.DotProduct]] codegen expression — the
+    * same left-to-right double fold as the aggregate(zip_with) composite
+    * (bit-identical, oracles untouched) without allocating a product array
+    * per candidate pair. Callers that prepare their own frames register
+    * the function via Expressions.ensureRegistered first. */
   def cosine(vecA: Column, normA: Column, vecB: Column, normB: Column): Column =
-    aggregate(zip_with(vecA, vecB, (x, y) => x * y), lit(0.0d),
-      (acc, x) => acc + x) / (normA * normB)
+    graft.plans.Expressions.dotProduct(vecA, vecB) / (normA * normB)
 
   /** Within-block cosine near-dup pairs over a PREPARED frame with columns
     * (block, id, vec, norm), norm > 0 rows only — the single home of the
@@ -39,6 +46,7 @@ object Ann {
     * bit-reproducible against a SQL oracle. Change the rounding or the
     * tie-break here and every caller (and its oracle) moves together. */
   private[graft] def blockedCosinePairs(v: DataFrame, minSim: Double): DataFrame = {
+    graft.plans.Expressions.ensureRegistered(v.sparkSession)
     val a = v.select(col("block"), col("id").as("id_a"),
       col("vec").as("__va"), col("norm").as("__na"))
     val b = v.select(col("block"), col("id").as("id_b"),
@@ -267,9 +275,10 @@ object Ann {
       struct(lit(cid).as("cid"), lit(cnorm).as("cnorm"),
         array(cvec.map(lit): _*).as("cvec"))
     }: _*)
+    graft.plans.Expressions.ensureRegistered(df.sparkSession)
     val sims = transform(centLit, c =>
-      struct((aggregate(zip_with(col(vecCol), c.getField("cvec"), (x, y) => x * y),
-          lit(0.0d), (acc, x) => acc + x) / c.getField("cnorm")).as("sim"),
+      struct((graft.plans.Expressions.dotProduct(col(vecCol), c.getField("cvec"))
+          / c.getField("cnorm")).as("sim"),
         c.getField("cid").as("cid")))
     val sorted = reverse(array_sort(sims))
     (1 to n).foldLeft(df.withColumn("__cells", sorted)) { (d, i) =>
