@@ -1139,6 +1139,35 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Population stability index per event_type — the standard ML-ops
+    // drift score over fixed-width value buckets (PSI < 0.1 stable,
+    // > 0.25 drifted). Proportions are taken against each half's FULL
+    // population; buckets empty on either side are excluded from the sum
+    // (the deterministic variant of the epsilon fudge, mirrored exactly in
+    // the oracle — ln(0) is the alternative). Bucket spine per type is
+    // value-range/width rows, so the totals window runs over a collapsed
+    // frame, not raw events.
+    "q96_psi_drift" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val b = t(s, d, "events")
+        .withColumn("__bucket", floor(col("value") / lit(50.0)).cast("long"))
+        .groupBy(col("event_type"), col("__bucket"))
+        .agg(count(when(col("event_id") % 2 === 0, 1)).as("__ca"),
+             count(when(col("event_id") % 2 =!= 0, 1)).as("__cb"))
+      val wt = Window.partitionBy(col("event_type"))
+      b.select(col("event_type"), col("__ca"), col("__cb"),
+          sum(col("__ca")).over(wt).as("__na"),
+          sum(col("__cb")).over(wt).as("__nb"))
+        .where(col("__ca") > 0 && col("__cb") > 0)
+        .withColumn("__pa", col("__ca") / col("__na"))
+        .withColumn("__pb", col("__cb") / col("__nb"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_buckets"),
+             round(sum((col("__pa") - col("__pb")) * log(col("__pa") / col("__pb"))), 6)
+               .as("psi"))
+        .orderBy(col("event_type"))
+    }),
+
     // Categorical drift: chi-square independence statistic of the
     // (event_type × id-parity-half) contingency table — one aggregation
     // over 5×2 counts, totals joined back as a broadcast 1-row frame.
@@ -2408,6 +2437,22 @@ object SparkEntry {
            FROM o, t)
          SELECT round(sum(pow(oa - ea, 2) / ea + pow(ob - eb, 2) / eb), 6) AS chi2,
            CAST(count(DISTINCT event_type) - 1 AS BIGINT) AS dof
-         FROM x"""
+         FROM x""",
+    "q96_psi_drift" ->
+      """WITH b AS (SELECT event_type,
+             CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+             count(CASE WHEN event_id % 2 = 0 THEN 1 END) AS ca,
+             count(CASE WHEN event_id % 2 <> 0 THEN 1 END) AS cb
+           FROM events GROUP BY 1, 2),
+         e AS (SELECT event_type, ca, cb,
+             sum(ca) OVER (PARTITION BY event_type) AS na,
+             sum(cb) OVER (PARTITION BY event_type) AS nb
+           FROM b),
+         p AS (SELECT event_type,
+             CAST(ca AS DOUBLE) / na AS pa, CAST(cb AS DOUBLE) / nb AS pb
+           FROM e WHERE ca > 0 AND cb > 0)
+         SELECT event_type, count(*) AS n_buckets,
+           round(sum((pa - pb) * ln(pa / pb)), 6) AS psi
+         FROM p GROUP BY 1 ORDER BY event_type"""
   )
 }

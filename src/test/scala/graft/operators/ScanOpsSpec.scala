@@ -87,6 +87,26 @@ class ScanOpsSpec extends AnyFunSuite {
     assert(ScanOps.ewmaGlobal(df, Seq("seq"), col("x"), 0.2, "x", "e", 4).count() == 0)
   }
 
+  test("ewmaPerKey and ewmaGlobal agree on a single-key series") {
+    // Cross-path check: the in-row fold and the segmented scan are
+    // independent implementations of the same recurrence; on one key they
+    // must agree to float tolerance (the segmented scan's driver-side
+    // affine composition reorders ops, so not bitwise).
+    val n = 5000
+    val rows = (0 until n).map(i => (1L, i.toLong, math.sin(i * 0.1) * 10 + i % 7))
+    val df = rows.toDF("k", "seq", "x")
+    val perKey = ScanOps.ewmaPerKey(df, Seq("k"), Seq("seq"), col("x"), 0.2, "x", "e")
+      .orderBy("seq").collect().map(_.getDouble(3))
+    val global = ScanOps.ewmaGlobal(df.select(col("seq"), col("x")),
+        Seq("seq"), col("x"), 0.2, "x", "e", numPartitions = 6)
+      .orderBy("seq").collect().map(_.getDouble(2))
+    assert(perKey.length == n && global.length == n)
+    perKey.zip(global).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(math.abs(a - b) / math.max(1.0, math.abs(a)) < 1e-12,
+        s"row $i: perKey $a vs global $b")
+    }
+  }
+
   test("alpha is validated") {
     val df = Seq((1L, 1.0)).toDF("seq", "x")
     intercept[IllegalArgumentException] {
