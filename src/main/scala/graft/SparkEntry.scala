@@ -1185,6 +1185,61 @@ object SparkEntry {
              (count_distinct(col("event_type")) - 1).as("dof"))
     }),
 
+    // Corpus snapshot diff: classify every doc id as added / removed /
+    // changed / unchanged between two simulated pipeline runs (old = ids
+    // outside the %7==1 slice; new = ids outside the %11==2 slice, with
+    // the %13==0 slice's text rewritten). Content equality travels as a
+    // 12-byte hash signature — the full-outer join never shuffles text.
+    "q97_snapshot_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val oldSnap = docs.where(col("doc_id") % 7 =!= 1)
+      val newSnap = docs.where(col("doc_id") % 11 =!= 2)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+      SetOps.snapshotDiff(oldSnap, newSnap, "doc_id", Seq("text"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Tokenizer merge-candidate scoring: top adjacent-token collocations
+    // by integer-exact lift (the statistic a BPE-style vocabulary learner
+    // ranks). Pair + unigram counts are map-side-combined; the top-k is a
+    // TakeOrderedAndProject, never a global sort.
+    "q98_pmi_collocations" -> ((s, d) =>
+      functions.Collocations.topCollocations(t(s, d, "documents"), "text",
+        minCount = 5L, k = 100)),
+
+    // Per-suite contamination attribution: the held-out set is split into
+    // three benchmark suites; each contaminated training doc reports its
+    // worst-overlapping suite, that overlap, and how many suites flagged
+    // it — the leak report a multi-benchmark eval pipeline needs.
+    "q99_contamination_attribution" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val postings = mat(Dedup.shinglePostings(docs, "doc_id", "text", 3))
+      val testSuites = postings.where(col("id") % 50 === 0)
+        .select(concat(lit("suite"), (col("id") % 3).cast("string")).as("suite"),
+          col("shh"))
+      Dedup.contaminationBySuiteFromPostings(
+          postings.where(col("id") % 50 =!= 0), testSuites, minShared = 3L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-language quality deciles via the bounded value-histogram cumsum
+    // (quality_milli ∈ [0,1000]) — ntile's per-group window would serialize
+    // each language through one sort task at corpus scale; the histogram
+    // dim is ≤ langs×1001 rows and broadcasts back. All ties share a
+    // bucket, so the label is value-deterministic and oracle-reproducible.
+    "q100_quality_deciles" -> ((s, d) => {
+      val scored = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.qualityScoreMilli(col("text")).as("quality_milli"))
+      Calibrate.histogramBuckets(scored, Seq("lang"),
+          "quality_milli", buckets = 10, bucketOut = "decile")
+        .select(col("doc_id"), col("lang"), col("quality_milli"), col("decile"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Statistical LM quality scoring (CCNet shape): per-doc average NLL
     // under an add-one-smoothed bigram model trained on the corpus itself.
     "q86_bigram_lm_score" -> ((s, d) =>
@@ -2453,6 +2508,61 @@ object SparkEntry {
            FROM e WHERE ca > 0 AND cb > 0)
          SELECT event_type, count(*) AS n_buckets,
            round(sum((pa - pb) * ln(pa / pb)), 6) AS psi
-         FROM p GROUP BY 1 ORDER BY event_type"""
+         FROM p GROUP BY 1 ORDER BY event_type""",
+    "q97_snapshot_diff" ->
+      """WITH oldsnap AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 1),
+         newsnap AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END AS text
+           FROM documents WHERE doc_id % 11 <> 2)
+         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.text = n.text THEN 'unchanged'
+                ELSE 'changed' END AS status
+         FROM oldsnap o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id
+         ORDER BY doc_id""",
+    "q98_pmi_collocations" ->
+      """WITH tk AS (
+           SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         pr AS (
+           SELECT toks[i] AS tok_a, toks[i + 1] AS tok_b
+           FROM tk, unnest(generate_series(1, len(toks) - 1)) AS g(i)),
+         pc AS (SELECT tok_a, tok_b, count(*) AS n_pair
+                FROM pr GROUP BY 1, 2 HAVING count(*) >= 5),
+         uni AS (SELECT tok, count(*) AS n_tok
+                 FROM (SELECT unnest(toks) AS tok FROM tk) GROUP BY 1)
+         SELECT tok_a, tok_b, CAST(n_pair AS BIGINT) AS n_pair,
+           CAST(n_pair * 1000000000 // (a.n_tok * b.n_tok) AS BIGINT) AS lift_ppb
+         FROM pc JOIN uni a ON pc.tok_a = a.tok JOIN uni b ON pc.tok_b = b.tok
+         ORDER BY lift_ppb DESC, tok_a, tok_b LIMIT 100""",
+    "q99_contamination_attribution" ->
+      s"""WITH $shinglesCte,
+         te AS (SELECT DISTINCT 'suite' || CAST(id % 3 AS VARCHAR) AS suite,
+                  $contShingleHashSql AS shh
+                FROM e WHERE id % 50 = 0),
+         tr AS (SELECT id, $contShingleHashSql AS shh FROM e WHERE id % 50 <> 0),
+         ov AS (SELECT id, suite, count(*) AS n_shared
+                FROM tr JOIN te USING (shh)
+                GROUP BY 1, 2 HAVING count(*) >= 3),
+         r AS (SELECT id, suite, n_shared,
+             row_number() OVER (PARTITION BY id
+               ORDER BY n_shared DESC, suite DESC) AS rn,
+             count(*) OVER (PARTITION BY id) AS n_suites
+           FROM ov)
+         SELECT id AS doc_id, suite AS top_suite,
+           CAST(n_shared AS BIGINT) AS top_shared,
+           CAST(n_suites AS BIGINT) AS n_suites
+         FROM r WHERE rn = 1 ORDER BY doc_id""",
+    "q100_quality_deciles" ->
+      s"""WITH $qualityMilliCte,
+         r AS (SELECT doc_id, lang, quality_milli,
+             rank() OVER (PARTITION BY lang ORDER BY quality_milli) - 1 AS cum_lt,
+             count(*) OVER (PARTITION BY lang) AS ng
+           FROM q JOIN documents USING (doc_id))
+         SELECT doc_id, lang, quality_milli,
+           CAST(least(9, (10 * cum_lt) // ng) AS BIGINT) AS decile
+         FROM r ORDER BY doc_id"""
   )
 }

@@ -355,6 +355,33 @@ object Dedup {
       .select(col("id").as("doc_id"), col("n_shared"))
   }
 
+  /** Per-SUITE contamination attribution — the multi-benchmark shape of
+    * [[contaminationFromPostings]]: eval pipelines hold out SEVERAL suites
+    * at once, and the removal decision (and the leak report) needs to know
+    * WHICH suite a training doc overlaps, not just that it overlaps.
+    *
+    * `testWithSuite` carries (suite, shh) postings; they are reduced to
+    * distinct (suite, shh) first, so the join multiplicity per training
+    * posting is exactly the number of suites sharing that shingle and
+    * `count(*)` per (id, suite) IS the distinct-overlap count. Output: one
+    * row per contaminated training doc — its worst (top) suite by shared
+    * count (ties → lexically greatest suite, deterministic), that count,
+    * and how many suites independently flagged it. The per-doc argmax is
+    * `max(struct(n, suite))` — map-side combinable, no window. */
+  def contaminationBySuiteFromPostings(train: DataFrame, testWithSuite: DataFrame,
+                                       minShared: Long): DataFrame = {
+    val te = testWithSuite.select(col("suite"), col("shh")).distinct()
+    train.join(te, Seq("shh"))
+      .groupBy(col("id"), col("suite"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .groupBy(col("id"))
+      .agg(max(struct(col("n_shared").as("n"), col("suite").as("s"))).as("__top"),
+        count(lit(1)).as("n_suites"))
+      .select(col("id").as("doc_id"), col("__top.s").as("top_suite"),
+        col("__top.n").as("top_shared"), col("n_suites"))
+  }
+
   /** [[contaminationFromPostings]] with a broadcast Bloom prefilter on the
     * training side — the shape for benchmark suites too big to broadcast as
     * an exact hash set.

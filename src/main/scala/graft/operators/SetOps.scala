@@ -32,4 +32,32 @@ object SetOps {
       .where(col("__rn") === 1)
       .drop("__recency", "__rn")
   }
+
+  /** Corpus snapshot diff — the audit step between two pipeline runs: each
+    * id is classified `added` (new only), `removed` (old only), `changed`
+    * (both, content differs) or `unchanged`.
+    *
+    * Content equality travels as a (xxhash64, 32-bit hash) signature pair —
+    * the full-outer join shuffles (id, 12-byte sig) rows, never the
+    * document text, so the diff of two 100 TB snapshots moves only ids and
+    * hashes. A `changed` doc is misread as `unchanged` only if BOTH hashes
+    * collide (~2⁻⁹⁶ per changed id). Contract: `idCol` is unique per
+    * snapshot (a duplicated id would multiply through the join) and
+    * non-null (null ids never match a join key, so each such row would
+    * surface as a spurious added+removed pair).
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   contentCols: Seq[String]): DataFrame = {
+    def keyed(df: DataFrame, sig: String) = {
+      val ks = contentCols.map(col)
+      df.select(col(idCol).as("id"),
+        struct(xxhash64(ks: _*), hash(ks: _*)).as(sig))
+    }
+    keyed(oldDf, "__osig").join(keyed(newDf, "__nsig"), Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__osig").isNull, lit("added"))
+          .when(col("__nsig").isNull, lit("removed"))
+          .when(col("__osig") === col("__nsig"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

@@ -412,6 +412,32 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(0L -> 8L)) // 10 tokens → 8 distinct 3-gram shingles
   }
 
+  test("contaminationBySuite attributes the worst suite with deterministic ties") {
+    // Postings passed directly: train doc 1 shares 3 hashes with suiteA and
+    // 4 with suiteB (suiteB wins); doc 2 shares 3 with each (tie → greatest
+    // suite name wins); doc 3 shares only 2 anywhere (below minShared).
+    val train = Seq(
+      (1L, 101L), (1L, 102L), (1L, 103L), (1L, 104L),
+      (2L, 201L), (2L, 202L), (2L, 203L),
+      (3L, 301L), (3L, 302L)
+    ).toDF("id", "shh")
+    val testSuites = Seq(
+      ("suiteA", 101L), ("suiteA", 102L), ("suiteA", 103L),
+      ("suiteB", 101L), ("suiteB", 102L), ("suiteB", 103L), ("suiteB", 104L),
+      ("suiteA", 201L), ("suiteA", 202L), ("suiteA", 203L),
+      ("suiteB", 201L), ("suiteB", 202L), ("suiteB", 203L),
+      ("suiteA", 301L), ("suiteA", 302L),
+      // duplicate test postings must not inflate counts (distinct first)
+      ("suiteA", 101L), ("suiteB", 201L)
+    ).toDF("suite", "shh")
+    val got = Dedup.contaminationBySuiteFromPostings(train, testSuites, minShared = 3L)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> (("suiteB", 4L, 2L)),
+      2L -> (("suiteB", 3L, 2L))))
+  }
+
   test("bloom-prefiltered contamination is bit-identical to the exact join") {
     // A mixed corpus: one exact copy of a test doc, one partial overlap,
     // many clean docs (the bloom must pass the first two and the exact

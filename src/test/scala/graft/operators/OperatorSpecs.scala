@@ -122,4 +122,28 @@ class OperatorSpecs extends AnyFunSuite {
     assert(WindowOps.importanceSample(df, col("id"), lit(0)).isEmpty)
     assert(WindowOps.importanceSample(df, col("id"), lit(1000)).count() == 200)
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val newSnap = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "text")
+    val got = SetOps.snapshotDiff(oldSnap, newSnap, "id", Seq("text"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+    // Identical snapshots: everything unchanged; disjoint: no unchanged.
+    assert(SetOps.snapshotDiff(oldSnap, oldSnap, "id", Seq("text"))
+      .select("status").distinct().as[String].collect().toSeq == Seq("unchanged"))
+    val disjoint = SetOps.snapshotDiff(oldSnap, newSnap.where(col("id") === 4), "id", Seq("text"))
+      .as[(Long, String)].collect().toMap
+    assert(disjoint == Map(1L -> "removed", 2L -> "removed",
+      3L -> "removed", 4L -> "added"))
+  }
+
+  test("snapshotDiff compares multi-column content") {
+    val o = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "t", "n")
+    val n = Seq((1L, "a", 10L), (2L, "b", 21L)).toDF("id", "t", "n")
+    val got = SetOps.snapshotDiff(o, n, "id", Seq("t", "n"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq(1L -> "unchanged", 2L -> "changed"))
+  }
 }
