@@ -1104,7 +1104,8 @@ object SparkEntry {
           min(when(col("event_type") === "purchase", col("ts"))).over(w))
         .where(col("event_type") === "click" && col("__np").isNotNull)
         .select(col("user_id"), col("event_id").as("click_id"),
-          (unix_micros(col("__np")) - unix_micros(col("ts"))).as("us_to_purchase"))
+          (TimeOps.epochMicros(col("__np")) - TimeOps.epochMicros(col("ts")))
+            .as("us_to_purchase"))
         .where(col("us_to_purchase") <= 1800L * 1000000L)
         .orderBy(col("user_id"), col("click_id"))
     }),

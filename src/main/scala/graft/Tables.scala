@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish parquet tables
   * (see TESTDATA.md). All operators in this library are generic over
@@ -13,12 +13,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Reads a table. `events.ts` is parquet TIMESTAMP(NANOS), which Spark
-    * only surfaces as a nanosecond LONG (spark.sql.legacy.parquet.
-    * nanosAsLong=true — set in Verify/Bench/tests); the values are
-    * µs-resolution, so the DIV 1000 → TimestampType conversion is lossless.
-    * Integer DIV, not `/`: a double round-trip would lose precision on
-    * 1.7e18-scale nanos. */
+  /** Reads a table, normalizing `events.ts` to session-TZ TimestampType
+    * whatever physical shape the parquet carries. Observed shapes across
+    * driver testdata generations:
+    *   - TIMESTAMP(NANOS) → nanosecond LONG (under spark.sql.legacy.parquet.
+    *     nanosAsLong=true — set in Verify/Bench/tests); values are
+    *     µs-resolution, so DIV 1000 → timestamp_micros is lossless. Integer
+    *     DIV, not `/`: a double round-trip loses precision on 1.7e18 nanos.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ; the cast
+    *     to TimestampType re-interprets the wall-clock fields in the session
+    *     TZ — lossless under the UTC session every entrypoint pins.
+    * Normalizing HERE (not per query) keeps every downstream epoch
+    * extraction (`unix_micros`, interval arithmetic) on the one type they
+    * all accept; SchemaDriftSpec pins the post-normalization schema so the
+    * next silent testdata type change fails one named test, not N queries. */
   // Deliberately NOT .cache()d: measured slower at bench scale — building
   // the in-memory columnar cache costs more than re-running the (OS-page-
   // cached, vectorized) parquet scans these queries do once each. The
@@ -26,9 +34,13 @@ object Tables {
   // feature frame that ~10 artifact queries fan out from (SURVEY §4).
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    } else df
   }
 
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")

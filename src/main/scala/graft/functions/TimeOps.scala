@@ -40,6 +40,20 @@ object TimeOps {
     * (binance_analysis.py:395). */
   def minuteFloor(ts: Column): Column = date_trunc("minute", ts)
 
+  /** Epoch seconds from EITHER TimestampType or TimestampNTZType (or a
+    * castable string). `unix_seconds`/`unix_micros` reject NTZ outright
+    * (DATATYPE_MISMATCH — the round-7 q64/q68/q93 regression class), and a
+    * bare `.cast("long")` on NTZ is an illegal cast; casting to TimestampType
+    * FIRST is legal from both and is the identity on LTZ. Under the UTC
+    * session every entrypoint pins, NTZ wall-clock == UTC instant, so the
+    * re-interpretation is lossless. All epoch extraction in the library
+    * routes through here — never call unix_micros/unix_seconds on a raw
+    * input column. */
+  def epochSeconds(c: Column): Column = unix_seconds(c.cast("timestamp"))
+
+  /** Epoch microseconds; same type-agnosticism contract as [[epochSeconds]]. */
+  def epochMicros(c: Column): Column = unix_micros(c.cast("timestamp"))
+
   /** Floor to an arbitrary epoch-aligned bucket of `seconds` width.
     * Equivalent of a tumbling-window assignment done as a projection, so it
     * can be a grouping key without the struct produced by `window()`. */

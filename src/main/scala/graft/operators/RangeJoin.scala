@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.functions.TimeOps
 
 /** Banded (bucketed) batch range join.
   *
@@ -46,7 +47,9 @@ object RangeJoin {
     // below 2^53 and both sides use the identical expression.
     def bucket(epochSec: org.apache.spark.sql.Column) =
       floor(epochSec.cast("double") / w).cast("long")
-    val lo = col(lTimeCol).cast("long") + lowerSec
+    // TimeOps.epochSeconds, NOT .cast("long"): the bare cast is illegal on
+    // TIMESTAMP_NTZ inputs (the round-7 q64/q68 regression).
+    val lo = TimeOps.epochSeconds(col(lTimeCol)) + lowerSec
     val l = left.withColumn("__bucket",
       explode(array(bucket(lo), bucket(lo) + 1)))
     // The right side is renamed wholesale before the join: when both inputs
@@ -56,15 +59,19 @@ object RangeJoin {
     // condition unambiguous by construction.
     def rn(c: String) = s"__r_$c"
     val r = right.select(right.columns.map(c => col(c).as(rn(c))): _*)
-      .withColumn(rn("__bucket"), bucket(col(rn(rTimeCol)).cast("long")))
+      .withColumn(rn("__bucket"), bucket(TimeOps.epochSeconds(col(rn(rTimeCol)))))
+    // Exact predicate in epoch-µs space, not timestamp-interval space: µs
+    // keeps full parquet precision, and epoch longs compare identically
+    // whether each side arrived as LTZ or NTZ (interval arithmetic would
+    // reject a mixed-type comparison).
+    val rUs = TimeOps.epochMicros(col(rn(rTimeCol)))
+    val lUs = TimeOps.epochMicros(l(lTimeCol))
     val upperBound =
-      if (inclusiveUpper)
-        col(rn(rTimeCol)) <= l(lTimeCol) + expr(s"INTERVAL $upperSec SECONDS")
-      else
-        col(rn(rTimeCol)) < l(lTimeCol) + expr(s"INTERVAL $upperSec SECONDS")
+      if (inclusiveUpper) rUs <= lUs + upperSec * 1000000L
+      else rUs < lUs + upperSec * 1000000L
     val cond = keyCols.map(k => l(k) === col(rn(k))).reduce(_ && _) &&
       l("__bucket") === col(rn("__bucket")) &&
-      col(rn(rTimeCol)) >= l(lTimeCol) + expr(s"INTERVAL $lowerSec SECONDS") &&
+      rUs >= lUs + lowerSec * 1000000L &&
       upperBound
     val rightKeep = right.columns.filterNot(keyCols.contains)
       .map(c => col(rn(c)).as(c))

@@ -34,6 +34,26 @@ class TimeOpsSpec extends AnyFunSuite {
     assert(df.where(col("from_ms") =!= col("from_iso")).count() == 0)
   }
 
+  test("epochSeconds/epochMicros agree across LTZ, NTZ and string inputs") {
+    // unix_micros/unix_seconds throw DATATYPE_MISMATCH on TIMESTAMP_NTZ
+    // (the round-7 q64/q68/q93 breakage); the helpers must accept both
+    // timestamp types and return the same epoch under the UTC session.
+    val df = Seq("2024-01-01 00:00:00.000001", "2031-06-15 12:34:56.789012")
+      .toDF("raw")
+      .select(to_timestamp(col("raw")).as("ltz"),
+              col("raw").cast("timestamp_ntz").as("ntz"), col("raw"))
+    val rows = df.select(
+      TimeOps.epochMicros(col("ltz")), TimeOps.epochMicros(col("ntz")),
+      TimeOps.epochMicros(col("raw")),
+      TimeOps.epochSeconds(col("ltz")), TimeOps.epochSeconds(col("ntz")))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    for ((mLtz, mNtz, mStr, sLtz, sNtz) <- rows) {
+      assert(mLtz == mNtz && mNtz == mStr)
+      assert(sLtz == sNtz && sLtz == mLtz / 1000000L)
+    }
+    assert(rows(0)._1 == 1704067200000001L) // µs precision survives
+  }
+
   test("weekday num is 0=Monday and pairs with the name") {
     val df = Seq("2024-01-01 10:00:00").toDF("raw") // a Monday
       .withColumn("ts", to_timestamp(col("raw")))

@@ -76,6 +76,23 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(banded == naive)
   }
 
+  test("TIMESTAMP_NTZ inputs join identically to TimestampType inputs") {
+    // The round-7 regression: driver testdata switched events.ts to parquet
+    // timestamp[us] (→ NTZ in Spark 4), and the then-.cast("long") epoch
+    // extraction was an illegal cast on NTZ. Epoch extraction now routes
+    // through TimeOps.epochSeconds/epochMicros, which accept both; under
+    // the UTC test session the NTZ re-interpretation is value-identical.
+    val lNtz = left.withColumn("lt", col("lt").cast("timestamp_ntz"))
+    val rNtz = right.withColumn("rt", col("rt").cast("timestamp_ntz"))
+    val ltz = RangeJoin.banded(left, right, Seq("key"), "lt", "rt", -100, 0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    for ((l, r) <- Seq((lNtz, rNtz), (lNtz, right), (left, rNtz))) {
+      val got = RangeJoin.banded(l, r, Seq("key"), "lt", "rt", -100, 0)
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      assert(got == ltz)
+    }
+  }
+
   test("plans as a hash equi-join, not a nested-loop/cartesian") {
     val df = RangeJoin.banded(left, right, Seq("key"), "lt", "rt", -100, 0)
     df.queryExecution.toRdd // finalize AQE
