@@ -16,8 +16,11 @@ import org.apache.spark.sql.SparkSession
   * Spark job count (via a per-query job group), so a wall-clock outlier in a
   * degraded environment is attributable — GC pressure shows as gc ≈ sec,
   * scheduler amplification shows as a high job count. The stdout line stays
-  * under the tail-buffer cap by carrying only the totals and the top-5 GC
-  * offenders; the full per-query detail goes to the file sink.
+  * under the driver's 2000-char tail-buffer cap BY CONSTRUCTION: totals,
+  * gc/jobs, failure counts and the top-5 GC offenders always fit, and
+  * per-query entries are admitted slowest-first only while they fit a hard
+  * budget ("queries_omitted" counts the rest). The full per-query detail
+  * always goes to the file sink.
   *
   * SPARK_GRAFT_BENCH_REPS=N (default 1) times each query N times
   * back-to-back and reports the MEDIAN in the headline (the stdout format
@@ -70,8 +73,16 @@ object Bench {
       val d = "/root/testdata/sf0.001"
       if (new java.io.File(d).isDirectory && d != sfDir) d else sfDir
     }
-    ordered.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    // Warmup failures are counted and surfaced (stderr + a field in the
+    // JSON line): a silently-swallowed all-queries-broken warmup otherwise
+    // reads as a healthy-but-slow timed pass.
+    val warmFailed = ordered.flatMap { case (name, fn) =>
+      try { fn(spark, warmDir).count(); None }
+      catch { case t: Throwable =>
+        System.err.println(s"warmup failed: $name — ${t.getClass.getSimpleName}: " +
+          String.valueOf(t.getMessage).linesIterator.nextOption().getOrElse(""))
+        Some(name)
+      }
     }
 
     // One timed run; job count via a per-(query, rep) group so reps don't
@@ -110,17 +121,20 @@ object Bench {
     val failed = results.filterNot(_._5).map(_._1)
     def num(v: Double, dp: Int): String =
       s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     val gcTop = results.sortBy(-_._3).take(5).filter(_._3 >= 0.005)
       .map { case (k, _, g, _, _, _) => "\"" + k + "\":" + num(g, 2) }
       .mkString("{", ",", "}")
     // The driver captures only the LAST 2000 chars of stdout; a JSON line
-    // longer than that loses its head and fails to parse (observed in
-    // BENCH_r03.json: tail len 2000, line len 2055). Millisecond precision
-    // is plenty for per-query seconds; drop to 2 dp if the line still
-    // wouldn't fit.
+    // longer than that loses its HEAD — including the "total" field — and
+    // fails to parse (BENCH_r03 at 71 queries, then BENCH_r07 when 100
+    // queries outgrew even the 1-dp fallback: 100 × ~25-char entries ≈
+    // 2.5 kB before the envelope). The full per-query map therefore never
+    // goes to stdout anymore: the line carries totals + diagnostics + the
+    // SLOWEST queries only, as many as fit a hard budget, with
+    // "queries_omitted" making the truncation explicit. Every query's
+    // sec/gc/jobs/ok/reps still lands in the detail file.
     def render(dp: Int, withGcTop: Boolean): String = {
-      val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + num(v, dp) }
-        .mkString("{", ",", "}")
       val top = if (withGcTop) s""","gc_top":$gcTop""" else ""
       // "failed" appears only when something failed — a throwing query
       // otherwise records a fast wall-time and reads as healthy. Only the
@@ -130,13 +144,25 @@ object Bench {
       val fl = if (failed.isEmpty) ""
         else s""","failed_n":${failed.length},"failed":""" +
           failed.take(5).mkString("[\"", "\",\"", "\"]")
-      s"""{"metric":"total","value":${num(total, dp)},"unit":"sec"""" +
-        s""","queries":$qs,"gc_sec":${num(gcTotal, 1)},"jobs":$jobsTotal""" +
-        s"""$top$fl,"sf":"$sfDir"}"""
+      val wf = if (warmFailed.isEmpty) ""
+        else s""","warmup_failed_n":${warmFailed.length}"""
+      val head =
+        s"""{"metric":"total","value":${num(total, dp)},"unit":"sec"""" +
+          s""","gc_sec":${num(gcTotal, 1)},"jobs":$jobsTotal$top$fl$wf""" +
+          s""","sf":"$sfDir","detail":"${outFile.stripSuffix(".json")}_DETAIL.json""""
+      // Budget whatever the envelope left for per-query entries, slowest
+      // first (the informative ones for a perf reader; the sum is "value").
+      val entries = results.sortBy(-_._2)
+        .map { case (k, v, _, _, _, _) => "\"" + k + "\":" + num(v, dp) }
+      val budget = 1900 - head.length - 60 // envelope + omitted-count slack
+      val (kept, len) = entries.foldLeft((Vector.empty[String], 0)) {
+        case ((acc, n), e) =>
+          if (n + e.length + 1 <= budget) (acc :+ e, n + e.length + 1) else (acc, n)
+      }
+      val om = if (kept.length == entries.length) ""
+        else s""","queries_omitted":${entries.length - kept.length}"""
+      head + s""","queries":${kept.mkString("{", ",", "}")}$om}"""
     }
-    // Successively cheaper renderings until one fits the cap: 3 dp → 2 dp →
-    // 2 dp without the gc_top map → 1 dp without it (the detail file always
-    // carries everything).
     val json = Seq(render(3, true), render(2, true), render(2, false),
         render(1, false))
       .find(_.length <= 1900).getOrElse(render(1, false))
@@ -145,7 +171,6 @@ object Bench {
     // file, so a parser that sees interleaved launcher noise still has an
     // uncontaminated copy. Full per-query diagnostics (sec/gc/jobs) go to
     // a sibling detail file with no length constraint.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     val detail = results.map { case (k, v, g, j, ok, rs) =>
       val repsArr = rs.map(num(_, 3)).mkString("[", ",", "]")
       "\"" + k + s"""":{"sec":${num(v, 3)},"gc_sec":${num(g, 2)},"jobs":$j,""" +

@@ -49,23 +49,35 @@ object SparkEntry {
   private def sourceNum: Column =
     col("source").substr(lit(4), length(col("source"))).cast("long")
 
-  /** MinHash banding → star edges → connected components over `docs` —
-    * the shared group-resolution chain behind q70 (components + sizes) and
-    * q84 (components + keeper); parameters here are mirrored by the
-    * oracle-side `minhashCompCtes`, so tune them in BOTH places or the
-    * engine and oracle silently desynchronize. The compact signature is
-    * materialized (one row per doc): the md5 work dominates and the
-    * star-edge core references the postings twice; the ×4 banding explode
-    * re-derives lazily from the cached frame. */
-  private def minhashComponents(docs: DataFrame): DataFrame = {
-    val sig = mat(Dedup.minhashSignatures(docs, "doc_id", "text",
-      n = 3, numHashes = 8))
+  /** The materialized MinHash signature frame (one compact row per doc) the
+    * q70/q84 component chain builds on — EXPOSED separately from the
+    * component resolution so a composed pipeline reuses it the way q69
+    * reuses shingle postings: the md5 signature work dominates the chain
+    * and must run once per pipeline, not once per consumer. Parameters are
+    * mirrored by the oracle-side `minhashCompCtes`; tune them in BOTH
+    * places or the engine and oracle silently desynchronize. */
+  private def minhashSignatureFrame(docs: DataFrame): DataFrame =
+    mat(Dedup.minhashSignatures(docs, "doc_id", "text", n = 3, numHashes = 8))
+
+  /** Banding → star edges → connected components from a PRE-materialized
+    * signature frame (see [[minhashSignatureFrame]]). The star-edge core
+    * references the banded postings twice; the ×4 banding explode
+    * re-derives lazily from the materialized signatures, so no signature
+    * recomputation reaches the final plan (EntrySpec asserts this on q84). */
+  private def minhashComponentsFromSignatures(docs: DataFrame,
+                                              sig: DataFrame): DataFrame = {
     val banded = Dedup.minhashBandPostingsFromSignatures(sig,
       numHashes = 8, bands = 4)
     val edges = Dedup.starEdgesFromBuckets(banded, Seq("band_idx", "band_val"))
     Graph.connectedComponents(docs.select(col("doc_id")),
       "doc_id", edges, "id_a", "id_b")
   }
+
+  /** MinHash banding → star edges → connected components over `docs` —
+    * the shared group-resolution chain behind q70 (components + sizes) and
+    * q84 (components + keeper). */
+  private def minhashComponents(docs: DataFrame): DataFrame =
+    minhashComponentsFromSignatures(docs, minhashSignatureFrame(docs))
 
   /** Flagship: multi-join regional revenue (TPC-H Q5 shape) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =

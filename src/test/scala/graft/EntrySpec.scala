@@ -74,4 +74,52 @@ class EntrySpec extends AnyFunSuite {
     assert(scans == 2, s"expected 2 documents scans in q69's plan, saw " +
       s"$scans; leaves:\n${leaves.map(_.getClass.getName).mkString("\n")}")
   }
+
+  /** Count parquet scans of `table` among the optimized plan's leaves. */
+  private def parquetScans(df: org.apache.spark.sql.DataFrame, table: String): Int =
+    df.queryExecution.optimizedPlan.collectLeaves().count {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.exists(_.toString.contains(table))
+          case _ => false
+        }
+      case _ => false
+    }
+
+  test("q84 computes MinHash signatures once: no signature work in the final plan") {
+    // The signature frame is materialized (RDD-backed) and shared by the
+    // banding and the component resolution; the keep-best stage then only
+    // joins components back to `documents` for the source/trust columns.
+    // Expected documents scans: the (spine + source-join) pair appears
+    // TWICE because keepBestPerGroup semi-joins its input against an
+    // aggregate of the same input (the skew-proof struct-min shape) = 4.
+    // If the signature materialization regressed, the md5 signature
+    // expressions (and MORE documents scans to feed them) would reappear
+    // in the optimized plan of the FINAL frame.
+    val df = SparkEntry.queries("q84_near_dup_keep_best")(spark, SparkTestSession.sf)
+    val scans = parquetScans(df, "documents")
+    assert(scans == 4, s"expected 4 documents scans in q84's plan " +
+      "(spine + source join, ×2 via the keep-best self-agg semi-join), saw " + scans)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("md5"),
+      s"signature (md5) computation leaked into q84's final plan:\n$plan")
+  }
+
+  test("q99 derives BOTH join sides from one materialized postings frame") {
+    // The shingle postings are materialized once; the suite-labeled test
+    // side and the training side are filters of that SAME RDD-backed frame
+    // — distinct LogicalRDD identities would mean a second postings
+    // computation, and any documents parquet scan would mean a re-read.
+    val df = SparkEntry.queries("q99_contamination_attribution")(spark, SparkTestSession.sf)
+    assert(parquetScans(df, "documents") == 0,
+      "q99 re-read documents parquet instead of reusing the postings frame")
+    val rddIds = df.queryExecution.optimizedPlan.collectLeaves().collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
+    }
+    assert(rddIds.nonEmpty, "expected RDD-backed postings leaves in q99's plan")
+    assert(rddIds.distinct.length == 1,
+      s"q99's join sides reference ${rddIds.distinct.length} distinct RDDs " +
+        s"(ids $rddIds) — the postings materialization is not shared")
+  }
 }

@@ -203,6 +203,92 @@ class LargeScaleSpec extends AnyFunSuite {
       f"4× data cost $ratio%.1f× wall — super-linear")
   }
 
+  /** ONE language holding 80% of the corpus, with a heavy tie at one value
+    * — the exact skew `ntile(10) OVER (PARTITION BY lang ORDER BY q)` would
+    * serialize through a single group-sized sort task. The histogram path's
+    * window runs over ≤ langs×1001 histogram rows regardless of n. */
+  private def calibrateInput(n: Long): DataFrame =
+    spark.range(n).select(col("id"),
+      when(col("id") % 5 === 0,
+          concat(lit("lang"), (col("id") % 4).cast("string")))
+        .otherwise(lit("en")).as("lang"),
+      when(col("id") % 3 === 0, lit(500L)).otherwise(col("id") % 1001).as("q"))
+
+  private def calibratePipeline(n: Long): Long = {
+    import spark.implicits._
+    operators.Calibrate.histogramBuckets(calibrateInput(n), Seq("lang"), "q",
+        buckets = 10, bucketOut = "decile")
+      .agg(sum(col("decile") * (col("id") + 1))).as[Long].head()
+  }
+
+  test("histogram deciles scale ~linearly on a skewed 5-language corpus",
+      LargeScale) {
+    import spark.implicits._
+    val small = 500000L
+    val large = 2000000L
+    calibratePipeline(10000L)
+    // Bit-identity vs the per-group-window reference at the small size:
+    // rows strictly below = count over a RANGE frame ending at -1; same
+    // tie-sharing formula, but windowed over the full group (the shape
+    // that does NOT scale — fine as a small-size oracle).
+    val docs = calibrateInput(small)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("q"))
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    val ref = docs
+      .withColumn("__lt", coalesce(count(lit(1)).over(w), lit(0L)))
+      .withColumn("__ng", count(lit(1)).over(wg))
+      .select(col("id"),
+        least(lit(9), expr("(10 * __lt) div __ng")).as("decile"))
+      .agg(sum(col("decile") * (col("id") + 1))).as[Long].head()
+    val (fastSmall, tSmall) = timed(calibratePipeline(small))
+    assert(fastSmall == ref,
+      s"histogram-bucket checksum $fastSmall != window reference $ref")
+    val (_, tLarge) = timed(calibratePipeline(large))
+    val ratio = tLarge / tSmall
+    info(f"calibrate: $small%,d rows in $tSmall%.1f s; $large%,d rows in " +
+      f"$tLarge%.1f s (ratio $ratio%.1f× for 4× data)")
+    assert(ratio < 10.0,
+      f"4× data cost $ratio%.1f× wall — super-linear; the per-group sort is back")
+  }
+
+  /** Every doc carries the SAME leading bigram — a viral pair whose count
+    * equals the corpus size (the "of the" degeneracy). The map-side-combined
+    * count tables must reduce it partition-locally; any shape that shuffles
+    * one row per occurrence of the hot pair to a single reducer degrades
+    * super-linearly. */
+  /** Tokens per doc: `alpha beta topicX` — pair (alpha, beta) occurs in
+    * EVERY doc (n occurrences), (beta, topicX) splits across 211 values.
+    * Every pair's lift is exactly ⌊10⁹/n⌋ (the n_x marginals cancel), so
+    * the top-k tie-break is alphabetical and (alpha, beta) is rank 1 —
+    * membership in the collected top-100 is deterministic at any n. */
+  private def collocationsInput(n: Long): DataFrame =
+    spark.range(n).select(concat(
+      lit("alpha beta topic"), (col("id") % 211).cast("string")).as("text"))
+
+  private def collocationsPipeline(n: Long): Map[(String, String), Long] =
+    functions.Collocations.topCollocations(collocationsInput(n), "text",
+        minCount = 5L, k = 100)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+
+  test("collocation counting scales ~linearly under a viral pair", LargeScale) {
+    val small = 500000L
+    val large = 2000000L
+    collocationsPipeline(10000L)
+    val (topSmall, tSmall) = timed(collocationsPipeline(small))
+    val (topLarge, tLarge) = timed(collocationsPipeline(large))
+    // The viral pair's exact corpus frequency survives the hot-key path.
+    assert(topSmall(("alpha", "beta")) == small)
+    assert(topLarge(("alpha", "beta")) == large)
+    val ratio = tLarge / tSmall
+    info(f"collocations: $small%,d docs in $tSmall%.1f s; $large%,d docs in " +
+      f"$tLarge%.1f s (ratio $ratio%.1f× for 4× data)")
+    assert(ratio < 10.0,
+      f"4× data cost $ratio%.1f× wall — super-linear; the viral pair pinned a task")
+  }
+
   private def packingPipeline(n: Long): Long = {
     val docs = spark.range(n).select(col("id"), (col("id") % 97).as("w"))
     operators.Packing.packBins(docs, col("w"), col("id"), 4096L)

@@ -1,14 +1,20 @@
 #!/usr/bin/env python3
 """Local correctness harness mimicking the driver's DuckDB-oracle compare.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [--timing] [query ...]
 
 Reads <verifyOutDir>/oracle_sql.json, runs each oracle SQL in DuckDB with the
 parquet tables registered as views, loads the Spark result parquet, sorts
 columns by name, and compares values cell-by-cell (exact, with timestamp
 normalization). Reports per-query: rows / schema / values.
+
+--timing additionally records each oracle query's DuckDB wall seconds and
+writes {"total_sec":…, "queries":{name:sec}} to
+<verifyOutDir>/oracle_timing.json — the single-node baseline the bench
+numbers ratio against, reproducible in-band instead of via a hand-rolled
+harness.
 """
-import sys, os, json, glob
+import sys, os, json, glob, time
 import duckdb
 import pandas as pd
 
@@ -28,8 +34,11 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    args = [a for a in sys.argv[1:] if a != "--timing"]
+    timing = "--timing" in sys.argv[1:]
+    sf_dir, out_dir = args[0], args[1]
+    only = set(args[2:])
+    times = {}
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -48,7 +57,9 @@ def main():
             n_fail += 1
             continue
         try:
+            t0 = time.monotonic()
             want = norm(con.execute(sql).df())
+            times[name] = round(time.monotonic() - t0, 3)
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {str(e)[:300]}")
             n_fail += 1
@@ -85,6 +96,12 @@ def main():
             print(f"PASS {name} ({len(got)} rows, {len(got.columns)} cols)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if timing:
+        out = {"total_sec": round(sum(times.values()), 3), "queries": times}
+        with open(f"{out_dir}/oracle_timing.json", "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        print(f"oracle timing: {out['total_sec']} s over {len(times)} queries "
+              f"-> {out_dir}/oracle_timing.json")
     sys.exit(1 if n_fail else 0)
 
 
