@@ -1272,6 +1272,46 @@ object SparkEntry {
       Dedup.keepBestPerGroup(withMeta, "comp", "doc_id", col("trust"))
         .select(col("doc_id"), col("comp"), col("source"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Gap-based sessionization: per-user visit episodes (30-min inactivity
+    // closes a session) with ordinal, size, bounds and duration — the
+    // event-stream → interaction-episode rollup. One exchange on user_id
+    // serves both windows AND the final aggregate (the group key extends
+    // the partition key).
+    "q101_sessionization" -> ((s, d) =>
+      operators.Sessionize.sessionStats(t(s, d, "events"),
+          "user_id", "ts", "event_id", gapSec = 1800L)
+        .orderBy(col("user_id"), col("session_idx"))),
+
+    // Temperature-scaled language mixing at T=2: accept docs of language l
+    // with probability sqrt(n_min/n_l) under the deterministic md5 draw —
+    // the small-language upweighting rule of multilingual sampling, exact
+    // because sqrt is IEEE-correctly-rounded everywhere. Stratified by
+    // lang (the one skewed stratum in the testdata — en is ~40%), so the
+    // acceptance filter is actually exercised.
+    "q102_temperature_mix" -> ((s, d) =>
+      operators.Mixture.temperatureSample(t(s, d, "documents"),
+          "lang", col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("keep_ppm"))
+        .orderBy(col("doc_id"))),
+
+    // Corpus diversity per source: total vs distinct 3-gram shingles and
+    // the distinct-ratio in milli — the repetitiveness/diversity signal a
+    // mixture designer reads before weighting a source. Distinct counts
+    // run on the 8-byte xxhash64 postings (two-phase partial aggregate);
+    // the oracle counts distinct raw shingles — identical barring a
+    // 64-bit collision.
+    "q103_source_diversity" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.shinglePostings(docs, "doc_id", "text", 3)
+        .join(docs.select(col("doc_id").as("id"), col("source")), Seq("id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_shingles"),
+          count_distinct(col("shh")).as("n_distinct_shingles"))
+        .withColumn("diversity_milli",
+          expr("n_distinct_shingles * 1000 div n_shingles"))
+        .orderBy(col("source"))
     })
   )
 
@@ -2576,6 +2616,58 @@ object SparkEntry {
            FROM q JOIN documents USING (doc_id))
          SELECT doc_id, lang, quality_milli,
            CAST(least(9, (10 * cum_lt) // ng) AS BIGINT) AS decile
-         FROM r ORDER BY doc_id"""
+         FROM r ORDER BY doc_id""",
+
+    // Same lag→flag→running-sum spelling; a gap of EXACTLY 1800 s starts a
+    // new session (>=, mirroring the engine's half-open [ts, ts+gap)
+    // session-window merge rule).
+    "q101_sessionization" ->
+      """WITH o AS (SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         f AS (SELECT user_id, ts, event_id,
+             CASE WHEN prev IS NULL
+                    OR epoch_us(ts) - epoch_us(prev) >= 1800000000 THEN 1
+                  ELSE 0 END AS nw
+           FROM o),
+         s AS (SELECT user_id, ts,
+             sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+           FROM f)
+         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           epoch_us(max(ts)) // 1000000 - epoch_us(min(ts)) // 1000000
+             AS duration_sec
+         FROM s GROUP BY user_id, session_idx
+         ORDER BY user_id, session_idx""",
+
+    // floor(1e6·sqrt(n_min/n_s)) is reproducible because sqrt is IEEE-
+    // correctly-rounded in both engines (the engine fixes T=2 for exactly
+    // this reason); the draw is the q78 md5-hex-chunk idiom at ppm scale.
+    "q102_temperature_mix" ->
+      """WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         mn AS (SELECT min(n) AS nmin FROM cnt),
+         thr AS (SELECT lang,
+             CAST(floor(1000000 * sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)))
+               AS BIGINT) AS keep_ppm
+           FROM cnt CROSS JOIN mn)
+         SELECT d.doc_id, d.lang, t.keep_ppm
+         FROM documents d JOIN thr t USING (lang)
+         WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % 1000000 < t.keep_ppm
+         ORDER BY d.doc_id""",
+
+    // Distinct counts on raw shingle STRINGS where the engine counts
+    // distinct xxhash64 postings — equal barring a 64-bit collision (the
+    // q42-family tolerance).
+    "q103_source_diversity" ->
+      s"""WITH $shinglesCte,
+         j AS (SELECT e.id, e.sh, d.source
+               FROM e JOIN documents d ON e.id = d.doc_id)
+         SELECT source, count(*) AS n_shingles,
+           count(DISTINCT sh) AS n_distinct_shingles,
+           (count(DISTINCT sh) * 1000) // count(*) AS diversity_milli
+         FROM j GROUP BY source ORDER BY source"""
   )
 }

@@ -102,6 +102,45 @@ object Mixture {
       .drop("__k", "__b")
   }
 
+  /** Temperature-scaled mixture sampling at T = 2 — the data-mixing rule
+    * that UPWEIGHTS small sources relative to their natural share (mT5 /
+    * multilingual-sampling shape): sampling a source with probability
+    * ∝ share^(1/T) means accepting each of its rows with probability
+    * ∝ share^(1/T − 1) = 1/√share at T = 2, normalized so the SMALLEST
+    * stratum keeps everything: p(s) = √(n_min / n_s).
+    *
+    * T is fixed at 2 deliberately: √ is the one fractional power IEEE 754
+    * guarantees correctly rounded, so `floor(1e6 · √(n_min/n_s))` is
+    * bit-identical in every engine and the draw oracles exactly. A general
+    * `pow(x, 1/T)` is only faithfully rounded (libm-dependent) — a
+    * threshold landing on the rounding boundary would silently diverge
+    * between engines, which is precisely the non-reproducibility this
+    * engine's deterministic draws exist to rule out.
+    *
+    * Scale: one map-side-combined count per stratum (tiny dim), its global
+    * min via a 1-row broadcast cross join, acceptance thresholds broadcast
+    * back, and the draw itself is the same per-row md5 filter as
+    * [[graft.operators.WindowOps.importanceSample]] — fully pushed down,
+    * no shuffle of the corpus.
+    *
+    * Output: the kept rows with `keep_ppm` (the stratum's parts-per-million
+    * acceptance threshold) attached. */
+  def temperatureSample(df: DataFrame, stratumCol: String,
+                        idExpr: Column): DataFrame = {
+    require(!df.columns.contains("keep_ppm"),
+      "column keep_ppm already exists on the input")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min(col("__n")).as("__nmin"))
+    val thresholds = counts.crossJoin(broadcast(nMin))
+      .select(col(stratumCol),
+        floor(lit(1000000.0d) *
+          sqrt(col("__nmin").cast("double") / col("__n").cast("double")))
+          .cast("long").as("keep_ppm"))
+    df.join(broadcast(thresholds), Seq(stratumCol))
+      .where(conv(substring(md5(idExpr.cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000000L < col("keep_ppm"))
+  }
+
   /** The naive single-window formulation — one unsplittable task per
     * stratum; kept as the semantic reference the bucketed path is
     * property-tested against, and as the right tool for SMALL strata. */

@@ -91,4 +91,31 @@ class MixtureSpec extends AnyFunSuite {
       Mixture.tokenBudgetSample(df, "stratum", col("__k"), col("id"), budgets)
     }
   }
+
+  test("temperature sample keeps ALL of the smallest stratum, sqrt share of others") {
+    // 4000 "big" rows vs 40 "small": keep_ppm(small) = 1e6 (everything),
+    // keep_ppm(big) = floor(1e6·sqrt(40/4000)) = 100000 → ~10% of big
+    // under the uniform md5 draw.
+    val df = (0L until 4040L)
+      .map(i => (i, if (i < 40L) "small" else "big")).toDF("id", "stratum")
+    val out = Mixture.temperatureSample(df, "stratum", col("id"))
+    val ppm = out.select("stratum", "keep_ppm").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(ppm("small") == 1000000L && ppm("big") == 100000L)
+    val kept = out.groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    assert(kept("small") == 40L, "smallest stratum must keep every row")
+    // md5 draw ≈ uniform: expect ~400 of 4000; generous 3-sigma-ish bounds.
+    assert(kept("big") > 300L && kept("big") < 500L,
+      s"big stratum kept ${kept("big")} of 4000 at 100000 ppm")
+  }
+
+  test("temperature sample is deterministic and a pure filter of its input") {
+    val df = (0L until 500L).map(i => (i, s"s${i % 3}")).toDF("id", "stratum")
+    val a = Mixture.temperatureSample(df, "stratum", col("id"))
+      .select("id").as[Long].collect().toSet
+    val b = Mixture.temperatureSample(df, "stratum", col("id"))
+      .select("id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty && a.subsetOf((0L until 500L).toSet))
+  }
 }
