@@ -2618,16 +2618,16 @@ object SparkEntry {
            CAST(least(9, (10 * cum_lt) // ng) AS BIGINT) AS decile
          FROM r ORDER BY doc_id""",
 
-    // Same lag→flag→running-sum spelling; a gap of EXACTLY 1800 s starts a
-    // new session (>=, mirroring the engine's half-open [ts, ts+gap)
-    // session-window merge rule).
+    // Same lag→flag→running-sum spelling; a gap of EXACTLY 1800 s still
+    // MERGES (only strictly-greater splits — Spark's native session_window
+    // rule, which the engine operator matches for batch/stream parity).
     "q101_sessionization" ->
       """WITH o AS (SELECT user_id, ts, event_id,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
            FROM events),
          f AS (SELECT user_id, ts, event_id,
              CASE WHEN prev IS NULL
-                    OR epoch_us(ts) - epoch_us(prev) >= 1800000000 THEN 1
+                    OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1
                   ELSE 0 END AS nw
            FROM o),
          s AS (SELECT user_id, ts,

@@ -13,15 +13,17 @@ import graft.functions.TimeOps
   * the beyond-reference generalization.
   *
   * Semantics: events of one key belong to the same session iff consecutive
-  * gaps are STRICTLY below `gapSec` (a gap of exactly `gapSec` starts a new
-  * session) — i.e. each event opens a half-open window `[ts, ts+gap)` and
-  * overlapping windows merge, which is exactly Spark's native
-  * `session_window` merge rule. We use the lag→flag→running-sum spelling
-  * instead of `groupBy(session_window(...))` because the downstream
-  * contract needs a deterministic per-user session ORDINAL and per-session
-  * event membership, which the struct-keyed native window does not expose
-  * without a second pass; the cost shape is identical (one shuffle on the
-  * key, per-key ordered scan).
+  * gaps are AT MOST `gapSec`; only a gap STRICTLY greater starts a new
+  * session. This is empirically Spark's native `session_window` merge rule
+  * (an event at exactly `prev + gap` — the nominal window end — still
+  * merges; verified in SessionsSpec's batch-parity test), so the batch
+  * ordinal view here and the streaming `streaming.Sessions` view agree
+  * row-for-row on session membership. We use the lag→flag→running-sum
+  * spelling instead of `groupBy(session_window(...))` because the
+  * downstream contract needs a deterministic per-user session ORDINAL and
+  * per-session event membership, which the struct-keyed native window does
+  * not expose without a second pass; the cost shape is identical (one
+  * shuffle on the key, per-key ordered scan).
   *
   * Scale: both windows partition by the session key — splittable across
   * keys, and a key's row count is its event history (bounded per user);
@@ -43,7 +45,7 @@ object Sessionize {
     val us = TimeOps.epochMicros(col(tsCol))
     val prevUs = TimeOps.epochMicros(lag(col(tsCol), 1).over(w))
     df.withColumn("__new",
-        when(prevUs.isNull || us - prevUs >= gapSec * 1000000L, 1L)
+        when(prevUs.isNull || us - prevUs > gapSec * 1000000L, 1L)
           .otherwise(0L))
       .withColumn("session_idx",
         sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))

@@ -12,22 +12,22 @@ class SessionizeSpec extends AnyFunSuite {
   private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
 
   // user 1: events at 0, 100, 1899s (gaps 100, 1799 — one session),
-  //         then 3699s (gap exactly 1800 — NEW session),
-  //         then 6000s (gap 2301 — new session).
+  //         then 3699s (gap EXACTLY 1800 — still merges, native rule),
+  //         then 5500s (gap 1801 — new session).
   // user 2: a single event (its own session).
   private val events = Seq(
     (1L, 10L, ts(0)), (1L, 11L, ts(100)), (1L, 12L, ts(1899)),
-    (1L, 13L, ts(3699)), (1L, 14L, ts(6000)),
+    (1L, 13L, ts(3699)), (1L, 14L, ts(5500)),
     (2L, 20L, ts(50))
   ).toDF("user_id", "event_id", "ts")
 
-  test("gap of exactly gapSec starts a new session (half-open window rule)") {
+  test("gap of exactly gapSec merges; only strictly greater splits") {
     val got = Sessionize.sessionStats(events, "user_id", "ts", "event_id", 1800L)
       .orderBy("user_id", "session_idx")
       .select("user_id", "session_idx", "n_events", "duration_sec")
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq(
-      (1L, 1L, 3L, 1899L), (1L, 2L, 1L, 0L), (1L, 3L, 1L, 0L),
+      (1L, 1L, 4L, 3699L), (1L, 2L, 1L, 0L),
       (2L, 1L, 1L, 0L)))
   }
 
@@ -36,7 +36,7 @@ class SessionizeSpec extends AnyFunSuite {
       .where(col("user_id") === 1 && col("session_idx") === 1)
       .select("session_start", "session_end")
       .as[(Timestamp, Timestamp)].head()
-    assert(row == (ts(0), ts(1899)))
+    assert(row == (ts(0), ts(3699)))
   }
 
   test("assignSessions labels every event and is contiguous per user") {
@@ -44,7 +44,7 @@ class SessionizeSpec extends AnyFunSuite {
     assert(labeled.count() == events.count())
     val idx = labeled.where(col("user_id") === 1)
       .orderBy("ts").select("session_idx").as[Long].collect().toSeq
-    assert(idx == Seq(1L, 1L, 1L, 2L, 3L))
+    assert(idx == Seq(1L, 1L, 1L, 1L, 2L))
   }
 
   test("equal timestamps stay in one session and order by the tie column") {
