@@ -68,4 +68,66 @@ object Multimodal {
     df.withColumn("width", (lit(64) + col("byte_len") % 512).cast("int"))
       .withColumn("height", (lit(64) + (col("byte_len") * 7) % 512).cast("int"))
       .withColumn("channels", lit(3))
+
+  /** Uniform frame sampling: one row per kept frame index (0, stride,
+    * 2·stride, …) of each clip. Pure-column `sequence` + `explode` — scan-
+    * local, no shuffle; rows expand by ⌈n_frames/stride⌉, which at video
+    * scale is exactly the fan-out a frame-level training pipeline wants to
+    * pay, and nothing more (the payload column is NOT duplicated
+    * per-frame until [[extractFrame]] actually slices it). */
+  def sampleFrameIndexes(df: DataFrame, nFramesCol: String,
+                         stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    require(!df.columns.contains("frame_idx"),
+      "column frame_idx already exists on the input")
+    df.withColumn("frame_idx",
+      explode(sequence(lit(0), col(nFramesCol).cast("int") - 1, lit(stride))))
+  }
+
+  /** Partition-wise frame extraction over (payload, frame_idx) rows —
+    * the decode boundary of a frame-sampling pipeline, same shape as
+    * [[decodeMeta]]: one `mapPartitions` pass, codec init amortized per
+    * partition, no shuffle. The STUB slices a deterministic window of the
+    * payload per frame (real codecs decode-and-seek here); output schema =
+    * input ++ (frame_bytes BINARY). */
+  def extractFrame(df: DataFrame): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields :+
+      StructField("frame_bytes", BinaryType, nullable = true))
+    val payloadIdx = inSchema.fieldIndex("payload")
+    val frameIdx = inSchema.fieldIndex("frame_idx")
+    implicit val enc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val payload = row.getAs[Array[Byte]](payloadIdx)
+        val f = row.getInt(frameIdx)
+        // ??? — real frame decode goes here (codec libs absent in this
+        // container). Deterministic stand-in: a 16-byte rotating window.
+        val n = payload.length.max(1)
+        val start = Math.floorMod(f * 16, n)
+        val frame = Array.tabulate(math.min(16, n))(i => payload((start + i) % n))
+        Row.fromSeq(row.toSeq :+ frame)
+      }
+    }
+  }
+
+  /** Stub batch resize: rewrites the metadata columns to the target box
+    * (aspect-preserving fit, integer arithmetic) WITHOUT touching payload
+    * bytes — the pure-column half of a resize stage; the byte transform
+    * itself belongs at the [[decodeMeta]]-style partition boundary. The
+    * scale-down factor is ⌈max(w,h)/target⌉-style exact integer math so an
+    * oracle can reproduce it. */
+  def resizeMetaTo(df: DataFrame, target: Int): DataFrame = {
+    require(target >= 1, s"target must be >= 1, got $target")
+    val longSide = greatest(col("width"), col("height"))
+    // Column `/` is DOUBLE division; floor() keeps it exact here (pixel
+    // dims ≪ 2^53, so the double round-trip cannot lose integer precision).
+    val fit = when(longSide <= target, lit(1L))
+      .otherwise(floor((longSide + lit(target) - 1) / lit(target)).cast("long"))
+    df.withColumn("resized_width",
+        floor(col("width") / fit).cast("int"))
+      .withColumn("resized_height",
+        floor(col("height") / fit).cast("int"))
+  }
 }

@@ -67,6 +67,50 @@ class MultimodalSpec extends AnyFunSuite {
       (4L, "unknown", None, None, None, None)))
   }
 
+  test("frame sampling explodes every stride-th index without shuffling") {
+    val df = Multimodal.withPayload(
+        Seq((1L, "a short clip payload"), (2L, "x")).toDF("id", "src"), "src")
+      .withColumn("n_frames", lit(10))
+    val sampled = Multimodal.sampleFrameIndexes(df, "n_frames", stride = 4)
+    val idx = sampled.where(col("id") === 1)
+      .select("frame_idx").as[Int].collect().toSeq
+    assert(idx == Seq(0, 4, 8))
+    sampled.queryExecution.toRdd
+    val plan = sampled.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"), s"frame sampling shuffled:\n$plan")
+  }
+
+  test("extractFrame slices a deterministic per-frame window at the partition boundary") {
+    val df = Multimodal.withPayload(
+        Seq((1L, "abcdefghijklmnopqrstuvwxyz")).toDF("id", "src"), "src")
+      .withColumn("n_frames", lit(4))
+    val frames = Multimodal.extractFrame(
+      Multimodal.sampleFrameIndexes(df, "n_frames", stride = 1))
+    val got = frames.orderBy("frame_idx")
+      .select(col("frame_idx"), col("frame_bytes").cast("string"))
+      .as[(Int, String)].collect().toSeq
+    assert(got.size == 4)
+    assert(got.head == ((0, "abcdefghijklmnop"))) // window at offset 0
+    assert(got(1)._2 == "qrstuvwxyzabcdef")       // offset 16 wraps
+    // Deterministic across runs.
+    val again = Multimodal.extractFrame(
+      Multimodal.sampleFrameIndexes(df, "n_frames", stride = 1))
+      .orderBy("frame_idx").select(col("frame_bytes").cast("string"))
+      .as[String].collect().toSeq
+    assert(again == got.map(_._2))
+  }
+
+  test("resizeMetaTo fits the long side with exact integer scaling") {
+    val df = Seq((1, 1024, 512), (2, 100, 300), (3, 64, 64))
+      .toDF("id", "width", "height")
+    val got = Multimodal.resizeMetaTo(df, 256).orderBy("id")
+      .select("resized_width", "resized_height").as[(Int, Int)].collect().toSeq
+    // 1024x512: fit=ceil(1024/256)=4 -> 256x128; 100x300: fit=ceil(300/256)=2
+    // -> 50x150; 64x64 under target -> unchanged.
+    assert(got == Seq((256, 128), (50, 150), (64, 64)))
+  }
+
   test("repetitionStats counts total vs distinct tokens and 2-grams") {
     val df = Seq(
       (1L, "a a a"),            // toks 3/1; 2-grams "a a","a a" → 2/1
