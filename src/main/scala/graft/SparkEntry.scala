@@ -1298,21 +1298,23 @@ object SparkEntry {
 
     // Corpus diversity per source: total vs distinct 3-gram shingles and
     // the distinct-ratio in milli — the repetitiveness/diversity signal a
-    // mixture designer reads before weighting a source. Distinct counts
-    // run on the 8-byte xxhash64 postings (two-phase partial aggregate);
-    // the oracle counts distinct raw shingles — identical barring a
-    // 64-bit collision.
-    "q103_source_diversity" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      Dedup.shinglePostings(docs, "doc_id", "text", 3)
-        .join(docs.select(col("doc_id").as("id"), col("source")), Seq("id"))
+    // mixture designer reads before weighting a source. The metric needs
+    // no doc identity, so `source` rides the shingle explode directly —
+    // ONE scan, zero joins (the postings+rejoin spelling broadcast the
+    // EXPLODED side at toy scale and would shuffle corpus-sized rows
+    // twice at 100 TB). Distinct counts run on the 8-byte xxhash64 of the
+    // shingle (two-phase partial aggregate); the oracle counts distinct
+    // raw shingles — identical barring a 64-bit collision.
+    "q103_source_diversity" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("source"), explode(Dedup.shingles(col("text"), 3)).as("sh"))
+        .select(col("source"), xxhash64(col("sh")).as("shh"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_shingles"),
           count_distinct(col("shh")).as("n_distinct_shingles"))
         .withColumn("diversity_milli",
           expr("n_distinct_shingles * 1000 div n_shingles"))
-        .orderBy(col("source"))
-    })
+        .orderBy(col("source")))
   )
 
   // ------------------------------------------------------------- oracle SQL
