@@ -1296,6 +1296,21 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("keep_ppm"))
         .orderBy(col("doc_id"))),
 
+    // Diversified selection: the 100 best docs by quality overall, capped
+    // at 10 per source — the "best of corpus, no domain monopoly" pick.
+    // Per-group cap via the salted two-phase rank; the global cut is a
+    // TakeOrderedAndProject over ≤ sources×10 survivors.
+    "q104_diversified_topk" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("quality_milli", TextOps.qualityScoreMilli(col("text")))
+      operators.WindowOps.diversifiedTopK(docs,
+          Seq(col("source")),
+          Seq(col("quality_milli").desc, col("doc_id")),
+          perGroup = 10, k = 100)
+        .select(col("doc_id"), col("source"), col("quality_milli"),
+          col("group_rank").cast("long").as("group_rank"))
+    }),
+
     // Corpus diversity per source: total vs distinct 3-gram shingles and
     // the distinct-ratio in milli — the repetitiveness/diversity signal a
     // mixture designer reads before weighting a source. The metric needs
@@ -2659,6 +2674,21 @@ object SparkEntry {
          WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
                % 1000000 < t.keep_ppm
          ORDER BY d.doc_id""",
+
+    // Window row_number mirror of the salted two-phase group rank; the
+    // final ordering (quality desc, doc_id) is total, so the LIMIT cut is
+    // deterministic in both engines.
+    "q104_diversified_topk" ->
+      s"""WITH $qualityMilliCte,
+         j AS (SELECT q.doc_id, d.source, q.quality_milli
+               FROM q JOIN documents d USING (doc_id)),
+         r AS (SELECT doc_id, source, quality_milli,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY quality_milli DESC, doc_id) AS group_rank
+               FROM j)
+         SELECT doc_id, source, quality_milli, CAST(group_rank AS BIGINT) AS group_rank
+         FROM r WHERE group_rank <= 10
+         ORDER BY quality_milli DESC, doc_id LIMIT 100""",
 
     // Distinct counts on raw shingle STRINGS where the engine counts
     // distinct xxhash64 postings — equal barring a 64-bit collision (the

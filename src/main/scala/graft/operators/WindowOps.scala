@@ -88,6 +88,21 @@ object WindowOps {
       .withColumn(out, row_number().over(w(part, order))).where(col(out) <= k)
   }
 
+  /** Global top-k under a per-group cap — "the best k docs overall, but no
+    * more than `perGroup` from any one source": the diversified selection a
+    * curation pipeline uses so one high-quality domain cannot monopolize
+    * the kept set. Phase 1 prunes to the per-group top-`perGroup` with the
+    * salted two-phase rank (no group ever funnels through one reducer);
+    * phase 2's global top-k then runs over ≤ groups·perGroup rows and
+    * compiles to TakeOrderedAndProject (per-partition k, no full sort).
+    * Deterministic iff `order` is a total order — pass a unique tiebreak.
+    * Output keeps `out` = the within-group rank (1-based). */
+  def diversifiedTopK(df: DataFrame, group: Seq[Column], order: Seq[Column],
+                      perGroup: Int, k: Int,
+                      out: String = "group_rank"): DataFrame =
+    topKPerGroupSalted(df, group, order, perGroup, out = out)
+      .orderBy(order: _*).limit(k)
+
   /** O4 (`binance_analysis.py:713`): deterministic exact-n sample. Contract
     * is "deterministic given seed", not "same rows as numpy" (SURVEY §7.5);
     * keying on md5 of the row id makes it reproducible across engines too. */

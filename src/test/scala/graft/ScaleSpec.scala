@@ -153,6 +153,28 @@ class ScaleSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
   }
 
+  test("diversified top-k caps each group and matches the naive reference") {
+    val li = Tables.load(spark, SparkTestSession.sf, "lineitem")
+    val part = Seq(col("l_returnflag"))
+    val ord = Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val got = operators.WindowOps.diversifiedTopK(li, part, ord,
+        perGroup = 20, k = 45)
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"group_rank")
+      .collect().toSeq
+    assert(got.size == 45)
+    // No group exceeds its cap, and the within-group rank is honest.
+    val byGroup = got.groupBy(_.getString(0))
+    assert(byGroup.values.forall(_.size <= 20))
+    assert(got.forall(_.getInt(3) <= 20))
+    // Equals the naive single-window + global-sort reference.
+    val naive = operators.WindowOps.topKPerGroup(li, part, ord, 20)
+      .orderBy(ord: _*).limit(45)
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber")
+      .collect().toSeq
+    assert(got.map(r => (r.getString(0), r.getLong(1), r.getInt(2))) ==
+      naive.map(r => (r.getString(0), r.getLong(1), r.getInt(2))))
+  }
+
   test("q65 component resolution: O(log n) rounds, jobs proportional to rounds") {
     // The structural fact behind q65's scale behavior: star-edge candidates
     // + large-star/small-star contraction converge in O(log n) ROUNDS (the
