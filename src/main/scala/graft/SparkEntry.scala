@@ -1311,6 +1311,26 @@ object SparkEntry {
           col("group_rank").cast("long").as("group_rank"))
     }),
 
+    // Tokenizer-fit scoring: per-doc out-of-vocabulary rate against the
+    // corpus's own top-1000 tokens (the coverage check run before
+    // committing to a vocabulary). Token counts map-side combine; the
+    // top-1000 cut is a TakeOrderedAndProject under a total order
+    // (count desc, token); the tiny vocab broadcasts back and the per-doc
+    // flag-sum is one aggregate over the exploded tokens.
+    "q105_oov_rate" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("__n"))
+        .orderBy(col("__n").desc, col("tok")).limit(1000)
+        .select(col("tok"), lit(1).as("__in_vocab"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"),
+          count(when(col("__in_vocab").isNull, 1)).as("n_oov"))
+        .withColumn("oov_milli", expr("n_oov * 1000 div n_toks"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus diversity per source: total vs distinct 3-gram shingles and
     // the distinct-ratio in milli — the repetitiveness/diversity signal a
     // mixture designer reads before weighting a source. The metric needs
@@ -2674,6 +2694,23 @@ object SparkEntry {
          WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
                % 1000000 < t.keep_ppm
          ORDER BY d.doc_id""",
+
+    // row_number under the same (count desc, token) total order mirrors
+    // the engine's TakeOrdered vocabulary cut exactly.
+    "q105_oov_rate" ->
+      """WITH tk AS (SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\s+')) AS tok
+           FROM documents),
+         c AS (SELECT tok, count(*) AS n FROM tk GROUP BY tok),
+         v AS (SELECT tok FROM (
+                 SELECT tok, row_number() OVER (ORDER BY n DESC, tok) AS rn
+                 FROM c) WHERE rn <= 1000)
+         SELECT t.doc_id, count(*) AS n_toks,
+           count(CASE WHEN v.tok IS NULL THEN 1 END) AS n_oov,
+           (count(CASE WHEN v.tok IS NULL THEN 1 END) * 1000) // count(*)
+             AS oov_milli
+         FROM tk t LEFT JOIN v ON t.tok = v.tok
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
 
     // Window row_number mirror of the salted two-phase group rank; the
     // final ordering (quality desc, doc_id) is total, so the LIMIT cut is
