@@ -289,6 +289,42 @@ class LargeScaleSpec extends AnyFunSuite {
       f"4× data cost $ratio%.1f× wall — super-linear; the viral pair pinned a task")
   }
 
+  /** Banded range join on a uniform event stream plus ONE bot user holding
+    * 2% of all events — the hot key whose per-(key, bucket) pair count is
+    * the join's quadratic risk. Buckets bound the blowup: a key's pairs per
+    * bucket are (events in w)², not (events total)², so wall must stay
+    * ~linear in n at fixed rate. */
+  private def rangeJoinPipeline(n: Long): Long = {
+    val ev = spark.range(n).select(
+      when(col("id") % 50 === 0, lit(0L)).otherwise(col("id") % 9973).as("user"),
+      timestamp_seconds(col("id") % 86400L).as("ts"),
+      col("id"))
+    val purchases = ev.where(col("id") % 10 === 0)
+      .select(col("user"), col("ts").as("p_ts"), col("id").as("pid"))
+    val views = ev.select(col("user"), col("ts").as("v_ts"))
+    operators.RangeJoin.banded(purchases, views, Seq("user"), "p_ts", "v_ts",
+      lowerSec = -300, upperSec = 0).count()
+  }
+
+  test("banded range join scales ~linearly with a hot key", LargeScale) {
+    val small = 500000L
+    val large = 2000000L
+    rangeJoinPipeline(10000L)
+    val (pSmall, tSmall) = timed(rangeJoinPipeline(small))
+    val (pLarge, tLarge) = timed(rangeJoinPipeline(large))
+    // At 4× rows over a FIXED time domain, density doubles per side → pair
+    // count grows ~16× (both join sides densify); wall tracks output, so
+    // the honest bound is pairs-per-second, not raw wall ratio.
+    val throughputRatio = (pLarge / tLarge) / (pSmall / tSmall)
+    info(f"rangeJoin: $small%,d rows → $pSmall%,d pairs in $tSmall%.1f s; " +
+      f"$large%,d rows → $pLarge%,d pairs in $tLarge%.1f s " +
+      f"(pair throughput ratio $throughputRatio%.2f×)")
+    assert(pLarge > pSmall)
+    assert(throughputRatio > 0.5,
+      f"pair throughput fell to $throughputRatio%.2f× at 4× rows — the hot " +
+        "key is concentrating work instead of bucket-bounding it")
+  }
+
   private def packingPipeline(n: Long): Long = {
     val docs = spark.range(n).select(col("id"), (col("id") % 97).as("w"))
     operators.Packing.packBins(docs, col("w"), col("id"), 4096L)
