@@ -115,57 +115,10 @@ object Bench {
       val med = runs.sortBy(_._1).apply((runs.length - 1) / 2)
       (name, med._1, med._2, med._3, runs.forall(_._4), runs.map(_._1))
     }
-    val total = results.map(_._2).sum
-    val gcTotal = results.map(_._3).sum
-    val jobsTotal = results.map(_._4.max(0)).sum
-    val failed = results.filterNot(_._5).map(_._1)
-    def num(v: Double, dp: Int): String =
-      s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    val gcTop = results.sortBy(-_._3).take(5).filter(_._3 >= 0.005)
-      .map { case (k, _, g, _, _, _) => "\"" + k + "\":" + num(g, 2) }
-      .mkString("{", ",", "}")
-    // The driver captures only the LAST 2000 chars of stdout; a JSON line
-    // longer than that loses its HEAD — including the "total" field — and
-    // fails to parse (BENCH_r03 at 71 queries, then BENCH_r07 when 100
-    // queries outgrew even the 1-dp fallback: 100 × ~25-char entries ≈
-    // 2.5 kB before the envelope). The full per-query map therefore never
-    // goes to stdout anymore: the line carries totals + diagnostics + the
-    // SLOWEST queries only, as many as fit a hard budget, with
-    // "queries_omitted" making the truncation explicit. Every query's
-    // sec/gc/jobs/ok/reps still lands in the detail file.
-    def render(dp: Int, withGcTop: Boolean): String = {
-      val top = if (withGcTop) s""","gc_top":$gcTop""" else ""
-      // "failed" appears only when something failed — a throwing query
-      // otherwise records a fast wall-time and reads as healthy. Only the
-      // first 5 names are listed (a catastrophic all-fail run would blow
-      // the line cap); failed_n carries the true count and the detail file
-      // flags every query.
-      val fl = if (failed.isEmpty) ""
-        else s""","failed_n":${failed.length},"failed":""" +
-          failed.take(5).mkString("[\"", "\",\"", "\"]")
-      val wf = if (warmFailed.isEmpty) ""
-        else s""","warmup_failed_n":${warmFailed.length}"""
-      val head =
-        s"""{"metric":"total","value":${num(total, dp)},"unit":"sec"""" +
-          s""","gc_sec":${num(gcTotal, 1)},"jobs":$jobsTotal$top$fl$wf""" +
-          s""","sf":"$sfDir","detail":"${outFile.stripSuffix(".json")}_DETAIL.json""""
-      // Budget whatever the envelope left for per-query entries, slowest
-      // first (the informative ones for a perf reader; the sum is "value").
-      val entries = results.sortBy(-_._2)
-        .map { case (k, v, _, _, _, _) => "\"" + k + "\":" + num(v, dp) }
-      val budget = 1900 - head.length - 60 // envelope + omitted-count slack
-      val (kept, len) = entries.foldLeft((Vector.empty[String], 0)) {
-        case ((acc, n), e) =>
-          if (n + e.length + 1 <= budget) (acc :+ e, n + e.length + 1) else (acc, n)
-      }
-      val om = if (kept.length == entries.length) ""
-        else s""","queries_omitted":${entries.length - kept.length}"""
-      head + s""","queries":${kept.mkString("{", ",", "}")}$om}"""
-    }
-    val json = Seq(render(3, true), render(2, true), render(2, false),
-        render(1, false))
-      .find(_.length <= 1900).getOrElse(render(1, false))
+    val json = renderLine(
+      results.map { case (k, v, g, j, ok, _) => (k, v, g, j, ok) },
+      warmFailed.length, sfDir, outFile)
     // The JSON goes BOTH to stdout (last line, machine-clean — sbt is
     // configured with StdoutOutput so no [info] prefix) and to a known
     // file, so a parser that sees interleaved launcher noise still has an
@@ -184,5 +137,67 @@ object Bench {
     } catch { case _: Throwable => () }
     println(json)
     spark.stop()
+  }
+
+  private[graft] def num(v: Double, dp: Int): String =
+    s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** The stdout JSON line, BUILT TO FIT the driver's 2000-char stdout tail
+    * capture: a line longer than that loses its HEAD — including the
+    * "total" field — and fails to parse (BENCH_r03 at 71 queries, then
+    * BENCH_r07 when 100 queries outgrew even a 1-dp full map: 100 ×
+    * ~25-char entries ≈ 2.5 kB before the envelope). The full per-query
+    * map therefore never goes to stdout: the line carries totals +
+    * diagnostics + the SLOWEST queries only, as many as fit a hard budget,
+    * with "queries_omitted" making the truncation explicit. Every query's
+    * sec/gc/jobs/ok/reps still lands in the detail file.
+    *
+    * Pure function of the per-query medians — BenchRenderSpec asserts the
+    * ≤1900 cap and JSON validity on pathological inputs (many queries,
+    * all-failed runs, long names), so the next growth of the query registry
+    * cannot silently re-break the driver's parser.
+    *
+    * @param results (name, median sec, gc sec, jobs, all-reps-ok) per query
+    */
+  private[graft] def renderLine(results: Seq[(String, Double, Double, Int, Boolean)],
+                                warmFailedN: Int, sfDir: String,
+                                outFile: String): String = {
+    val total = results.map(_._2).sum
+    val gcTotal = results.map(_._3).sum
+    val jobsTotal = results.map(_._4.max(0)).sum
+    val failed = results.filterNot(_._5).map(_._1)
+    val gcTop = results.sortBy(-_._3).take(5).filter(_._3 >= 0.005)
+      .map { case (k, _, g, _, _) => "\"" + k + "\":" + num(g, 2) }
+      .mkString("{", ",", "}")
+    def render(dp: Int, withGcTop: Boolean): String = {
+      val top = if (withGcTop) s""","gc_top":$gcTop""" else ""
+      // "failed" appears only when something failed — a throwing query
+      // otherwise records a fast wall-time and reads as healthy. Only the
+      // first 5 names are listed (a catastrophic all-fail run would blow
+      // the line cap); failed_n carries the true count and the detail file
+      // flags every query.
+      val fl = if (failed.isEmpty) ""
+        else s""","failed_n":${failed.length},"failed":""" +
+          failed.take(5).mkString("[\"", "\",\"", "\"]")
+      val wf = if (warmFailedN == 0) "" else s""","warmup_failed_n":$warmFailedN"""
+      val head =
+        s"""{"metric":"total","value":${num(total, dp)},"unit":"sec"""" +
+          s""","gc_sec":${num(gcTotal, 1)},"jobs":$jobsTotal$top$fl$wf""" +
+          s""","sf":"$sfDir","detail":"${outFile.stripSuffix(".json")}_DETAIL.json""""
+      // Budget whatever the envelope left for per-query entries, slowest
+      // first (the informative ones for a perf reader; the sum is "value").
+      val entries = results.sortBy(-_._2)
+        .map { case (k, v, _, _, _) => "\"" + k + "\":" + num(v, dp) }
+      val budget = 1900 - head.length - 60 // envelope + omitted-count slack
+      val kept = entries.foldLeft((Vector.empty[String], 0)) {
+        case ((acc, n), e) =>
+          if (n + e.length + 1 <= budget) (acc :+ e, n + e.length + 1) else (acc, n)
+      }._1
+      val om = if (kept.length == entries.length) ""
+        else s""","queries_omitted":${entries.length - kept.length}"""
+      head + s""","queries":${kept.mkString("{", ",", "}")}$om}"""
+    }
+    Seq(render(3, true), render(2, true), render(2, false), render(1, false))
+      .find(_.length <= 1900).getOrElse(render(1, false))
   }
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** The bench stdout line is the driver's ONLY machine-readable bench
+  * signal, captured from a 2000-char stdout tail — so its length cap and
+  * JSON validity are correctness contracts, pinned here on pathological
+  * inputs instead of discovered one round too late (BENCH_r03, BENCH_r07).
+  */
+class BenchRenderSpec extends AnyFunSuite {
+
+  private def mk(n: Int, ok: Boolean = true) =
+    (1 to n).map(i => (f"q$i%03d_some_rather_long_query_name", i * 0.123,
+      i * 0.001, i % 7, ok))
+
+  private def parse(line: String): JValue = JsonMethods.parse(line)
+
+  private def check(line: String): JValue = {
+    assert(line.length <= 1900, s"line ${line.length} chars exceeds the cap")
+    parse(line) // throws on malformed JSON
+  }
+
+  test("current registry size fits and parses") {
+    val line = Bench.renderLine(
+      SparkEntry.queries.keys.toSeq.sorted.zipWithIndex
+        .map { case (k, i) => (k, i * 0.05, 0.01, 3, true) },
+      0, "/root/testdata/sf0.1", "BENCH_LOCAL.json")
+    val j = check(line)
+    assert((j \ "metric") == JString("total"))
+    assert((j \ "value").values.toString.nonEmpty)
+    assert((j \ "queries").isInstanceOf[JObject])
+  }
+
+  test("pathological sizes stay under the cap and parse") {
+    for (n <- Seq(0, 1, 50, 105, 300, 1000)) {
+      val j = check(Bench.renderLine(mk(n), 0, "/sf", "out.json"))
+      val kept = (j \ "queries").asInstanceOf[JObject].obj.length
+      val omitted = (j \ "queries_omitted") match {
+        case JInt(x) => x.toInt
+        case _ => 0
+      }
+      assert(kept + omitted == n, s"n=$n: kept=$kept omitted=$omitted")
+    }
+  }
+
+  test("the kept entries are the slowest queries") {
+    val j = check(Bench.renderLine(mk(300), 0, "/sf", "out.json"))
+    val kept = (j \ "queries").asInstanceOf[JObject].obj.map(_._1)
+    assert(kept.nonEmpty)
+    // mk() makes later names slower; the kept set must be a suffix by index.
+    val keptIdx = kept.map(_.take(4).drop(1).toInt).sorted
+    assert(keptIdx.head == 300 - kept.length + 1 && keptIdx.last == 300)
+  }
+
+  test("an all-failed run is loud but still fits") {
+    val j = check(Bench.renderLine(mk(500, ok = false), 7, "/sf", "out.json"))
+    assert((j \ "failed_n") == JInt(500))
+    assert((j \ "failed").asInstanceOf[JArray].arr.length == 5)
+    assert((j \ "warmup_failed_n") == JInt(7))
+  }
+
+  test("empty results render a valid healthy-but-empty line") {
+    val j = check(Bench.renderLine(Nil, 0, "/sf", "out.json"))
+    assert((j \ "value") == JDouble(0.0))
+  }
+}
