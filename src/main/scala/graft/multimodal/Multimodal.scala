@@ -80,8 +80,14 @@ object Multimodal {
     require(stride >= 1, s"stride must be >= 1, got $stride")
     require(!df.columns.contains("frame_idx"),
       "column frame_idx already exists on the input")
+    // Guarded: sequence(0, -1, +stride) THROWS at runtime (illegal
+    // boundaries), so a corrupt clip with n_frames <= 0 (or null) must
+    // short-circuit to an empty array — explode then simply drops the
+    // clip, instead of one bad row failing the whole job.
+    val n = col(nFramesCol).cast("int")
     df.withColumn("frame_idx",
-      explode(sequence(lit(0), col(nFramesCol).cast("int") - 1, lit(stride))))
+      explode(when(n >= 1, sequence(lit(0), n - 1, lit(stride)))
+        .otherwise(array().cast("array<int>"))))
   }
 
   /** Partition-wise frame extraction over (payload, frame_idx) rows —
@@ -104,9 +110,17 @@ object Multimodal {
         val f = row.getInt(frameIdx)
         // ??? — real frame decode goes here (codec libs absent in this
         // container). Deterministic stand-in: a 16-byte rotating window.
-        val n = payload.length.max(1)
-        val start = Math.floorMod(f * 16, n)
-        val frame = Array.tabulate(math.min(16, n))(i => payload((start + i) % n))
+        // Null payload → null frame; empty payload → empty frame — a
+        // corrupt row degrades to a quarantineable value, never an
+        // ArrayIndexOutOfBounds/NPE that fails the whole job.
+        val frame =
+          if (payload == null) null
+          else if (payload.isEmpty) Array.empty[Byte]
+          else {
+            val n = payload.length
+            val start = Math.floorMod(f * 16, n)
+            Array.tabulate(math.min(16, n))(i => payload((start + i) % n))
+          }
         Row.fromSeq(row.toSeq :+ frame)
       }
     }

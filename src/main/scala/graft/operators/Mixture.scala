@@ -137,8 +137,7 @@ object Mixture {
           sqrt(col("__nmin").cast("double") / col("__n").cast("double")))
           .cast("long").as("keep_ppm"))
     df.join(broadcast(thresholds), Seq(stratumCol))
-      .where(conv(substring(md5(idExpr.cast("string")), 1, 8), 16, 10)
-        .cast("long") % 1000000L < col("keep_ppm"))
+      .where(graft.functions.Draws.md5Draw(idExpr, 1000000L) < col("keep_ppm"))
   }
 
   /** The naive single-window formulation — one unsplittable task per

@@ -36,8 +36,7 @@ object Splits {
       s"cuts must be strictly increasing and positive, got ${pcts.mkString(",")}")
     require(!df.columns.contains(splitCol),
       s"assignSplit: input already has a '$splitCol' column")
-    val draw =
-      conv(substring(md5(idExpr.cast("string")), 1, 8), 16, 10).cast("long") % 100
+    val draw = graft.functions.Draws.md5Draw(idExpr, 100L)
     // Null-id tripwire: md5(null) is null, every `draw < pct` is null, and
     // the otherwise() branch would silently dump ALL null-id rows into the
     // last cut — correlated rows flooding the smallest (test) split. Fail

@@ -135,7 +135,5 @@ object WindowOps {
     * and oracle-checkable. A pure per-row filter — fully pushed down, no
     * shuffle, trivially parallel at any scale. */
   def importanceSample(df: DataFrame, idExpr: Column, weightMilli: Column): DataFrame =
-    df.where(
-      conv(substring(md5(idExpr.cast("string")), 1, 8), 16, 10).cast("long")
-        % 1000 < weightMilli)
+    df.where(graft.functions.Draws.md5Draw(idExpr, 1000L) < weightMilli)
 }

@@ -18,10 +18,15 @@ import org.apache.spark.sql.functions._
   * buckets), watermark-evicted; the corpus-sized stream never shuffles
   * anywhere except into the windowed histogram.
   *
-  * Buckets absent from either side are SKIPPED (the same convention as the
-  * batch q96 — PSI's log term is undefined at zero; pre-smoothed reference
-  * histograms are the caller's choice), so the live score is comparable
-  * with the batch one by construction.
+  * Zero-handling matches the batch q96 exactly: the DENOMINATORS (live
+  * window total, reference total) cover the FULL distribution — including
+  * live mass in buckets the reference has never seen — while only
+  * both-sides-positive buckets contribute log TERMS (PSI's log is
+  * undefined at zero; pre-smoothed reference histograms are the caller's
+  * choice). Novel-bucket mass therefore still drags every matched bucket's
+  * p_live down and scores as drift; renormalizing over matched buckets
+  * only would silently score a 98%-novel-traffic window as PSI 0
+  * (regression-tested in StreamDriftSpec).
   */
 object StreamDrift {
 
@@ -57,16 +62,21 @@ object StreamDrift {
     // in append mode (each stateful operator groups on the window). Rows
     // per (window, key) are bounded by the bucket count, so the
     // collect_list below is a tiny fixed-size array, not a corpus spill.
+    // LEFT join: live buckets unknown to the reference must stay in the
+    // window total (full-distribution denominator, the q96 convention) —
+    // collect_list drops the null entry the `when` leaves for them, so
+    // they contribute mass but no log term.
     live
-      .join(broadcast(refFull), Seq(keyCol, "__bucket"))
+      .join(broadcast(refFull), Seq(keyCol, "__bucket"), "left")
       .groupBy(col("window"), col(keyCol))
       .agg(sum(col("__lc")).as("__ln"),
-        count(lit(1)).as("n_buckets"),
+        count(col("__rc")).as("n_buckets"),
         // Σ (p_live − p_ref)·ln(p_live/p_ref); per-bucket proportions need
         // the window total, which is itself Σ __lc of this group — fold
         // both into one aggregate via the sum-of-terms-with-late-division
         // trick: collect the per-bucket pieces first.
-        collect_list(struct(col("__lc"), col("__rc"), col("__rn"))).as("__terms"))
+        collect_list(when(col("__rc").isNotNull,
+          struct(col("__lc"), col("__rc"), col("__rn")))).as("__terms"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col(keyCol), col("n_buckets"),

@@ -101,6 +101,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(again == got.map(_._2))
   }
 
+  test("zero-frame and null/empty-payload rows degrade, never crash") {
+    // n_frames = 0 (corrupt clip): sequence(0, -1, stride) would THROW at
+    // runtime — the guard must drop the clip instead.
+    val zero = Multimodal.withPayload(Seq((1L, "x")).toDF("id", "src"), "src")
+      .withColumn("n_frames", lit(0))
+    assert(Multimodal.sampleFrameIndexes(zero, "n_frames", 2).count() == 0)
+    // Null n_frames likewise contributes no frames.
+    val nul = Multimodal.withPayload(Seq((1L, "x")).toDF("id", "src"), "src")
+      .withColumn("n_frames", lit(null).cast("int"))
+    assert(Multimodal.sampleFrameIndexes(nul, "n_frames", 2).count() == 0)
+    // Empty payload → empty frame; null payload → null frame — no
+    // ArrayIndexOutOfBounds/NPE from the stub extractor.
+    val edgy = Seq((1L, Array.empty[Byte]), (2L, null: Array[Byte]))
+      .toDF("id", "payload").withColumn("n_frames", lit(1))
+    val frames = Multimodal.extractFrame(
+        Multimodal.sampleFrameIndexes(edgy, "n_frames", 1))
+      .select(col("id"), octet_length(col("frame_bytes")))
+      .as[(Long, Option[Int])].collect().toMap
+    assert(frames(1L).contains(0) && frames(2L).isEmpty)
+  }
+
   test("resizeMetaTo fits the long side with exact integer scaling") {
     val df = Seq((1, 1024, 512), (2, 100, 300), (3, 64, 64))
       .toDF("id", "width", "height")

@@ -67,7 +67,7 @@ class StreamDriftSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("buckets unseen in the reference are skipped, not scored as infinite") {
+  test("buckets unseen in the reference stay in the window total (q96 convention)") {
     val hist = StreamDrift.referenceHistogram(ref, "metric", "value", 10.0)
     val live = Seq(("m", "2024-01-01 00:00:01", 55.0), // bucket 5: not in ref
         ("m", "2024-01-01 00:00:02", 2.0),
@@ -77,6 +77,28 @@ class StreamDriftSpec extends AnyFunSuite {
     val got = StreamDrift.windowedPsi(live, "metric", "ts", "value", hist,
         10.0, "1 minute", "0 seconds")
       .select("n_buckets", "psi").as[(Long, Double)].head()
-    assert(got._1 == 2L && !got._2.isNaN && !got._2.isInfinite)
+    // The novel bucket contributes no log term (n_buckets = 2) but DOES
+    // stay in the live total: p_live = (1/3, 1/3) vs (0.5, 0.5) →
+    // 2 · (1/3 − 1/2)·ln((1/3)/(1/2)) = 0.135155.
+    assert(got._1 == 2L)
+    assert(math.abs(got._2 - 0.135155) < 1e-6)
+  }
+
+  test("a window dominated by never-before-seen buckets ALERTS") {
+    // The regression that motivated the full-distribution denominator: 98
+    // of 100 events land in a bucket the reference never saw, 1 each in
+    // the matched buckets. Renormalizing over matched buckets only would
+    // score p_live = (0.5, 0.5) = p_ref → PSI 0 and silently miss maximal
+    // drift; the q96 convention keeps the novel mass in the denominator.
+    val hist = StreamDrift.referenceHistogram(ref, "metric", "value", 10.0)
+    val live = (Seq.fill(98)(("m", "2024-01-01 00:00:01", 55.0)) ++
+        Seq(("m", "2024-01-01 00:00:02", 2.0), ("m", "2024-01-01 00:00:03", 12.0)))
+      .toDF("metric", "t", "value")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+    val got = StreamDrift.windowedPsi(live, "metric", "ts", "value", hist,
+        10.0, "1 minute", "0 seconds")
+      .select("psi", "drift_alert").as[(Double, Boolean)].head()
+    // 2 · (0.01 − 0.5)·ln(0.01/0.5) = 2 · (−0.49)·(−3.912023) = 3.833783
+    assert(math.abs(got._1 - 3.833783) < 1e-6 && got._2)
   }
 }
