@@ -1315,6 +1315,19 @@ object SparkEntry {
           col("group_rank").cast("long").as("group_rank"))
     }),
 
+    // Incremental embedding dedup: new-batch vectors (vec_id % 10 >= 8)
+    // screened against the indexed corpus via LSH sign buckets + rounded
+    // cosine — the embedding counterpart of q72/q73's incremental ingest
+    // gates. Suspects report match count and best index match.
+    "q106_incremental_embedding" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Dedup.incrementalEmbeddingSuspects(
+          emb.where(col("vec_id") % 10 >= 8),
+          emb.where(col("vec_id") % 10 < 8),
+          "vec_id", "embedding", numPlanes = 6, dim = 64, minSim = 0.3)
+        .orderBy(col("vec_id"))
+    }),
+
     // Tokenizer-fit scoring: per-doc out-of-vocabulary rate against the
     // corpus's own top-1000 tokens (the coverage check run before
     // committing to a vocabulary). Token counts map-side combine; the
@@ -2698,6 +2711,29 @@ object SparkEntry {
          WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
                % 1000000 < t.keep_ppm
          ORDER BY d.doc_id""",
+
+    // Same md5-parity hyperplane literals as the q71/ANN mirrors; the
+    // best match is a window argmax over (cosine DESC, index id DESC) —
+    // the engine's max(struct) tie-break spelled independently.
+    "q106_incremental_embedding" ->
+      s"""WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         n AS (SELECT vec_id, vec, norm, CAST($annSigExpr AS BIGINT) AS bucket FROM
+                 (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm
+                  FROM p) WHERE norm > 0),
+         bat AS (SELECT * FROM n WHERE vec_id % 10 >= 8),
+         idx AS (SELECT * FROM n WHERE vec_id % 10 < 8),
+         m AS (SELECT b.vec_id, i.vec_id AS iid,
+                 round(list_dot_product(b.vec, i.vec) / (b.norm * i.norm), 6) AS cosine
+               FROM bat b JOIN idx i ON b.bucket = i.bucket),
+         f AS (SELECT * FROM m WHERE cosine >= 0.3),
+         r AS (SELECT vec_id, cosine, iid,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cosine DESC, iid DESC) AS rn,
+                 count(*) OVER (PARTITION BY vec_id) AS n_index_matches
+               FROM f)
+         SELECT vec_id, n_index_matches, cosine AS best_cosine,
+           iid AS best_index_id
+         FROM r WHERE rn = 1 ORDER BY vec_id""",
 
     // row_number under the same (count desc, token) total order mirrors
     // the engine's TakeOrdered vocabulary cut exactly.

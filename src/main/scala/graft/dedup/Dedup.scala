@@ -911,6 +911,48 @@ object Dedup {
     Ann.blockedCosinePairs(v, minSim).withColumnRenamed("block", "bucket")
   }
 
+  /** Incremental embedding near-dup screening — the embedding counterpart
+    * of [[incrementalMinhashSuspects]]: for each NEW-batch vector, how many
+    * vectors of the persisted corpus index it near-duplicates (rounded
+    * cosine ≥ `minSim` within its LSH sign bucket), plus the best match.
+    * Rows appear only for suspects; gate ingestion on them or route them
+    * to exact verification.
+    *
+    * Skew/scale shape: both sides bucket by the same deterministic
+    * hyperplane signature, so the probe is a bucket equi-join — the batch
+    * never sees index vectors outside its buckets, and the per-batch-id
+    * aggregate (count + max(struct)) is map-side combined. The index side
+    * is any (id, vec) frame — typically a stored table read back with its
+    * signatures recomputed, which is a projection-only scan (no shuffle);
+    * persist the signature column alongside the vectors to skip even that.
+    * Recall bounds are [[embeddingLshPairs]]'s (sign-bucket blocking). */
+  def incrementalEmbeddingSuspects(newVecs: DataFrame, indexVecs: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   numPlanes: Int, dim: Int,
+                                   minSim: Double): DataFrame = {
+    val planes = Ann.hyperplanes(numPlanes, dim)
+    graft.plans.Expressions.ensureRegistered(newVecs.sparkSession)
+    def prep(df: DataFrame, idOut: String, vecOut: String, normOut: String) =
+      df.select(col(idCol).as(idOut),
+          transform(col(vecCol), x => x.cast("double")).as(vecOut))
+        .withColumn(normOut,
+          sqrt(graft.plans.Expressions.dotProduct(col(vecOut), col(vecOut))))
+        .where(col(normOut) > 0) // zero-norm: NaN cosine — see embeddingLshPairs
+        .withColumn("block", Ann.signature(col(vecOut), planes))
+    val batch = prep(newVecs, "vec_id", "__bv", "__bn")
+    val index = prep(indexVecs, "__iid", "__iv", "__in")
+    batch.join(index, Seq("block"))
+      .withColumn("cosine",
+        round(Ann.cosine(col("__bv"), col("__bn"), col("__iv"), col("__in")), 6))
+      .where(col("cosine") >= minSim)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_index_matches"),
+        max(struct(col("cosine"), col("__iid"))).as("__best"))
+      .select(col("vec_id"), col("n_index_matches"),
+        col("__best.cosine").as("best_cosine"),
+        col("__best.__iid").as("best_index_id"))
+  }
+
   /** Embedding near-dup pairs within a blocking key (e.g. a cluster/label
     * column): cosine similarity over float vectors, computed in double
     * precision. Blocking keeps the pair space linear-ish; for unblocked

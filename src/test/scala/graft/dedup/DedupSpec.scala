@@ -396,6 +396,26 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L, 1.0)))
   }
 
+  test("incrementalEmbeddingSuspects flags batch vectors the index near-duplicates") {
+    val dim = 64
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dim)(d => (((seed * 31 + d * 7) % 13) - 6).toFloat / 6f)
+    val index = Seq((0L, vec(1)), (1L, vec(2)), (2L, vec(1))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (10L, vec(1)),                    // duplicates index ids 0 and 2
+      (11L, vec(9)),                    // novel
+      (12L, Array.fill(dim)(0f))        // zero norm: excluded, not NaN
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.incrementalEmbeddingSuspects(batch, index,
+        "vec_id", "embedding", numPlanes = 6, dim = dim, minSim = 0.99)
+      .select("vec_id", "n_index_matches", "best_cosine", "best_index_id")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    // Only the true duplicate surfaces; best match breaks the cosine tie
+    // (ids 0 and 2 both at 1.0) toward the larger index id, matching the
+    // oracle's ORDER BY cosine DESC, iid DESC argmax.
+    assert(got == Seq((10L, 2L, 1.0, 2L)))
+  }
+
   test("contaminationOverlap counts distinct shared shingles per train doc") {
     // test doc 10 shares its full 8-shingle set with train doc 0 (exact
     // copy) and nothing with train doc 2.
