@@ -552,7 +552,7 @@ object Dedup {
     * oracle SQL). */
   def minhashSlotHash(sh: Column, s: Int): Column = {
     val digest = if (s < 4) md5(sh.cast("binary"))
-                 else md5(concat(lit(s / 4 + ":"), sh).cast("binary"))
+                 else md5(concat(lit(s"${s / 4}:"), sh).cast("binary"))
     conv(substring(digest, (s % 4) * 8 + 1, 8), 16, 10).cast("long")
   }
 
