@@ -1315,6 +1315,20 @@ object SparkEntry {
           col("group_rank").cast("long").as("group_rank"))
     }),
 
+    // Cluster-balanced sampling: up to 5 vectors per embedding cell under
+    // the deterministic md5 draw — the "uniform over semantic space, not
+    // over raw counts" selection (dense clusters stop dominating the
+    // sample). Composes the IVF cell assignment with the salted
+    // stratified-quota rank.
+    "q107_cluster_balanced_sample" -> ((s, d) => {
+      val cells = Ann.clusterAssign(t(s, d, "embeddings"),
+        "vec_id", "embedding", nlist = 16)
+      operators.WindowOps.stratifiedSample(cells, Seq(col("cell")),
+          col("vec_id"), nPerGroup = 5)
+        .select(col("vec_id"), col("cell"), col("rank").cast("long").as("rank"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Incremental embedding dedup: new-batch vectors (vec_id % 10 >= 8)
     // screened against the indexed corpus via LSH sign buckets + rounded
     // cosine — the embedding counterpart of q72/q73's incremental ingest
@@ -1628,6 +1642,23 @@ object SparkEntry {
     * here as literals via Ann.hyperplanes), the signature dot products sum
     * in the same left-to-right IEEE order, query buckets probe Hamming
     * radius 1 (sig XOR {0, 1<<p}). */
+  /** q59/q107 shared CTE chain: deterministic stride centroids + nearest-
+    * centroid cell assignment, mirroring `Ann.clusterAssign(nlist = 16)` —
+    * yields `corp(vec_id, cell)`. */
+  private val clusterCellsCte =
+    """p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM p),
+       cnt AS (SELECT count(*) AS c FROM n),
+       cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                  vec AS cvec, norm AS cnorm
+                FROM n WHERE vec_id % greatest(1, (SELECT c FROM cnt) // 16) = 0
+                ORDER BY vec_id LIMIT 16),
+       ranked AS (SELECT v.vec_id, c.cid,
+                    row_number() OVER (PARTITION BY v.vec_id
+                      ORDER BY list_dot_product(v.vec, c.cvec) / c.cnorm DESC, c.cid DESC) AS cr
+                  FROM n v CROSS JOIN cent c),
+       corp AS (SELECT vec_id, cid AS cell FROM ranked WHERE cr = 1)"""
+
   /** md5-parity hyperplane signature + multiprobe-offset literals shared by
     * the LSH oracle mirrors ([[annLshSql]], [[annRecallSql]]). */
   private lazy val annSigExpr: String = {
@@ -2142,18 +2173,7 @@ object SparkEntry {
          FROM aug ORDER BY doc_id"""
     },
     "q59_cluster_histogram" ->
-      """WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-         n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm FROM p),
-         cnt AS (SELECT count(*) AS c FROM n),
-         cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
-                    vec AS cvec, norm AS cnorm
-                  FROM n WHERE vec_id % greatest(1, (SELECT c FROM cnt) // 16) = 0
-                  ORDER BY vec_id LIMIT 16),
-         ranked AS (SELECT v.vec_id, c.cid,
-                      row_number() OVER (PARTITION BY v.vec_id
-                        ORDER BY list_dot_product(v.vec, c.cvec) / c.cnorm DESC, c.cid DESC) AS cr
-                    FROM n v CROSS JOIN cent c),
-         corp AS (SELECT vec_id, cid AS cell FROM ranked WHERE cr = 1)
+      s"""WITH $clusterCellsCte
          SELECT cell, count(*) AS n_vecs, min(vec_id) AS min_id, max(vec_id) AS max_id
          FROM corp GROUP BY cell ORDER BY cell""",
     "q60_media_headers" ->
@@ -2711,6 +2731,17 @@ object SparkEntry {
          WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
                % 1000000 < t.keep_ppm
          ORDER BY d.doc_id""",
+
+    // q59's cell CTEs + the md5-order quota rank (unique ids → total
+    // order, no tie ambiguity).
+    "q107_cluster_balanced_sample" ->
+      s"""WITH $clusterCellsCte,
+         samp AS (SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY cell
+               ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rank
+           FROM corp)
+         SELECT vec_id, cell, CAST(rank AS BIGINT) AS rank
+         FROM samp WHERE rank <= 5 ORDER BY vec_id""",
 
     // Same md5-parity hyperplane literals as the q71/ANN mirrors; the
     // best match is a window argmax over (cosine DESC, index id DESC) —
