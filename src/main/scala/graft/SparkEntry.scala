@@ -1315,6 +1315,23 @@ object SparkEntry {
           col("group_rank").cast("long").as("group_rank"))
     }),
 
+    // Dataset-card rollup: the per-(lang × source) + marginal + grand-total
+    // statistics a corpus snapshot publishes alongside itself — one CUBE
+    // aggregation (map-side combined like any hash aggregate; 4 grouping
+    // sets over the same scan, no re-reads). avg is exact-sum/exact-count,
+    // so the double division is engine-identical; rounded anyway.
+    "q108_dataset_card" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("n_toks", TextOps.tokenCount(col("text")).cast("long"))
+        .withColumn("quality_milli", TextOps.qualityScoreMilli(col("text")))
+      docs.cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_toks"),
+          round(avg(col("quality_milli")), 6).as("avg_quality_milli"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("lang"), col("source"))
+    }),
+
     // Cluster-balanced sampling: up to 5 vectors per embedding cell under
     // the deterministic md5 draw — the "uniform over semantic space, not
     // over raw counts" selection (dense clusters stop dominating the
@@ -2731,6 +2748,22 @@ object SparkEntry {
          WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
                % 1000000 < t.keep_ppm
          ORDER BY d.doc_id""",
+
+    // GROUPING(lang, source) bit order (first arg = high bit) matches
+    // Spark's grouping_id(); NULLS FIRST pins DuckDB's asc ordering to
+    // Spark's default.
+    "q108_dataset_card" -> {
+      s"""WITH $qualityMilliCte,
+         j AS (SELECT d.lang, d.source,
+                 CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS n_toks,
+                 q.quality_milli
+               FROM documents d JOIN q USING (doc_id))
+         SELECT lang, source, count(*) AS n_docs, sum(n_toks) AS n_toks,
+           round(avg(quality_milli), 6) AS avg_quality_milli,
+           CAST(GROUPING(lang, source) AS BIGINT) AS gid
+         FROM j GROUP BY CUBE(lang, source)
+         ORDER BY gid, lang NULLS FIRST, source NULLS FIRST"""
+    },
 
     // q59's cell CTEs + the md5-order quota rank (unique ids → total
     // order, no tie ambiguity).
