@@ -1320,6 +1320,76 @@ object SparkEntry {
     // aggregation (map-side combined like any hash aggregate; 4 grouping
     // sets over the same scan, no re-reads). avg is exact-sum/exact-count,
     // so the double division is engine-identical; rounded anyway.
+    // Byte-entropy quality signal via the codegen'd char_entropy
+    // expression — one histogram pass per row inside the projection, no
+    // char explode (which would multiply corpus rows by document LENGTH
+    // before the first shuffle). Low entropy flags repeated boilerplate /
+    // degenerate text; high entropy flags encoded blobs.
+    "q109_char_entropy" -> ((s, d) => {
+      Expressions.ensureRegistered(s)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          round(Expressions.charEntropy(col("text")), 6).as("entropy_bits"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-doc n-gram novelty vs everything earlier in id order: the
+    // "how much of this doc is new text" curation signal. One
+    // groupBy(hash)→min(id), one join back, one per-doc count — all
+    // shuffles keyed by shingle hash or doc id, nothing quadratic.
+    "q110_ngram_novelty" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val postings = mat(Dedup.shinglePostings(docs, "doc_id", "text", n = 3))
+      Dedup.ngramNoveltyFromPostings(docs.select(col("doc_id").as("id")), postings)
+        .select(col("id").as("doc_id"), col("n_shingles"),
+          col("novel_shingles"), col("novelty_milli"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Longest aligned common 3-gram run per pair (exact-substring dedup
+    // signal, Lee et al. 2022): inverted-index join on the n-gram hash
+    // with a doc-frequency skew cap, then the islands trick groups
+    // consecutive matches at one positional displacement — the window
+    // partitions by (pair, displacement), bounded by the shorter doc.
+    "q111_aligned_runs" -> ((s, d) => {
+      val postings = mat(Dedup.positionalShinglePostings(
+        t(s, d, "documents"), "doc_id", "text", n = 3))
+      Dedup.alignedRunsFromPostings(postings, n = 3, minRun = 5,
+          maxDocFreq = Some(100))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Cohort retention matrix over events: users bucketed by first-active
+    // day, exact distinct actives per (cohort, day-offset) cell. The raw
+    // stream collapses to distinct (user, day) FIRST; everything after
+    // works on that much smaller frame.
+    "q112_cohort_retention" -> ((s, d) => {
+      AggOps.cohortRetention(t(s, d, "events"), "user_id", "ts")
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
+    // Deterministic output sharding + balance audit: md5-draw shard
+    // assignment (pure projection, cross-engine reproducible), per-shard
+    // doc/token totals, and each shard's load in exact integer milli of
+    // the uniform share (1000 = perfectly balanced).
+    "q113_shard_balance" -> ((s, d) => {
+      val S = 16
+      val sharded = Splits.assignShard(
+        t(s, d, "documents")
+          .withColumn("n_toks", TextOps.tokenCount(col("text")).cast("long")),
+        col("doc_id"), numShards = S)
+      // Materialize the 16-row per-shard frame: the totals side otherwise
+      // re-aggregates from a SECOND corpus scan (two full passes at scale).
+      val per = mat(sharded.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_toks")))
+      val tot = per.agg(sum(col("n_toks")).as("tot_toks"))
+      per.crossJoin(broadcast(tot))
+        .select(col("shard"), col("n_docs"), col("n_toks"),
+          (col("n_toks") * lit(1000L) * S / col("tot_toks")).cast("long")
+            .as("load_milli"))
+        .orderBy(col("shard"))
+    }),
+
     "q108_dataset_card" -> ((s, d) => {
       val docs = t(s, d, "documents")
         .withColumn("n_toks", TextOps.tokenCount(col("text")).cast("long"))
@@ -2752,6 +2822,94 @@ object SparkEntry {
     // GROUPING(lang, source) bit order (first arg = high bit) matches
     // Spark's grouping_id(); NULLS FIRST pins DuckDB's asc ordering to
     // Spark's default.
+    // Character-frequency entropy per doc, expanded the SQL way (unnest +
+    // histogram) — byte entropy in the engine equals char entropy here
+    // because the corpus is ASCII; the 6-dp rounding absorbs the two
+    // engines' different summation orders.
+    "q109_char_entropy" ->
+      """WITH c AS (SELECT doc_id,
+             substring(text, CAST(i AS INTEGER) + 1, 1) AS ch
+           FROM (SELECT doc_id, text, unnest(range(length(text))) AS i
+                 FROM documents)),
+         h AS (SELECT doc_id, ch, count(*) AS c FROM c GROUP BY 1, 2),
+         n AS (SELECT doc_id, sum(c) AS n FROM h GROUP BY 1),
+         e AS (SELECT h.doc_id,
+             round(-sum((h.c / n.n) * log2(h.c / n.n)), 6) AS entropy_bits
+           FROM h JOIN n USING (doc_id) GROUP BY h.doc_id)
+         SELECT d.doc_id, coalesce(e.entropy_bits, 0.0) AS entropy_bits
+         FROM documents d LEFT JOIN e USING (doc_id) ORDER BY doc_id""",
+
+    // First-occurrence novelty on RAW shingles (hash-agnostic — the engine
+    // hashes to xxhash64, the compared quantities are counts).
+    "q110_ngram_novelty" ->
+      s"""WITH $shinglesCte,
+         fst AS (SELECT sh, min(id) AS first_id FROM e GROUP BY 1),
+         pd AS (SELECT e.id, CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN f.first_id = e.id THEN 1 ELSE 0 END) AS BIGINT)
+               AS novel_shingles
+           FROM e JOIN fst f USING (sh) GROUP BY e.id)
+         SELECT d.doc_id,
+           coalesce(pd.n_shingles, 0) AS n_shingles,
+           coalesce(pd.novel_shingles, 0) AS novel_shingles,
+           CAST(CASE WHEN coalesce(pd.n_shingles, 0) = 0 THEN 1000
+                ELSE pd.novel_shingles * 1000 // pd.n_shingles END AS BIGINT)
+             AS novelty_milli
+         FROM documents d LEFT JOIN pd ON d.doc_id = pd.id
+         ORDER BY d.doc_id""",
+
+    // Positional 3-grams (1-based pos — displacement arithmetic is
+    // position-origin-invariant), doc-frequency cap, islands trick.
+    "q111_aligned_runs" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         kg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(list_slice(toks, CAST(i AS INTEGER),
+               CAST(i AS INTEGER) + 2), ' ') AS sh
+           FROM (SELECT doc_id, toks,
+                   unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+                 FROM tk)),
+         hot AS (SELECT sh FROM kg GROUP BY sh
+                 HAVING count(DISTINCT doc_id) > 100),
+         f AS (SELECT * FROM kg WHERE sh NOT IN (SELECT sh FROM hot)),
+         pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.pos AS pos_a, a.pos - b.pos AS diff
+                FROM f a JOIN f b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         isl AS (SELECT id_a, id_b, diff,
+             pos_a - row_number() OVER (PARTITION BY id_a, id_b, diff
+               ORDER BY pos_a) AS island
+           FROM pr),
+         runs AS (SELECT id_a, id_b, diff, island, count(*) AS run
+                  FROM isl GROUP BY 1, 2, 3, 4),
+         best AS (SELECT id_a, id_b, CAST(max(run) AS BIGINT) AS run_kgrams
+                  FROM runs GROUP BY 1, 2)
+         SELECT id_a, id_b, run_kgrams,
+           CAST(run_kgrams + 2 AS BIGINT) AS run_tokens
+         FROM best WHERE run_kgrams >= 5 ORDER BY id_a, id_b""",
+
+    "q112_cohort_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+           FROM events),
+         c AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1)
+         SELECT cohort_day, CAST(day - cohort_day AS BIGINT) AS day_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+         FROM days JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // The same md5 draw mirror as q80's split assignment, modulo 16.
+    "q113_shard_balance" ->
+      """WITH s AS (SELECT doc_id,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % 16 AS shard,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks
+           FROM documents),
+         per AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_toks) AS BIGINT) AS n_toks
+                 FROM s GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS tot_toks FROM per)
+         SELECT shard, n_docs, n_toks,
+           n_toks * 16000 // tot_toks AS load_milli
+         FROM per, tot ORDER BY shard""",
+
     "q108_dataset_card" -> {
       s"""WITH $qualityMilliCte,
          j AS (SELECT d.lang, d.source,

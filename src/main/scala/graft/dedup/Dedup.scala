@@ -234,12 +234,16 @@ object Dedup {
     * with end < start would produce a DESCENDING range (e.g. [1,0]) whose
     * 0 position makes `slice` throw, so the short-doc case is guarded
     * explicitly with a typed empty literal. */
+  /** Ordered (position-preserving) n-gram list of a token array — the
+    * positional base [[shinglesFromTokens]] distinct-ifies. */
+  def orderedShinglesFromTokens(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(lit(Array.empty[String]))
+
   def shinglesFromTokens(toks: Column, n: Int): Column =
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => array_join(slice(toks, i, lit(n)), " ")))
-        .otherwise(lit(Array.empty[String])))
+    array_distinct(orderedShinglesFromTokens(toks, n))
 
   /** Distinct word n-gram shingles of a text column.
     *
@@ -342,6 +346,116 @@ object Dedup {
     df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh_arr"))
       .select(col("id"), explode(col("sh_arr")).as("sh"))
       .select(col("id"), xxhash64(col("sh")).as("shh"))
+
+  /** Positional (id, pos, shh) token n-gram postings — NOT distinct-ified
+    * (position matters); `pos` is the 0-based n-gram start index in token
+    * space. The tokenization is bound through the same one-element
+    * `transform` lambda trick as [[shingles]] (Catalyst does not CSE into
+    * HOF lambdas — an unbound reference would re-split per position). */
+  def positionalShinglePostings(df: DataFrame, idCol: String, textCol: String,
+                                n: Int): DataFrame = {
+    val ordered = element_at(
+      transform(array(TextOps.tokens(col(textCol))),
+        tk => orderedShinglesFromTokens(tk, n)), 1)
+    df.select(col(idCol).as("id"), posexplode(ordered).as(Seq("pos", "sh")))
+      .select(col("id"), col("pos"), xxhash64(col("sh")).as("shh"))
+  }
+
+  /** Longest ALIGNED common n-gram run per document pair — the core signal
+    * of exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better": verbatim shared spans matter more
+    * than whole-document similarity).
+    *
+    * Shape: positional postings self-join on the n-gram hash (inverted
+    * index — quadratic only within one hash's posting list, with the
+    * `maxDocFreq` cap dropping stop-gram lists), then the classic
+    * islands trick: two matches of one pair at the same positional
+    * displacement `diff = pos_a − pos_b` belong to one aligned run iff
+    * their `pos_a` are consecutive, so grouping by
+    * `pos_a − row_number()` within (pair, diff) labels maximal runs and a
+    * count per label is the run length in n-grams. The window partitions
+    * by (id_a, id_b, diff) — bounded by the shorter document's length, so
+    * no unsplittable corpus-sized sort exists anywhere in the plan.
+    *
+    * A run of c n-grams covers c + n − 1 consecutive shared tokens
+    * (`run_tokens`). Returns pairs with run_kgrams ≥ minRun.
+    */
+  def alignedRuns(df: DataFrame, idCol: String, textCol: String, n: Int,
+                  minRun: Long, maxDocFreq: Option[Long] = None): DataFrame =
+    alignedRunsFromPostings(positionalShinglePostings(df, idCol, textCol, n),
+      n, minRun, maxDocFreq)
+
+  /** [[alignedRuns]] over pre-computed positional (id, pos, shh) postings.
+    * The postings frame is referenced up to three times (doc-frequency
+    * cap + both join sides) — pass a MATERIALIZED frame at corpus scale so
+    * the n-gram explode runs once (q111 does, via the entry layer's mat). */
+  def alignedRunsFromPostings(p: DataFrame, n: Int, minRun: Long,
+                              maxDocFreq: Option[Long]): DataFrame = {
+    val filtered = maxDocFreq match {
+      case Some(cap) =>
+        val hot = p.groupBy(col("shh"))
+          .agg(count_distinct(col("id")).as("df")).where(col("df") > cap)
+        p.join(hot.select(col("shh")), Seq("shh"), "left_anti")
+      case None => p
+    }
+    val a = filtered.select(col("id").as("id_a"), col("pos").as("pos_a_raw"), col("shh"))
+    val b = filtered.select(col("id").as("id_b"), col("pos").as("pos_b_raw"), col("shh"))
+    // (pair, diff, pos_a) rows are already unique: a posting row is unique
+    // per (id, pos), and within one (pair, diff) a given pos_a determines
+    // pos_b — repeated identical n-grams inside a doc land at distinct
+    // positions and therefore distinct diffs or distinct pos_a.
+    val pairs = a.join(b, Seq("shh")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("pos_a_raw").as("pos_a"),
+        (col("pos_a_raw") - col("pos_b_raw")).as("diff"))
+    val w = Window.partitionBy(col("id_a"), col("id_b"), col("diff"))
+      .orderBy(col("pos_a"))
+    pairs
+      .withColumn("island", col("pos_a") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("diff"), col("island"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("run")).as("run_kgrams"))
+      .where(col("run_kgrams") >= minRun)
+      .withColumn("run_tokens", col("run_kgrams") + (n - 1))
+  }
+
+  /** Per-document n-gram novelty against everything that came before it in
+    * id order — the "how much of this doc is new text" curation signal
+    * (novelty ≈ 0 flags near-copies and boilerplate even when no single
+    * pair crosses a similarity threshold).
+    *
+    * A distinct shingle is NOVEL for the document with the smallest id
+    * containing it. One groupBy(hash)→min(id) over the postings (map-side
+    * partial min — the reduce side sees one row per distinct shingle), one
+    * hash-join back, one per-doc count: every shuffle is keyed by the
+    * shingle hash or the doc id, nothing is quadratic. The fraction is
+    * reported in exact integer milli (novel·1000 div total) — no float
+    * thresholds to desynchronize engines. Documents with fewer than n
+    * tokens have no shingles and report novelty 1000 (vacuously novel).
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame =
+    ngramNoveltyFromPostings(df.select(col(idCol).as("id")),
+      shinglePostings(df, idCol, textCol, n))
+
+  /** [[ngramNovelty]] over pre-computed (id, shh) postings. The postings
+    * frame is referenced twice (first-seen aggregate + join-back side) —
+    * pass a MATERIALIZED frame so the shingle explode runs once, the way
+    * q69 shares its postings (the entry layer does this via mat()). */
+  def ngramNoveltyFromPostings(ids: DataFrame, postings: DataFrame): DataFrame = {
+    val first = postings.groupBy(col("shh")).agg(min(col("id")).as("first_id"))
+    val perDoc = postings.join(first, Seq("shh"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_id") === col("id"), 1L).otherwise(0L)).as("novel_shingles"))
+    ids.join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("novel_shingles"), lit(0L)).as("novel_shingles"))
+      .withColumn("novelty_milli",
+        when(col("n_shingles") === 0, lit(1000L))
+          .otherwise((col("novel_shingles") * 1000 / col("n_shingles")).cast("long")))
+  }
 
   /** [[contaminationOverlap]] over pre-computed postings — lets a composed
     * pipeline (q69-style curation) shingle the corpus ONCE and feed both

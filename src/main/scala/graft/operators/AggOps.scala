@@ -127,4 +127,27 @@ object AggOps {
            round(sum(qty * price), 2).as("depth_notional"),
            count(lit(1)).as("n_levels"))
       .orderBy(col(side))
+
+  /** Cohort retention matrix: users bucketed by first-active day, distinct
+    * active users per (cohort_day, day_offset) cell.
+    *
+    * Shape: the raw stream collapses FIRST to distinct (user, day) — one
+    * row per user-day, typically orders of magnitude smaller than the
+    * event stream — and every later step works on that frame: a
+    * groupBy(user)→min for the cohort, a hash-join back on user, one cell
+    * aggregation. Nothing rescans raw events, no window function, and the
+    * distinct-user count per cell is exact (keyed by the small cohort/
+    * offset pair after the user-keyed dedup). */
+  def cohortRetention(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val days = events
+      .select(col(userCol).as("user_id"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val cohorts = days.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    days.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count_distinct(col("user_id")).as("active_users"))
+  }
 }

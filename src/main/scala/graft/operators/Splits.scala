@@ -48,4 +48,22 @@ object Splits {
     }
     df.withColumn(splitCol, chained.otherwise(lit(cuts.last._1)))
   }
+
+  /** Add `shardCol` ∈ [0, numShards) — deterministic output sharding for
+    * corpus publication: the same md5 draw as [[assignSplit]], so shard
+    * membership is engine-independent and a re-run (or a different engine
+    * reading the same ids) routes every row identically. Same scale shape:
+    * a pure narrow projection, no shuffle — the WRITE repartitions by the
+    * shard label, the assignment itself costs nothing. Same null-id
+    * tripwire: a null draw would silently route correlated rows nowhere. */
+  def assignShard(df: DataFrame, idExpr: Column, numShards: Int,
+                  shardCol: String = "shard"): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    require(!df.columns.contains(shardCol),
+      s"assignShard: input already has a '$shardCol' column")
+    df.withColumn(shardCol,
+      when(idExpr.isNull, raise_error(
+        lit("assignShard: null id — the id must be a non-null row identifier")))
+        .otherwise(graft.functions.Draws.md5Draw(idExpr, numShards.toLong)))
+  }
 }

@@ -73,6 +73,27 @@ object Expressions {
     override def prettyName: String = "dot_product"
   }
 
+  /** Shannon entropy (bits) of a string's BYTE distribution — the
+    * gibberish/binary-junk quality signal (low entropy = repeated
+    * boilerplate, high entropy ≈ random bytes/encoded blobs). A byte
+    * histogram is one 256-int array per evaluation and one pass over the
+    * UTF-8 payload; the compositional alternative (explode chars →
+    * groupBy(doc, char) → entropy agg) multiplies the corpus row count by
+    * average document LENGTH before the first shuffle — at 100 TB that is
+    * the difference between a scan-local projection and a corpus-sized
+    * shuffle. Byte entropy equals character entropy on ASCII text and
+    * stays well-defined (entropy of the UTF-8 stream) beyond it.
+    */
+  case class CharEntropy(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(v: Any): Any =
+      TextStats.byteEntropy(v.asInstanceOf[UTF8String].getBytes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.plans.TextStats.byteEntropy($c.getBytes())")
+    override protected def withNewChildInternal(c: Expression): CharEntropy = copy(c)
+    override def prettyName: String = "char_entropy"
+  }
+
   /** Registers the expressions as SQL functions on the session (idempotent);
     * the Column helpers below route through the registry. */
   def register(spark: SparkSession): Unit = {
@@ -80,6 +101,7 @@ object Expressions {
     reg.createOrReplaceTempFunction("rolling_hash", es => RollingHash(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("char_entropy", es => CharEntropy(es.head), "scala_udf")
   }
 
   /** Registration that library operators call on THEIR input's session
@@ -93,6 +115,31 @@ object Expressions {
   def rollingHash(c: Column): Column = call_function("rolling_hash", c)
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
   def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
+  def charEntropy(c: Column): Column = call_function("char_entropy", c)
+}
+
+/** Per-row text statistics for the codegen'd expressions (object statics so
+  * generated code calls them via static forwarders). */
+object TextStats {
+  /** Shannon entropy in bits of the byte-value distribution; 0.0 for the
+    * empty string. Σ runs in ascending byte value — a FIXED order, so the
+    * double accumulation is deterministic across engines and runs (an
+    * unordered sum could flip the 6-dp rounding the oracles compare at). */
+  def byteEntropy(bytes: Array[Byte]): Double = {
+    val n = bytes.length
+    if (n == 0) return 0.0
+    val counts = new Array[Int](256)
+    var i = 0
+    while (i < n) { counts(bytes(i) & 0xff) += 1; i += 1 }
+    var h = 0.0
+    var b = 0
+    while (b < 256) {
+      val c = counts(b)
+      if (c > 0) { val p = c.toDouble / n; h -= p * Math.log(p) }
+      b += 1
+    }
+    h / Math.log(2.0)
+  }
 }
 
 /** Deterministic, JVM-stable hash primitives (no RNG, no locale). */

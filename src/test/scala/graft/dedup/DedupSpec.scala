@@ -551,6 +551,64 @@ class DedupSpec extends AnyFunSuite {
     assert(hs.size == 4) // 5 docs, 2 identical texts
   }
 
+  test("ngramNovelty: first occurrence owns the shingle, dups score zero") {
+    val got = Dedup.ngramNovelty(docs, "doc_id", "text", n = 3)
+      .select("id", "n_shingles", "novel_shingles", "novelty_milli")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc0: 10 tokens → 8 distinct 3-grams, all first-seen.
+    assert(got(0L) == (0L, 8L, 8L, 1000L))
+    // doc1 shares 7 of its 8 3-grams with doc0; only "lazy dog today" is new.
+    assert(got(1L) == (1L, 8L, 1L, 125L))
+    // doc3 is an exact copy of doc0 → nothing novel.
+    assert(got(3L) == (3L, 8L, 0L, 0L))
+    // Unrelated docs are fully novel.
+    assert(got(2L)._4 == 1000L && got(4L)._4 == 1000L)
+  }
+
+  test("ngramNovelty: shingle-less docs report vacuous novelty 1000") {
+    val tiny = Seq((1L, "only two"), (2L, "three tokens here")).toDF("doc_id", "text")
+    val got = Dedup.ngramNovelty(tiny, "doc_id", "text", n = 3)
+      .select("id", "n_shingles", "novelty_milli")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == (1L, 0L, 1000L))
+    assert(got(2L) == (2L, 1L, 1000L))
+  }
+
+  test("alignedRuns finds the full overlap run of near-duplicates") {
+    val got = Dedup.alignedRuns(docs, "doc_id", "text", n = 3, minRun = 3)
+      .select("id_a", "id_b", "run_kgrams", "run_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // docs 0/3 are identical 10-token texts: 8 consecutive 3-grams.
+    assert(got((0L, 3L)) == (8L, 10L))
+    // docs 0/1 (and 1/3) share the first 9 tokens: 7 consecutive 3-grams.
+    assert(got((0L, 1L)) == (7L, 9L))
+    assert(got((1L, 3L)) == (7L, 9L))
+    assert(got.size == 3, s"unexpected pairs: ${got.keySet}")
+  }
+
+  test("alignedRuns reports the longest ISLAND, not the total match count") {
+    // One differing middle token splits the overlap into two 2-gram runs —
+    // 4 aligned matches total, but no run longer than 2.
+    val ab = Seq(
+      (10L, "a b c d X e f g h"),
+      (20L, "a b c d Y e f g h")).toDF("doc_id", "text")
+    val got = Dedup.alignedRuns(ab, "doc_id", "text", n = 3, minRun = 2)
+      .select("id_a", "id_b", "run_kgrams", "run_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((10L, 20L, 2L, 4L)))
+    // minRun above the longest island filters the pair out entirely.
+    assert(Dedup.alignedRuns(ab, "doc_id", "text", n = 3, minRun = 3).isEmpty)
+  }
+
+  test("alignedRuns maxDocFreq cap drops ubiquitous n-grams") {
+    // Every 3-gram of docs 0/3 appears in 2 documents; a cap of 1 removes
+    // them all, so no pair survives.
+    val none = Dedup.alignedRuns(docs, "doc_id", "text", n = 3, minRun = 1,
+      maxDocFreq = Some(1L))
+    assert(none.isEmpty)
+  }
+
   test("custom expressions run under CODEGEN_ONLY (real doGenCode, no fallback)") {
     // CODEGEN_ONLY makes Spark THROW instead of falling back to
     // interpretation when an expression can't generate code — this proves

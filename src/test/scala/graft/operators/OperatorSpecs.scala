@@ -146,4 +146,23 @@ class OperatorSpecs extends AnyFunSuite {
       .orderBy("id").as[(Long, String)].collect().toSeq
     assert(got == Seq(1L -> "unchanged", 2L -> "changed"))
   }
+
+  test("cohortRetention: hand-computed cohort × offset matrix") {
+    // u1 first active 2024-01-01, returns +1d and +3d; u2 one-shot on
+    // 01-01; u3 first active 01-02, returns +2d. Repeated same-day events
+    // (u1 twice on 01-01) count once.
+    val events = Seq(
+      (1L, "2024-01-01 09:00:00"), (1L, "2024-01-01 17:30:00"),
+      (1L, "2024-01-02 08:00:00"), (1L, "2024-01-04 23:59:59"),
+      (2L, "2024-01-01 12:00:00"),
+      (3L, "2024-01-02 00:00:00"), (3L, "2024-01-04 11:11:11")
+    ).toDF("user_id", "raw").withColumn("ts", to_timestamp(col("raw")))
+    val got = AggOps.cohortRetention(events, "user_id", "ts")
+      .select(col("cohort_day").cast("string"), col("day_offset"),
+        col("active_users"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L), ("2024-01-01", 3L, 1L),
+      ("2024-01-02", 0L, 1L), ("2024-01-02", 2L, 1L)))
+  }
 }

@@ -46,6 +46,46 @@ class SplitsSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("assignShard: deterministic, in-range, matches the md5 reference") {
+    val df = (0L until 500L).toDF("id")
+    val got = Splits.assignShard(df, col("id"), numShards = 16)
+      .select("id", "shard").as[(Long, Long)].collect().toMap
+    assert(got.size == 500)
+    assert(got.values.forall(s => s >= 0 && s < 16))
+    // Independent reference: first 8 hex chars of md5(id) mod 16 — the
+    // cross-engine contract the DuckDB oracle mirrors.
+    def ref(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % 16
+    }
+    (0L until 500L).foreach(i => assert(got(i) == ref(i), s"id $i"))
+  }
+
+  test("assignShard: pure projection (no shuffle), uniform-ish load") {
+    val df = (0L until 16000L).toDF("id")
+    val sharded = Splits.assignShard(df, col("id"), numShards = 16)
+    assert(!sharded.queryExecution.executedPlan.toString.contains("Exchange"))
+    val counts = sharded.groupBy("shard").count().as[(Long, Long)].collect().toMap
+    assert(counts.size == 16)
+    // Expected 1000/shard; ±25% is >8 sigma for a binomial(16000, 1/16).
+    assert(counts.values.forall(c => c > 750 && c < 1250), counts)
+  }
+
+  test("assignShard: null id fails loudly, collisions with existing column rejected") {
+    val ex = intercept[Exception] {
+      Splits.assignShard(Seq(Some(1L), None).toDF("id"), col("id"), 4).collect()
+    }
+    assert(ex.getMessage != null)
+    intercept[IllegalArgumentException] {
+      Splits.assignShard(Seq((1L, 2L)).toDF("id", "shard"), col("id"), 4)
+    }
+    intercept[IllegalArgumentException] {
+      Splits.assignShard(Seq(1L).toDF("id"), col("id"), 0)
+    }
+  }
+
   test("malformed cuts are rejected") {
     val df = Seq(1L).toDF("id")
     intercept[IllegalArgumentException] { // must end at 100
