@@ -1368,6 +1368,91 @@ object SparkEntry {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // Longest internal aligned 3-gram repeat per doc (verbatim template
+    // spam): the doc self-joined at positive displacement, same islands
+    // trick as q111, with a per-doc occurrence cap so a degenerate
+    // repeated-word doc can't square its own length.
+    "q114_self_repetition" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val postings = mat(Dedup.positionalShinglePostings(docs,
+        "doc_id", "text", n = 3))
+      Dedup.selfAlignedRunsFromPostings(docs.select(col("doc_id").as("id")),
+          postings, n = 3, maxOccurrences = 50)
+        .select(col("id").as("doc_id"), col("rep_run_kgrams"),
+          col("rep_run_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Zipf power-law fit over the corpus vocabulary: log-log OLS of
+    // frequency on rank for the deterministic top-500 (cnt DESC, word).
+    // The regression runs over ≤ 500 rows — the single-partition rank
+    // window is bounded by the vocab cut, not the corpus; the word counts
+    // are a map-side-combined aggregate.
+    "q115_zipf_fit" -> ((s, d) => {
+      val words = t(s, d, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val top = words.orderBy(col("cnt").desc, col("w")).limit(500)
+      val ranked = top.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("w"))))
+      ranked.agg(
+        count(lit(1)).as("n_vocab"),
+        round(regr_slope(log(col("cnt")), log(col("rank"))), 6).as("zipf_slope"),
+        round(regr_intercept(log(col("cnt")), log(col("rank"))), 6)
+          .as("zipf_intercept"),
+        round(regr_r2(log(col("cnt")), log(col("rank"))), 6).as("zipf_r2"))
+    }),
+
+    // MinHash estimator-quality evaluation (the q89-style harness for the
+    // dedup family): every LSH candidate pair's slot-match estimate vs its
+    // exact n-gram Jaccard, both in exact integer milli (8 slots → match
+    // count × 125; true = inter·1000 div union). The exact side restricts
+    // postings to candidate docs FIRST — the quadratic join runs over the
+    // near-dup cluster members only, never the corpus.
+    "q116_minhash_error" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sig = minhashSignatureFrame(docs)
+      val banded = Dedup.minhashBandPostingsFromSignatures(sig,
+        numHashes = 8, bands = 4)
+      val cand = banded.select(col("id").as("id_a"), col("band_idx"), col("band_val"))
+        .join(banded.select(col("id").as("id_b"), col("band_idx"), col("band_val")),
+          Seq("band_idx", "band_val"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      val sa = sig.select(col("id").as("id_a") +:
+        (0 until 8).map(i => col(s"mh$i").as(s"a$i")): _*)
+      val sb = sig.select(col("id").as("id_b") +:
+        (0 until 8).map(i => col(s"mh$i").as(s"b$i")): _*)
+      val matches = (0 until 8)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val est = cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+        .select(col("id_a"), col("id_b"), (matches * 125).as("est_milli"))
+      val postings = mat(Dedup.shinglePostings(docs, "doc_id", "text", 3))
+      val candIds = cand.select(col("id_a").as("id"))
+        .union(cand.select(col("id_b").as("id"))).distinct()
+      val cp = postings.join(candIds, Seq("id"), "left_semi")
+      val sizes = cp.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+      val inter = cp.select(col("id").as("id_a"), col("shh"))
+        .join(cp.select(col("id").as("id_b"), col("shh")), Seq("shh"))
+        .where(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+      est.join(inter, Seq("id_a", "id_b"), "left")
+        .join(broadcast(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a"))),
+          Seq("id_a"))
+        .join(broadcast(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b"))),
+          Seq("id_b"))
+        .withColumn("inter", coalesce(col("inter"), lit(0L)))
+        .withColumn("true_milli",
+          (col("inter") * 1000 / (col("n_a") + col("n_b") - col("inter")))
+            .cast("long"))
+        .withColumn("err_milli", abs(col("est_milli") - col("true_milli")))
+        .select(col("id_a"), col("id_b"), col("est_milli"), col("true_milli"),
+          col("err_milli"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Deterministic output sharding + balance audit: md5-draw shard
     // assignment (pure projection, cross-engine reproducible), per-shard
     // doc/token totals, and each shard's load in exact integer milli of
@@ -2894,6 +2979,86 @@ object SparkEntry {
            CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
          FROM days JOIN c USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q111's positional-gram + islands construction, self-joined at
+    // positive displacement with the per-doc occurrence cap.
+    "q114_self_repetition" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         kg AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(list_slice(toks, CAST(i AS INTEGER),
+               CAST(i AS INTEGER) + 2), ' ') AS sh
+           FROM (SELECT doc_id, toks,
+                   unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+                 FROM tk)),
+         hot AS (SELECT doc_id, sh FROM kg GROUP BY doc_id, sh
+                 HAVING count(*) > 50),
+         f AS (SELECT kg.doc_id, kg.pos, kg.sh FROM kg
+               LEFT JOIN hot ON kg.doc_id = hot.doc_id AND kg.sh = hot.sh
+               WHERE hot.sh IS NULL),
+         pr AS (SELECT a.doc_id AS id, a.pos AS pos_a, b.pos - a.pos AS diff
+                FROM f a JOIN f b
+                  ON a.doc_id = b.doc_id AND a.sh = b.sh AND b.pos > a.pos),
+         isl AS (SELECT id, diff,
+             pos_a - row_number() OVER (PARTITION BY id, diff
+               ORDER BY pos_a) AS island
+           FROM pr),
+         runs AS (SELECT id, diff, island, count(*) AS run
+                  FROM isl GROUP BY 1, 2, 3),
+         best AS (SELECT id, CAST(max(run) AS BIGINT) AS rep_run_kgrams
+                  FROM runs GROUP BY 1)
+         SELECT d.doc_id,
+           coalesce(b.rep_run_kgrams, 0) AS rep_run_kgrams,
+           CAST(CASE WHEN coalesce(b.rep_run_kgrams, 0) > 0
+                THEN b.rep_run_kgrams + 2 ELSE 0 END AS BIGINT)
+             AS rep_run_tokens
+         FROM documents d LEFT JOIN best b ON d.doc_id = b.id
+         ORDER BY d.doc_id""",
+
+    // ln() (DuckDB log() is base-10); regr_* take (y, x) in both engines.
+    "q115_zipf_fit" ->
+      """WITH w AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+           FROM documents),
+         c AS (SELECT w, count(*) AS cnt FROM w GROUP BY 1),
+         top AS (SELECT w, cnt FROM c ORDER BY cnt DESC, w LIMIT 500),
+         r AS (SELECT cnt,
+             row_number() OVER (ORDER BY cnt DESC, w) AS rank FROM top)
+         SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+           round(regr_slope(ln(cnt), ln(rank)), 6) AS zipf_slope,
+           round(regr_intercept(ln(cnt), ln(rank)), 6) AS zipf_intercept,
+           round(regr_r2(ln(cnt), ln(rank)), 6) AS zipf_r2
+         FROM r""",
+
+    // q43's slot/band mirrors for the estimate; raw-shingle overlap for
+    // the exact side; everything integer-milli so the compare is exact.
+    "q116_minhash_error" -> {
+      val matchSum = (0 until 8)
+        .map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $minhashCtes,
+         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                  FROM mbands a JOIN mbands b
+                    ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id),
+         est AS (SELECT c.id_a, c.id_b,
+             CAST(($matchSum) * 125 AS BIGINT) AS est_milli
+           FROM cand c JOIN sig sa ON sa.id = c.id_a
+           JOIN sig sb ON sb.id = c.id_b),
+         sz AS (SELECT id, CAST(len(sh_arr) AS BIGINT) AS n_sh FROM sh),
+         inter AS (SELECT a.id AS id_a, b.id AS id_b,
+             CAST(count(*) AS BIGINT) AS inter
+           FROM e a JOIN e b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2),
+         j AS (SELECT est.id_a, est.id_b, est.est_milli,
+             coalesce(i.inter, 0) AS inter, za.n_sh AS n_a, zb.n_sh AS n_b
+           FROM est LEFT JOIN inter i
+             ON est.id_a = i.id_a AND est.id_b = i.id_b
+           JOIN sz za ON za.id = est.id_a
+           JOIN sz zb ON zb.id = est.id_b)
+         SELECT id_a, id_b, est_milli,
+           CAST(inter * 1000 // (n_a + n_b - inter) AS BIGINT) AS true_milli,
+           CAST(abs(est_milli - inter * 1000 // (n_a + n_b - inter)) AS BIGINT)
+             AS err_milli
+         FROM j ORDER BY id_a, id_b"""
+    },
 
     // The same md5 draw mirror as q80's split assignment, modulo 16.
     "q113_shard_balance" ->

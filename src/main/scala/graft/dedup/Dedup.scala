@@ -433,6 +433,55 @@ object Dedup {
     * thresholds to desynchronize engines. Documents with fewer than n
     * tokens have no shingles and report novelty 1000 (vacuously novel).
     */
+  /** Longest INTERNAL aligned n-gram repeat per document — verbatim
+    * template spam detection: a doc that repeats a span verbatim (mail
+    * footers, scraped nav blocks, generation loops) shows a long aligned
+    * self-run even when its token-level duplicate FRACTION (q67's
+    * repetitionStats) stays moderate.
+    *
+    * Same islands construction as [[alignedRunsFromPostings]], but the
+    * pair join is the document with ITSELF at a strictly positive
+    * displacement (pos_b > pos_a), so every shuffle is keyed by the doc id
+    * — corpus-embarrassingly-parallel. The `maxOccurrences` cap drops
+    * n-grams repeated more than that many times WITHIN one doc before the
+    * join: a degenerate "word word word …" doc would otherwise square its
+    * own length (such docs are exactly what the q67 fraction flags, so the
+    * cap loses no signal). Returns every input id with its max repeat run
+    * (0 when the doc never repeats an n-gram at any displacement).
+    */
+  def selfAlignedRuns(df: DataFrame, idCol: String, textCol: String, n: Int,
+                      maxOccurrences: Long = 50L): DataFrame =
+    selfAlignedRunsFromPostings(df.select(col(idCol).as("id")),
+      positionalShinglePostings(df, idCol, textCol, n), n, maxOccurrences)
+
+  /** [[selfAlignedRuns]] over pre-computed positional postings — referenced
+    * four times (occurrence cap + anti-join + both pair sides), so pass a
+    * MATERIALIZED frame at corpus scale (q114 does, via the entry's mat). */
+  def selfAlignedRunsFromPostings(ids: DataFrame, p: DataFrame, n: Int,
+                                  maxOccurrences: Long): DataFrame = {
+    val hot = p.groupBy(col("id"), col("shh"))
+      .agg(count(lit(1)).as("occ")).where(col("occ") > maxOccurrences)
+      .select(col("id"), col("shh"))
+    val f = p.join(hot, Seq("id", "shh"), "left_anti")
+    val a = f.select(col("id"), col("pos").as("pos_a"), col("shh"))
+    val b = f.select(col("id"), col("pos").as("pos_b"), col("shh"))
+    val pairs = a.join(b, Seq("id", "shh"))
+      .where(col("pos_b") > col("pos_a"))
+      .select(col("id"), col("pos_a"), (col("pos_b") - col("pos_a")).as("diff"))
+    val w = Window.partitionBy(col("id"), col("diff")).orderBy(col("pos_a"))
+    val runs = pairs
+      .withColumn("island", col("pos_a") - row_number().over(w))
+      .groupBy(col("id"), col("diff"), col("island"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("id")).agg(max(col("run")).as("rep_run_kgrams"))
+    ids.join(runs, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("rep_run_kgrams"), lit(0L)).as("rep_run_kgrams"))
+      .withColumn("rep_run_tokens",
+        when(col("rep_run_kgrams") > 0, col("rep_run_kgrams") + (n - 1))
+          .otherwise(lit(0L)))
+  }
+
   def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
                    n: Int): DataFrame =
     ngramNoveltyFromPostings(df.select(col(idCol).as("id")),

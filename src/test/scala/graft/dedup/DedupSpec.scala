@@ -601,6 +601,33 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.alignedRuns(ab, "doc_id", "text", n = 3, minRun = 3).isEmpty)
   }
 
+  test("selfAlignedRuns finds the longest internal verbatim repeat") {
+    // "a b c d" recurs at displacement 5 ("a b c","b c d" at pos 0,1 and
+    // 5,6) → a 2-kgram island = 4 repeated tokens; the clean doc scores 0.
+    val df = Seq(
+      (1L, "a b c d e a b c d x"),
+      (2L, "all these tokens appear exactly once here")).toDF("doc_id", "text")
+    val got = Dedup.selfAlignedRuns(df, "doc_id", "text", n = 3)
+      .select("id", "rep_run_kgrams", "rep_run_tokens")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == (1L, 2L, 4L))
+    assert(got(2L) == (2L, 0L, 0L))
+  }
+
+  test("selfAlignedRuns occurrence cap neutralizes degenerate repetition") {
+    val spam = Seq((1L, "w w w w w w")).toDF("doc_id", "text")
+    // Uncapped: "w w w" at pos 0-3, displacement 1 island of 3.
+    val loose = Dedup.selfAlignedRuns(spam, "doc_id", "text", n = 3,
+        maxOccurrences = 50)
+      .select("rep_run_kgrams").as[Long].head()
+    assert(loose == 3L)
+    // Cap below the occurrence count drops the gram before the self-join.
+    val capped = Dedup.selfAlignedRuns(spam, "doc_id", "text", n = 3,
+        maxOccurrences = 3)
+      .select("rep_run_kgrams").as[Long].head()
+    assert(capped == 0L)
+  }
+
   test("alignedRuns maxDocFreq cap drops ubiquitous n-grams") {
     // Every 3-gram of docs 0/3 appears in 2 documents; a cap of 1 removes
     // them all, so no pair survives.
