@@ -354,4 +354,43 @@ class LargeScaleSpec extends AnyFunSuite {
     assert(binsLarge > binsSmall && ratio < 10.0,
       f"4× data cost $ratio%.1f× wall — super-linear")
   }
+
+  /** Every doc opens with ONE corpus-wide sentence (document-frequency n —
+    * uncapped, its postings join alone would be C(n, 2) pairs), then a
+    * doc-unique token, then a 6-token span shared by exactly its partner
+    * (ids 2k/2k+1). The doc-frequency cap must drop the hot grams, the
+    * pair spans (df = 2) must survive, and every partner pair must report
+    * its aligned 4-gram run — quadratic hazard removed, signal intact. */
+  private def alignedRunsPipeline(n: Long): Long = {
+    val k = (col("id") / 2).cast("long").cast("string")
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat(
+        lit("corpus wide shared sentence present everywhere u"),
+        col("id").cast("string"),
+        lit(" p"), k, lit("a p"), k, lit("b p"), k,
+        lit("c p"), k, lit("d p"), k, lit("e p"), k, lit("f")).as("text"))
+    val postings = Dedup.positionalShinglePostings(docs, "doc_id", "text", 3)
+      .localCheckpoint()
+    Dedup.alignedRunsFromPostings(postings, n = 3, minRun = 4,
+      maxDocFreq = Some(100L)).count()
+  }
+
+  test("aligned-run detection scales ~linearly under a corpus-wide hot n-gram",
+      LargeScale) {
+    val small = 500000L
+    val large = 2000000L
+    alignedRunsPipeline(10000L)
+    val (pSmall, tSmall) = timed(alignedRunsPipeline(small))
+    val (pLarge, tLarge) = timed(alignedRunsPipeline(large))
+    // Exactly one surviving pair per id-couple: the signal is complete
+    // (no partner lost to the cap) and exact (no hot-gram fabrications).
+    assert(pSmall == small / 2, s"expected ${small / 2} pairs, got $pSmall")
+    assert(pLarge == large / 2, s"expected ${large / 2} pairs, got $pLarge")
+    val ratio = tLarge / tSmall
+    info(f"alignedRuns: $small%,d docs → $pSmall%,d pairs in $tSmall%.1f s; " +
+      f"$large%,d docs → $pLarge%,d pairs in $tLarge%.1f s " +
+      f"(ratio $ratio%.1f× for 4× data)")
+    assert(ratio < 10.0,
+      f"4× data cost $ratio%.1f× wall — super-linear; the hot n-gram pinned the join")
+  }
 }
