@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{RobustZ, TextOps, TfIdf, TimeOps}
+import graft.functions.{RobustZ, Sketches, TextOps, TfIdf, TimeOps}
 import graft.operators._
 import graft.dedup.Dedup
 import graft.similarity.Ann
@@ -1552,7 +1552,140 @@ object SparkEntry {
           count_distinct(col("shh")).as("n_distinct_shingles"))
         .withColumn("diversity_milli",
           expr("n_distinct_shingles * 1000 div n_shingles"))
-        .orderBy(col("source")))
+        .orderBy(col("source"))),
+
+    // Count-Min Sketch error evaluation (q116's harness shape for the
+    // frequency-sketch family): the 4×1024 portable-md5 CMS built from the
+    // exact vocabulary counts, probed at the exact top-20 tokens. est ≥
+    // exact by construction; `overcount` measures collision inflation at
+    // this width. The sketch is depth×width rows (broadcast); only the
+    // vocabulary aggregate touches corpus-sized data.
+    "q117_cms_error" -> ((s, d) => {
+      val counts = t(s, d, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val cms = Sketches.cmsTable(counts, "tok", "cnt", depth = 4, width = 1024)
+      val top = counts.orderBy(col("cnt").desc, col("tok")).limit(20)
+      Sketches.cmsEstimate(cms, top, "tok", depth = 4, width = 1024)
+        .join(broadcast(top), Seq("tok"))
+        .select(col("tok"), col("cnt").as("exact_cnt"), col("est").as("est_cnt"),
+          (col("est") - col("cnt")).as("overcount"))
+        .orderBy(col("tok"))
+    }),
+
+    // Duplicate-cluster size distribution: the dup-audit histogram
+    // (size → how many clusters, how many docs) over the q70 MinHash
+    // components — the number a curation run reports to justify its dedup
+    // budget. Two tiny aggregates over the component labels; the heavy
+    // lifting is the shared signature→banding→contraction chain.
+    "q118_dup_cluster_histogram" -> ((s, d) => {
+      val labeled = minhashComponents(t(s, d, "documents"))
+      labeled.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+        .orderBy(col("cluster_size"))
+    }),
+
+    // Inter-event gap profile per event type: consecutive-event deltas
+    // WITHIN each (user, type) stream — the window partitions by user (many
+    // keys, bounded per-key history), never by the 5-value event_type,
+    // which would funnel the corpus through 5 tasks at 100 TB. All outputs
+    // are map-side-combinable sums/counts (no per-type percentile, which
+    // would re-sort per group); burst_milli = share of gaps under 60 s.
+    "q119_inter_event_gaps" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("__us", TimeOps.epochMicros(col("ts")))
+        .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(w))
+        .where(col("__gap").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          round(avg(col("__gap")) / 1000000d, 6).as("avg_gap_s"),
+          expr("max(__gap) div 1000000").as("max_gap_s"),
+          expr("count(CASE WHEN __gap < 60000000 THEN 1 END) * 1000 div count(*)")
+            .as("burst_milli"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Per-user behavioral feature extraction (the bot/abuse-screen feature
+    // frame a curation run joins against event-derived corpora): one
+    // user-keyed window for the gap features, then a user-keyed aggregate
+    // that reuses the same hash distribution — the two distinct counts ride
+    // the expand inside that keyed aggregate, never a second corpus
+    // shuffle. rapid_milli = share of inter-event gaps under 1 s.
+    "q120_user_features" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("__us", TimeOps.epochMicros(col("ts")))
+        .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("event_type")).as("n_types"),
+          count_distinct(to_date(col("ts"))).as("n_active_days"),
+          expr("(max(__us) - min(__us)) div 1000000").as("span_s"),
+          round(sum(col("value")), 2).as("total_value"),
+          expr("""coalesce(count(CASE WHEN __gap < 1000000 THEN 1 END) * 1000
+                  div nullif(count(__gap), 0), 0)""").as("rapid_milli"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Gopher-style document filter rules (Rae et al. 2021 §A1.1, adapted to
+    // integer-only arithmetic): five per-doc gates — token count in
+    // [10, 5000], mean word length in [3, 12] (via cross-multiplication,
+    // no division), punctuation ≤ 10% of chars, ≥ 2 stopword hits, alpha
+    // chars ≥ 50% of non-ws chars — rolled up per source as pass rate +
+    // per-rule fail counts. Pure column math; one map-side-combined agg.
+    "q121_gopher_flags" -> ((s, d) => {
+      val nToks = TextOps.tokenCount(col("text")).cast("long")
+      val nonWs = TextOps.nonWsCharCount(col("text")).cast("long")
+      val nChars = length(col("text")).cast("long")
+      val punct = TextOps.punctCount(col("text")).cast("long")
+      val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long")
+      val stop = TextOps.langScore(col("text"),
+        Seq("the", "a", "of", "and", "is")).cast("long")
+      t(s, d, "documents")
+        .select(col("source"),
+          (nToks >= 10 && nToks <= 5000).cast("long").as("r_len"),
+          (nonWs >= nToks * 3 && nonWs <= nToks * 12).cast("long").as("r_wordlen"),
+          (punct * 10 <= nChars).cast("long").as("r_sym"),
+          (stop >= 2).cast("long").as("r_stop"),
+          (alpha * 2 >= nonWs).cast("long").as("r_alpha"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("r_len") * col("r_wordlen") * col("r_sym") * col("r_stop")
+            * col("r_alpha")).as("n_pass"),
+          (count(lit(1)) - sum(col("r_len"))).as("fail_len"),
+          (count(lit(1)) - sum(col("r_wordlen"))).as("fail_wordlen"),
+          (count(lit(1)) - sum(col("r_sym"))).as("fail_sym"),
+          (count(lit(1)) - sum(col("r_stop"))).as("fail_stop"),
+          (count(lit(1)) - sum(col("r_alpha"))).as("fail_alpha"))
+        .withColumn("pass_milli", expr("n_pass * 1000 div n_docs"))
+        .orderBy(col("source"))
+    }),
+
+    // Normalization-aware dedup audit: duplicate counts under the raw
+    // fingerprint vs a CCNet-style normalized one (lowercase, non-alnum →
+    // space, collapse) — `extra_dups` is what case/punctuation jitter hides
+    // from exact dedup. Distinct counts are two-phase partial aggregates on
+    // 16-byte md5s; nothing corpus-sized crosses unkeyed.
+    "q122_normalized_dedup" -> ((s, d) => {
+      val rawFp = TextOps.contentFingerprint(col("text"))
+      val normFp = md5(trim(regexp_replace(lower(col("text")),
+        "[^a-z0-9]+", " ")).cast("binary"))
+      t(s, d, "documents")
+        .select(col("source"), rawFp.as("__raw"), normFp.as("__norm"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("__raw")).as("n_raw_distinct"),
+          count_distinct(col("__norm")).as("n_norm_distinct"))
+        .withColumn("extra_dups",
+          col("n_raw_distinct") - col("n_norm_distinct"))
+        .orderBy(col("source"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -3164,6 +3297,115 @@ object SparkEntry {
          SELECT source, count(*) AS n_shingles,
            count(DISTINCT sh) AS n_distinct_shingles,
            (count(DISTINCT sh) * 1000) // count(*) AS diversity_milli
-         FROM j GROUP BY source ORDER BY source"""
+         FROM j GROUP BY source ORDER BY source""",
+
+    // The same portable CMS the engine builds: bucket(seed, tok) =
+    // first-8-hex of md5('seed:tok') mod 1024 (the Draws idiom, seed
+    // prefixed); counters = sums of exact counts; estimate = min over the
+    // 4 counters.
+    "q117_cms_error" ->
+      """WITH w AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+           FROM documents),
+         c AS (SELECT tok, count(*) AS cnt FROM w GROUP BY 1),
+         sd AS (SELECT unnest(range(4)) AS seed),
+         sb AS (SELECT c.tok, c.cnt, sd.seed,
+             CAST('0x' || substring(md5(CAST(sd.seed AS VARCHAR) || ':' || c.tok), 1, 8)
+               AS BIGINT) % 1024 AS bucket
+           FROM c, sd),
+         cms AS (SELECT seed, bucket, sum(cnt) AS total FROM sb GROUP BY 1, 2),
+         top AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok LIMIT 20),
+         est AS (SELECT s.tok, min(m.total) AS est
+                 FROM sb s JOIN cms m ON m.seed = s.seed AND m.bucket = s.bucket
+                 JOIN top t ON t.tok = s.tok
+                 GROUP BY 1)
+         SELECT t.tok, CAST(t.cnt AS BIGINT) AS exact_cnt,
+           CAST(e.est AS BIGINT) AS est_cnt,
+           CAST(e.est - t.cnt AS BIGINT) AS overcount
+         FROM top t JOIN est e ON e.tok = t.tok
+         ORDER BY t.tok""",
+
+    // q70's recursive component CTEs, rolled up twice: per-component size,
+    // then the size histogram.
+    "q118_dup_cluster_histogram" ->
+      s"""WITH RECURSIVE $minhashCompCtes,
+         sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size
+                FROM comp GROUP BY 1)
+         SELECT cluster_size, count(*) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+         FROM sz GROUP BY 1 ORDER BY cluster_size""",
+
+    // epoch_us on the naive UTC timestamp matches the engine's
+    // TimeOps.epochMicros under its pinned UTC session (the q93 contract).
+    "q119_inter_event_gaps" ->
+      """WITH g AS (SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+           FROM events)
+         SELECT event_type, count(*) AS n_gaps,
+           round(avg(gap) / 1000000, 6) AS avg_gap_s,
+           CAST(max(gap) // 1000000 AS BIGINT) AS max_gap_s,
+           CAST((count(CASE WHEN gap < 60000000 THEN 1 END) * 1000) // count(*)
+             AS BIGINT) AS burst_milli
+         FROM g WHERE gap IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
+
+    "q120_user_features" ->
+      """WITH g AS (SELECT user_id, event_type, ts, value,
+             epoch_us(ts) AS us,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS gap
+           FROM events)
+         SELECT user_id, count(*) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days,
+           CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS span_s,
+           round(sum(value), 2) AS total_value,
+           CAST(coalesce((count(CASE WHEN gap < 1000000 THEN 1 END) * 1000)
+             // nullif(count(gap), 0), 0) AS BIGINT) AS rapid_milli
+         FROM g GROUP BY user_id ORDER BY user_id""",
+
+    // Same replace/length and split mirrors as the quality CTE; rule
+    // comparisons are integer cross-multiplications, so no rounding
+    // boundary exists for the engines to disagree on.
+    "q121_gopher_flags" -> {
+      val stop = langScoreSql(Seq("the", "a", "of", "and", "is"))
+      s"""WITH f AS (SELECT source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nt,
+             CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS nw,
+             CAST(length(text) AS BIGINT) AS nc,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS pu,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS al,
+             CAST($stop AS BIGINT) AS stop
+           FROM documents),
+         r AS (SELECT source,
+             CASE WHEN nt >= 10 AND nt <= 5000 THEN 1 ELSE 0 END AS r_len,
+             CASE WHEN nw >= nt * 3 AND nw <= nt * 12 THEN 1 ELSE 0 END AS r_wordlen,
+             CASE WHEN pu * 10 <= nc THEN 1 ELSE 0 END AS r_sym,
+             CASE WHEN stop >= 2 THEN 1 ELSE 0 END AS r_stop,
+             CASE WHEN al * 2 >= nw THEN 1 ELSE 0 END AS r_alpha
+           FROM f)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(r_len * r_wordlen * r_sym * r_stop * r_alpha) AS BIGINT) AS n_pass,
+           CAST(count(*) - sum(r_len) AS BIGINT) AS fail_len,
+           CAST(count(*) - sum(r_wordlen) AS BIGINT) AS fail_wordlen,
+           CAST(count(*) - sum(r_sym) AS BIGINT) AS fail_sym,
+           CAST(count(*) - sum(r_stop) AS BIGINT) AS fail_stop,
+           CAST(count(*) - sum(r_alpha) AS BIGINT) AS fail_alpha,
+           CAST((sum(r_len * r_wordlen * r_sym * r_stop * r_alpha) * 1000)
+             // count(*) AS BIGINT) AS pass_milli
+         FROM r GROUP BY source ORDER BY source"""
+    },
+
+    "q122_normalized_dedup" ->
+      """WITH f AS (SELECT source,
+             md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS raw_fp,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_fp
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+           CAST(count(DISTINCT raw_fp) AS BIGINT) AS n_raw_distinct,
+           CAST(count(DISTINCT norm_fp) AS BIGINT) AS n_norm_distinct,
+           CAST(count(DISTINCT raw_fp) - count(DISTINCT norm_fp) AS BIGINT)
+             AS extra_dups
+         FROM f GROUP BY source ORDER BY source"""
   )
 }
