@@ -1685,6 +1685,75 @@ object SparkEntry {
         .withColumn("extra_dups",
           col("n_raw_distinct") - col("n_norm_distinct"))
         .orderBy(col("source"))
+    }),
+
+    // Hard-negative mining for contrastive training: per query vector
+    // (vec_id % 20 == 0), the 3 most-similar DIFFERENT-label vectors with
+    // cosine ≤ 0.95 (near-identical candidates are overwhelmingly
+    // mislabeled positives — the false-negative poison). Query set
+    // broadcasts; the corpus is scanned once.
+    "q123_hard_negatives" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Ann.hardNegatives(emb.where(col("vec_id") % 20 === 0), emb,
+          "vec_id", "embedding", "label", k = 3, maxSim = 0.95)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Benchmark-suite overlap matrix: pairwise shared distinct 3-gram
+    // shingles between the q99 synthetic suites + containment vs the
+    // smaller suite — the "are my test sets secretly the same test set"
+    // audit run before attributing contamination. Everything is keyed by
+    // the 8-byte shingle hash; suite totals broadcast back.
+    "q124_suite_overlap" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val su = mat(Dedup.shinglePostings(
+          docs.where(col("doc_id") % 50 === 0), "doc_id", "text", 3)
+        .select(concat(lit("suite"), (col("id") % 3).cast("string")).as("suite"),
+          col("shh"))
+        .distinct())
+      val sizes = su.groupBy(col("suite")).agg(count(lit(1)).as("n_sh"))
+      val pairs = su.select(col("suite").as("suite_a"), col("shh"))
+        .join(su.select(col("suite").as("suite_b"), col("shh")), Seq("shh"))
+        .where(col("suite_a") < col("suite_b"))
+        .groupBy(col("suite_a"), col("suite_b")).agg(count(lit(1)).as("shared"))
+      pairs
+        .join(broadcast(sizes.select(col("suite").as("suite_a"),
+          col("n_sh").as("n_a"))), Seq("suite_a"))
+        .join(broadcast(sizes.select(col("suite").as("suite_b"),
+          col("n_sh").as("n_b"))), Seq("suite_b"))
+        .withColumn("containment_milli",
+          expr("shared * 1000 div least(n_a, n_b)"))
+        .select(col("suite_a"), col("suite_b"), col("shared"), col("n_a"),
+          col("n_b"), col("containment_milli"))
+        .orderBy(col("suite_a"), col("suite_b"))
+    }),
+
+    // Per-label centroid shift between two corpus halves (vec_id parity) —
+    // the embedding-space drift monitor complementing q94–q96's scalar
+    // drift family. Per-dim means via posexplode + (label, dim, half)
+    // aggregate (map-side combined; never a whole-label array in one task);
+    // each mean is rounded to micro units and the squared L2 shift is then
+    // EXACT integer arithmetic — no order-dependent double sum survives to
+    // the compare.
+    "q125_centroid_shift" -> ((s, d) => {
+      // Materialized: both half-branches read this (labels×dims×2)-row
+      // frame; lazy it would re-run the corpus-sized explode+agg twice.
+      val cent = mat(t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"), (col("vec_id") % 2).as("half"))
+        .agg(round(avg(col("x").cast("double")) * 1000000d, 0).cast("long")
+          .as("c_micro")))
+      val a = cent.where(col("half") === 0)
+        .select(col("label"), col("dim"), col("c_micro").as("__a"))
+      val b = cent.where(col("half") === 1)
+        .select(col("label"), col("dim"), col("c_micro").as("__b"))
+      a.join(b, Seq("label", "dim"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_dims"),
+          sum((col("__a") - col("__b")) * (col("__a") - col("__b")))
+            .as("shift_micro2"))
+        .orderBy(col("label"))
     })
   )
 
@@ -3406,6 +3475,65 @@ object SparkEntry {
            CAST(count(DISTINCT norm_fp) AS BIGINT) AS n_norm_distinct,
            CAST(count(DISTINCT raw_fp) - count(DISTINCT norm_fp) AS BIGINT)
              AS extra_dups
-         FROM f GROUP BY source ORDER BY source"""
+         FROM f GROUP BY source ORDER BY source""",
+
+    // q46's cosine mirror with the label-differs predicate and the maxSim
+    // cap; norm > 0 on both sides (cosine undefined at zero).
+    "q123_hard_negatives" ->
+      """WITH p AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+           FROM embeddings),
+         n AS (SELECT vec_id, label, vec, norm FROM
+                 (SELECT vec_id, label, vec,
+                    sqrt(list_dot_product(vec, vec)) AS norm FROM p)
+               WHERE norm > 0),
+         q AS (SELECT * FROM n WHERE vec_id % 20 = 0),
+         sims AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+             c.label AS corpus_label,
+             round(list_dot_product(q.vec, c.vec) / (q.norm * c.norm), 6) AS cosine
+           FROM n c, q WHERE q.label <> c.label),
+         f AS (SELECT * FROM sims WHERE cosine <= 0.95),
+         r AS (SELECT query_id, corpus_id, corpus_label, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, corpus_id) AS "rank" FROM f)
+         SELECT query_id, corpus_id, corpus_label, cosine, "rank"
+         FROM r WHERE "rank" <= 3 ORDER BY query_id, "rank"""",
+
+    // Distinct raw shingles per suite where the engine uses xxhash64
+    // postings — counts equal barring a 64-bit collision (q103's
+    // tolerance).
+    "q124_suite_overlap" ->
+      s"""WITH $shinglesCte,
+         su AS (SELECT DISTINCT 'suite' || CAST(id % 3 AS VARCHAR) AS suite, sh
+                FROM e WHERE id % 50 = 0),
+         sz AS (SELECT suite, CAST(count(*) AS BIGINT) AS n FROM su GROUP BY 1),
+         p AS (SELECT a.suite AS suite_a, b.suite AS suite_b,
+                 CAST(count(*) AS BIGINT) AS shared
+               FROM su a JOIN su b ON a.sh = b.sh AND a.suite < b.suite
+               GROUP BY 1, 2)
+         SELECT suite_a, suite_b, shared, za.n AS n_a, zb.n AS n_b,
+           CAST(shared * 1000 // least(za.n, zb.n) AS BIGINT)
+             AS containment_milli
+         FROM p JOIN sz za ON za.suite = p.suite_a
+         JOIN sz zb ON zb.suite = p.suite_b
+         ORDER BY suite_a, suite_b""",
+
+    // Per-dim means round to micro BEFORE the shift — the squared-L2 sum
+    // is exact BIGINT arithmetic, so no order-dependent double reaches the
+    // compare.
+    "q125_centroid_shift" ->
+      """WITH x AS (SELECT vec_id, label, vec_id % 2 AS half,
+             generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(CAST(embedding AS DOUBLE[])) AS v
+           FROM embeddings),
+         cent AS (SELECT label, dim, half,
+             CAST(round(avg(v) * 1000000, 0) AS BIGINT) AS c_micro
+           FROM x GROUP BY 1, 2, 3),
+         j AS (SELECT a.label, a.dim, a.c_micro AS ca, b.c_micro AS cb
+               FROM cent a JOIN cent b
+                 ON a.label = b.label AND a.dim = b.dim
+                 AND a.half = 0 AND b.half = 1)
+         SELECT label, count(*) AS n_dims,
+           CAST(sum((ca - cb) * (ca - cb)) AS BIGINT) AS shift_micro2
+         FROM j GROUP BY label ORDER BY label"""
   )
 }

@@ -285,4 +285,39 @@ object Ann {
       d.withColumn(s"cell_$i", col("__cells").getItem(i - 1).getField("cid"))
     }.drop("__cells")
   }
+
+  /** Hard-negative mining for contrastive training: per query, the k most
+    * cosine-similar corpus vectors carrying a DIFFERENT label, capped at
+    * `maxSim` — candidates above the cap are near-identical to the query
+    * and overwhelmingly mislabeled positives, the classic false-negative
+    * poison in a contrastive batch. Same scale shape as [[bruteForceTopK]]:
+    * the (small) query set broadcasts, the corpus is scanned once, and the
+    * per-query rank orders by (ROUNDED cosine desc, corpus id) so the cut
+    * is reproducible cross-engine. Zero-norm rows are excluded on both
+    * sides (cosine undefined). */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int,
+                    maxSim: Double): DataFrame = {
+    graft.plans.Expressions.ensureRegistered(queries.sparkSession)
+    // Label rides the prepared projection directly — [[prepared]] + a join
+    // back by id would self-join the corpus for a column the scan already
+    // holds.
+    def prep(df: DataFrame, p: String): DataFrame =
+      df.select(col(idCol).as(s"${p}_id"), col(labelCol).as(s"${p}_label"),
+          transform(col(vecCol), x => x.cast("double")).as(s"${p}v"))
+        .withColumn(s"${p}n", sqrt(graft.plans.Expressions.dotProduct(
+          col(s"${p}v"), col(s"${p}v"))))
+        .where(col(s"${p}n") > 0)
+    val q = prep(queries, "query")
+    val c = prep(corpus, "corpus")
+    val sims = c.join(broadcast(q), col("query_label") =!= col("corpus_label"))
+      .withColumn("cosine",
+        round(cosine(col("queryv"), col("queryn"), col("corpusv"), col("corpusn")), 6))
+      .where(col("cosine") <= maxSim)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    sims.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("corpus_label"),
+        col("cosine"), col("rank"))
+  }
 }

@@ -117,4 +117,40 @@ class AnnSpec extends AnyFunSuite {
     assert(a == b)
     assert(a.flatten.forall(v => v == 1.0 || v == -1.0))
   }
+
+  test("hard negatives: different label only, maxSim cap honored, top-k by cosine") {
+    val emb = Tables.embeddings(spark, SparkTestSession.sf)
+    val q = emb.where(col("vec_id") < 5)
+    val out = Ann.hardNegatives(q, emb, "vec_id", "embedding", "label",
+      k = 4, maxSim = 0.95)
+    val labels = emb.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val rows = out.select($"query_id", $"corpus_id", $"corpus_label",
+      $"cosine", $"rank").as[(Long, Long, Int, Double, Int)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (qid, cid, clabel, cos, rank) =>
+      assert(labels(cid) == clabel)
+      assert(clabel != labels(qid), s"query $qid got same-label negative $cid")
+      assert(cos <= 0.95 + 1e-9)
+      assert(rank >= 1 && rank <= 4)
+    }
+    // per query: ranks are 1..n with cosine non-increasing
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq == (1 to sorted.length))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4
+        case _ => true
+      })
+    }
+    // the top negative really is the best different-label candidate under
+    // the cap: cross-check one query against a brute-force recompute
+    val full = Ann.bruteForceTopK(q.where($"vec_id" === 0), emb,
+        "vec_id", "embedding", k = 1000)
+      .select($"corpus_id", $"cosine").as[(Long, Double)].collect()
+    val want = full.filter { case (cid, cos) =>
+      labels(cid) != labels(0L) && cos <= 0.95 }
+      .maxBy(r => (r._2, -r._1))
+    val got = rows.filter(r => r._1 == 0L && r._5 == 1).head
+    assert((got._2, got._4) == want, s"got $got want $want")
+  }
 }
