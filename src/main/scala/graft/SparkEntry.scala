@@ -1754,6 +1754,73 @@ object SparkEntry {
           sum((col("__a") - col("__b")) * (col("__a") - col("__b")))
             .as("shift_micro2"))
         .orderBy(col("label"))
+    }),
+
+    // Cross-source duplicate-flow matrix: which source pairs carry
+    // near-duplicate content (≥ 8 shared distinct 3-gram shingles, hot
+    // shingles capped), and how many pairs flow between them — the
+    // provenance audit behind a keep-best-source policy (q83). Exact
+    // fingerprints would miss everything here (this corpus's duplicates
+    // never cross sources verbatim); the shared inverted-index pair core
+    // keys everything by the 8-byte shingle hash, and the source labels
+    // join onto the tiny surviving pair set.
+    "q126_source_copy_matrix" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val postings = mat(Dedup.shinglePostings(docs, "doc_id", "text", 3))
+      val pairs = Dedup.sharedShinglePairs(postings, minShared = 8,
+        maxDocFreq = Some(100))
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("__sa")),
+          Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("__sb")),
+          Seq("id_b"))
+        .select(least(col("__sa"), col("__sb")).as("source_a"),
+          greatest(col("__sa"), col("__sb")).as("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // Boilerplate detector: the 20 hottest 12-token blocks (q76's segmenter)
+    // by occurrence, with their distinct-doc reach — what a C4-style line
+    // rule would strike first. Counts aggregate on the 8-byte segment hash;
+    // the distinct (hash, text) frame joins back only to label the
+    // top-20 cut, which is a TakeOrderedAndProject under (count desc, text).
+    "q127_boilerplate_segments" -> ((s, d) => {
+      val segs = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(Dedup.tokenBlocks(col("text"), 12)).as("seg"))
+        .select(col("doc_id"), col("seg"), xxhash64(col("seg")).as("segh"))
+      val counts = segs.groupBy(col("segh"))
+        .agg(count(lit(1)).as("n_occ"), count_distinct(col("doc_id")).as("n_docs"))
+      val texts = segs.select(col("segh"), col("seg")).distinct()
+      counts.join(texts, Seq("segh"))
+        .orderBy(col("n_occ").desc, col("seg")).limit(20)
+        .select(col("seg").as("segment"), col("n_occ"), col("n_docs"))
+    }),
+
+    // Corpus conditional bigram entropy H(next | prev) in nats — the
+    // one-scalar fluency/templatedness gauge next to q115's Zipf fit (a
+    // template-flooded corpus collapses toward 0). Bigrams via the q86
+    // (id, pos+1) equi-join (no per-doc window); count tables map-side
+    // combined; only the final Σ c_ab·ln(c_a/c_ab) is floating point,
+    // rounded 6.
+    "q128_bigram_entropy" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "w")))
+      val cab = toks.select(col("doc_id"), col("pos"), col("w").as("a"))
+        .join(toks.select(col("doc_id"), (col("pos") - 1).as("pos"),
+          col("w").as("b")), Seq("doc_id", "pos"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      val ca = cab.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
+      cab.join(ca, Seq("a"))
+        .agg(sum(col("c_ab")).as("n_bigrams"),
+          count_distinct(col("a")).as("n_contexts"),
+          count(lit(1)).as("n_distinct_bigrams"),
+          round(sum(col("c_ab") * log(col("c_a").cast("double") / col("c_ab")))
+            / sum(col("c_ab")), 6).as("cond_entropy_nats"))
     })
   )
 
@@ -3534,6 +3601,59 @@ object SparkEntry {
                  AND a.half = 0 AND b.half = 1)
          SELECT label, count(*) AS n_dims,
            CAST(sum((ca - cb) * (ca - cb)) AS BIGINT) AS shift_micro2
-         FROM j GROUP BY label ORDER BY label"""
+         FROM j GROUP BY label ORDER BY label""",
+
+    // Raw-shingle mirror of the capped inverted-index pair core (q42's
+    // tolerance: counts on strings vs 64-bit hashes).
+    "q126_source_copy_matrix" ->
+      s"""WITH $shinglesCte,
+         hot AS (SELECT sh FROM e GROUP BY sh HAVING count(*) > 100),
+         f AS (SELECT id, sh FROM e LEFT JOIN hot USING (sh)
+               WHERE hot.sh IS NULL),
+         p AS (SELECT a.id AS ia, b.id AS ib
+               FROM f a JOIN f b ON a.sh = b.sh AND a.id < b.id
+               GROUP BY 1, 2 HAVING count(*) >= 8),
+         m AS (SELECT least(da.source, db.source) AS source_a,
+                 greatest(da.source, db.source) AS source_b
+               FROM p JOIN documents da ON da.doc_id = p.ia
+               JOIN documents db ON db.doc_id = p.ib)
+         SELECT source_a, source_b, count(*) AS n_pairs
+         FROM m GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q76's 12-token block construction, rolled up to the top-20 hot
+    // segments under the (count desc, text) total order.
+    "q127_boilerplate_segments" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             FROM documents),
+         lf AS (SELECT doc_id,
+             list_transform(range(1, CAST(ceil(len(toks) / 12.0) AS INT) + 1),
+               i -> array_to_string(list_slice(toks, (i - 1) * 12 + 1, (i - 1) * 12 + 12), ' ')) AS lns
+           FROM tk),
+         segs AS (SELECT doc_id, unnest(lns) AS seg FROM lf),
+         c AS (SELECT seg, count(*) AS n_occ,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+               FROM segs GROUP BY 1)
+         SELECT seg AS segment, n_occ, n_docs
+         FROM c ORDER BY n_occ DESC, seg LIMIT 20""",
+
+    // 1-based generate_subscripts vs the engine's 0-based posexplode —
+    // both consistent within their own engine, and the pos+1 adjacency
+    // join only needs internal consistency.
+    "q128_bigram_entropy" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             FROM documents),
+         p AS (SELECT doc_id, unnest(toks) AS w,
+                 generate_subscripts(toks, 1) AS pos FROM tk),
+         cab AS (SELECT x.w AS a, y.w AS b, count(*) AS c_ab
+                 FROM p x JOIN p y
+                   ON x.doc_id = y.doc_id AND y.pos = x.pos + 1
+                 GROUP BY 1, 2),
+         ca AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY 1)
+         SELECT CAST(sum(c_ab) AS BIGINT) AS n_bigrams,
+           CAST(count(DISTINCT cab.a) AS BIGINT) AS n_contexts,
+           count(*) AS n_distinct_bigrams,
+           round(sum(c_ab * ln(CAST(c_a AS DOUBLE) / c_ab)) / sum(c_ab), 6)
+             AS cond_entropy_nats
+         FROM cab JOIN ca USING (a)"""
   )
 }

@@ -318,6 +318,16 @@ object Dedup {
     * overlap counts per (id_a < id_b) pair plus both set sizes, via the
     * inverted-index self-join on 8-byte hashes with the `maxDocFreq` skew
     * cap; sizes rejoin broadcast AFTER pair aggregation. */
+  /** Raw shared-shingle pair counts: (id_a < id_b, inter) for pairs with
+    * ≥ `minShared` distinct common shingles — the absolute-overlap cousin
+    * of [[ngramJaccardFromPostings]] for consumers (provenance matrices,
+    * flow audits) that care about how MUCH text is shared, not the ratio.
+    * Same inverted-index core, same `maxDocFreq` skew cap. */
+  def sharedShinglePairs(postings: DataFrame, minShared: Long,
+                         maxDocFreq: Option[Long] = None): DataFrame =
+    pairOverlaps(postings, maxDocFreq).where(col("inter") >= minShared)
+      .select(col("id_a"), col("id_b"), col("inter"))
+
   private def pairOverlaps(postings: DataFrame,
                            maxDocFreq: Option[Long]): DataFrame = {
     val sizes = postings.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
