@@ -1821,6 +1821,64 @@ object SparkEntry {
           count(lit(1)).as("n_distinct_bigrams"),
           round(sum(col("c_ab") * log(col("c_a").cast("double") / col("c_ab")))
             / sum(col("c_ab")), 6).as("cond_entropy_nats"))
+    }),
+
+    // Windowed heavy-hitter estimation as an ORACLED query: per event-hour,
+    // the StreamSketch CMS estimate for each present event type against its
+    // exact windowed count — the live sketch path's accuracy is itself
+    // cross-engine-verified (the q89/q116/q117 harness pattern, now for
+    // the streaming counter shape). Runs the SAME windowedCms/
+    // windowedEstimates code the streaming query deploys (batch-parity is
+    // what StreamSketchSpec pins).
+    "q129_windowed_heavy_hitters" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val cms = streaming.StreamSketch.windowedCms(ev, "event_type", "ts",
+        depth = 4, width = 64, windowDur = "1 hour", watermark = "0 seconds")
+      val watch = ev.select(col("event_type")).distinct()
+      val est = streaming.StreamSketch.windowedEstimates(cms, watch,
+        "event_type", depth = 4, width = 64)
+      val exact = ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("exact_cnt"))
+      est.join(exact, Seq("window_start", "event_type"))
+        .select(col("window_start"), col("event_type"), col("exact_cnt"),
+          col("est").as("est_cnt"),
+          (col("est") - col("exact_cnt")).as("overcount"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // Language-ID confusion matrix: the q37 heuristic evaluated against
+    // the labeled lang column as (actual, predicted) counts — the
+    // eval-harness companion (q89/q116 pattern) for the text family. One
+    // map-side-combined aggregate over the 25-cell matrix.
+    "q130_lang_confusion" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"), TextOps.langId(col("text")).as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("pred_lang"))),
+
+    // Do duplicates deserve the dedup budget? Per-source mean quality of
+    // fingerprint-duplicated vs unique docs (integer DIV means, −1 for an
+    // empty class). The group-size dim is distinct-fingerprint-sized and
+    // joins back keyed by the 16-byte fingerprint.
+    "q131_dup_quality_gap" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          TextOps.contentFingerprint(col("text")).as("fp"),
+          TextOps.qualityScoreMilli(col("text")).as("q"))
+      val grp = docs.groupBy(col("fp")).agg(count(lit(1)).as("__n"))
+      docs.join(grp, Seq("fp"))
+        .withColumn("__dup", (col("__n") > 1).cast("long"))
+        .groupBy(col("source"))
+        .agg(sum(col("__dup")).as("n_dup_docs"),
+          (count(lit(1)) - sum(col("__dup"))).as("n_uniq_docs"),
+          expr("""coalesce(sum(CASE WHEN __dup = 1 THEN q END)
+                  div nullif(sum(__dup), 0), -1)""").as("q_dup_milli"),
+          expr("""coalesce(sum(CASE WHEN __dup = 0 THEN q END)
+                  div nullif(count(*) - sum(__dup), 0), -1)""").as("q_uniq_milli"))
+        .orderBy(col("source"))
     })
   )
 
@@ -3654,6 +3712,66 @@ object SparkEntry {
            count(*) AS n_distinct_bigrams,
            round(sum(c_ab * ln(CAST(c_a AS DOUBLE) / c_ab)) / sum(c_ab), 6)
              AS cond_entropy_nats
-         FROM cab JOIN ca USING (a)"""
+         FROM cab JOIN ca USING (a)""",
+
+    // q117's CMS construction per event-hour window; the cells=4 guard is
+    // the sparse-counter zero law (an absent counter row is a zero).
+    "q129_windowed_heavy_hitters" ->
+      """WITH ev AS (SELECT date_trunc('hour', ts) AS window_start, event_type
+           FROM events),
+         sd AS (SELECT unnest(range(4)) AS seed),
+         sb AS (SELECT window_start, event_type, seed,
+             CAST('0x' || substring(md5(CAST(seed AS VARCHAR) || ':' || event_type), 1, 8)
+               AS BIGINT) % 64 AS bucket
+           FROM ev, sd),
+         cms AS (SELECT window_start, seed, bucket, count(*) AS total
+                 FROM sb GROUP BY 1, 2, 3),
+         ty AS (SELECT DISTINCT event_type FROM events),
+         pb AS (SELECT event_type, seed,
+             CAST('0x' || substring(md5(CAST(seed AS VARCHAR) || ':' || event_type), 1, 8)
+               AS BIGINT) % 64 AS bucket
+           FROM ty, sd),
+         est AS (SELECT c.window_start, p.event_type, min(c.total) AS est
+                 FROM cms c JOIN pb p ON p.seed = c.seed AND p.bucket = c.bucket
+                 GROUP BY 1, 2 HAVING count(*) = 4 AND min(c.total) > 0),
+         ex AS (SELECT window_start, event_type, count(*) AS exact_cnt
+                FROM ev GROUP BY 1, 2)
+         SELECT ex.window_start, ex.event_type, ex.exact_cnt,
+           CAST(e.est AS BIGINT) AS est_cnt,
+           CAST(e.est - ex.exact_cnt AS BIGINT) AS overcount
+         FROM ex JOIN est e ON e.window_start = ex.window_start
+           AND e.event_type = ex.event_type
+         ORDER BY ex.window_start, ex.event_type""",
+
+    "q130_lang_confusion" -> {
+      val scores = TextOps.LangMarkers.map { case (l, _) => l -> s"s_$l" }
+      val scoreDefs = TextOps.LangMarkers.map { case (l, ws) =>
+        s"${langScoreSql(ws)} AS s_$l" }.mkString(", ")
+      val mx = scores.map(_._2).mkString("greatest(", ", ", ")")
+      val pred = scores.map { case (l, s) => s"WHEN $s = $mx THEN '$l'" }
+        .mkString("CASE ", " ", " END")
+      s"""WITH sc AS (SELECT lang, $scoreDefs FROM documents)
+         SELECT lang, $pred AS pred_lang, count(*) AS n_docs
+         FROM sc GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
+
+    "q131_dup_quality_gap" -> {
+      s"""WITH $qualityMilliCte,
+         d AS (SELECT doc_id, source,
+                 md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+               FROM documents),
+         g AS (SELECT fp, count(*) AS n FROM d GROUP BY 1),
+         j AS (SELECT d.source, q.quality_milli,
+                 CASE WHEN g.n > 1 THEN 1 ELSE 0 END AS dup
+               FROM d JOIN g USING (fp) JOIN q USING (doc_id))
+         SELECT source,
+           CAST(sum(dup) AS BIGINT) AS n_dup_docs,
+           CAST(count(*) - sum(dup) AS BIGINT) AS n_uniq_docs,
+           CAST(coalesce(sum(CASE WHEN dup = 1 THEN quality_milli END)
+             // nullif(sum(dup), 0), -1) AS BIGINT) AS q_dup_milli,
+           CAST(coalesce(sum(CASE WHEN dup = 0 THEN quality_milli END)
+             // nullif(count(*) - sum(dup), 0), -1) AS BIGINT) AS q_uniq_milli
+         FROM j GROUP BY source ORDER BY source"""
+    }
   )
 }
