@@ -1561,9 +1561,12 @@ object SparkEntry {
     // this width. The sketch is depth×width rows (broadcast); only the
     // vocabulary aggregate touches corpus-sized data.
     "q117_cms_error" -> ((s, d) => {
-      val counts = t(s, d, "documents")
+      // Materialized: the vocab count table feeds the sketch build, the
+      // top-20 cut AND the exact join-back — lazy, the corpus-sized
+      // explode+agg would run three times.
+      val counts = mat(t(s, d, "documents")
         .select(explode(TextOps.tokens(col("text"))).as("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt")))
       val cms = Sketches.cmsTable(counts, "tok", "cnt", depth = 4, width = 1024)
       val top = counts.orderBy(col("cnt").desc, col("tok")).limit(20)
       Sketches.cmsEstimate(cms, top, "tok", depth = 4, width = 1024)
@@ -1792,12 +1795,16 @@ object SparkEntry {
         .select(col("doc_id"),
           explode(Dedup.tokenBlocks(col("text"), 12)).as("seg"))
         .select(col("doc_id"), col("seg"), xxhash64(col("seg")).as("segh"))
-      val counts = segs.groupBy(col("segh"))
-        .agg(count(lit(1)).as("n_occ"), count_distinct(col("doc_id")).as("n_docs"))
-      val texts = segs.select(col("segh"), col("seg")).distinct()
-      counts.join(texts, Seq("segh"))
-        .orderBy(col("n_occ").desc, col("seg")).limit(20)
-        .select(col("seg").as("segment"), col("n_occ"), col("n_docs"))
+      // ONE aggregation keyed by the segment hash carries counts, reach
+      // AND a representative text (min(seg) — all texts under one hash are
+      // equal barring a 64-bit collision, the q42-family tolerance). The
+      // two-frame spelling (counts ⋈ distinct texts) explodes the corpus
+      // twice and shuffles the strings a second time for the distinct.
+      segs.groupBy(col("segh"))
+        .agg(min(col("seg")).as("segment"), count(lit(1)).as("n_occ"),
+          count_distinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n_occ").desc, col("segment")).limit(20)
+        .select(col("segment"), col("n_occ"), col("n_docs"))
     }),
 
     // Corpus conditional bigram entropy H(next | prev) in nats — the
@@ -1810,10 +1817,14 @@ object SparkEntry {
       val toks = t(s, d, "documents")
         .select(col("doc_id"),
           posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "w")))
-      val cab = toks.select(col("doc_id"), col("pos"), col("w").as("a"))
+      // Materialized: the context-marginal aggregate and the final rollup
+      // both read the bigram count table — lazy, the corpus-sized position
+      // join would run twice (the sf0.001 plan showed the duplicated
+      // SortMergeJoin branch before this checkpoint).
+      val cab = mat(toks.select(col("doc_id"), col("pos"), col("w").as("a"))
         .join(toks.select(col("doc_id"), (col("pos") - 1).as("pos"),
           col("w").as("b")), Seq("doc_id", "pos"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab")))
       val ca = cab.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
       cab.join(ca, Seq("a"))
         .agg(sum(col("c_ab")).as("n_bigrams"),
