@@ -1890,6 +1890,48 @@ object SparkEntry {
           expr("""coalesce(sum(CASE WHEN __dup = 0 THEN q END)
                   div nullif(count(*) - sum(__dup), 0), -1)""").as("q_uniq_milli"))
         .orderBy(col("source"))
+    }),
+
+    // Semi-structured extraction: the events' JSON props column parsed
+    // through the TYPED from_json path (schema-projected, codegen'd — the
+    // Spark-first spelling for known-shape payloads; get_json_object would
+    // re-parse per field) and rolled up per event type. Malformed/missing
+    // keys become nulls and are accounted separately.
+    "q132_props_extract" -> ((s, d) => {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))
+      t(s, d, "events")
+        .withColumn("__k", from_json(col("props"), schema).getField("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("__k")).as("n_with_k"),
+          sum(col("__k")).as("sum_k"),
+          min(col("__k")).as("min_k"),
+          max(col("__k")).as("max_k"),
+          count_distinct(col("__k")).as("n_distinct_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Shingle document-frequency histogram: how duplication mass
+    // distributes across df bands — the measurement that SETS the
+    // maxDocFreq skew caps the q42/q111/q126 pair cores rely on, instead
+    // of guessing them. df per hash is map-side combined; the histogram
+    // rolls ≤ distinct-shingle rows into 5.
+    "q133_shingle_df_histogram" -> ((s, d) => {
+      val dfc = Dedup.shinglePostings(t(s, d, "documents"), "doc_id", "text", 3)
+        .groupBy(col("shh")).agg(count(lit(1)).as("df"))
+      dfc
+        .withColumn("bucket_id",
+          when(col("df") === 1, 1).when(col("df") === 2, 2)
+            .when(col("df") <= 10, 3).when(col("df") <= 100, 4).otherwise(5))
+        .withColumn("df_band",
+          when(col("df") === 1, "1").when(col("df") === 2, "2")
+            .when(col("df") <= 10, "3-10").when(col("df") <= 100, "11-100")
+            .otherwise(">100"))
+        .groupBy(col("bucket_id"), col("df_band"))
+        .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("n_postings"))
+        .orderBy(col("bucket_id"))
     })
   )
 
@@ -3783,6 +3825,34 @@ object SparkEntry {
            CAST(coalesce(sum(CASE WHEN dup = 0 THEN quality_milli END)
              // nullif(count(*) - sum(dup), 0), -1) AS BIGINT) AS q_uniq_milli
          FROM j GROUP BY source ORDER BY source"""
-    }
+    },
+
+    "q132_props_extract" ->
+      """WITH e AS (SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+           FROM events)
+         SELECT event_type, count(*) AS n_events,
+           count(k) AS n_with_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+         FROM e GROUP BY 1 ORDER BY 1""",
+
+    // df on raw shingle strings where the engine counts 8-byte hashes —
+    // the q42-family collision tolerance.
+    "q133_shingle_df_histogram" ->
+      s"""WITH $shinglesCte,
+         dfc AS (SELECT sh, count(*) AS df FROM e GROUP BY 1),
+         b AS (SELECT df,
+             CASE WHEN df = 1 THEN 1 WHEN df = 2 THEN 2
+                  WHEN df <= 10 THEN 3 WHEN df <= 100 THEN 4 ELSE 5 END AS bucket_id,
+             CASE WHEN df = 1 THEN '1' WHEN df = 2 THEN '2'
+                  WHEN df <= 10 THEN '3-10' WHEN df <= 100 THEN '11-100'
+                  ELSE '>100' END AS df_band
+           FROM dfc)
+         SELECT bucket_id, df_band, count(*) AS n_shingles,
+           CAST(sum(df) AS BIGINT) AS n_postings
+         FROM b GROUP BY 1, 2 ORDER BY bucket_id"""
   )
 }
