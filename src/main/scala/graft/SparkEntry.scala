@@ -1932,6 +1932,77 @@ object SparkEntry {
         .groupBy(col("bucket_id"), col("df_band"))
         .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("n_postings"))
         .orderBy(col("bucket_id"))
+    }),
+
+    // TPC-H Q3 shape (shipping priority): segment-filtered customer ⋈
+    // open orders ⋈ still-unshipped lineitems, revenue per order, top-10.
+    // Both date filters push to the parquet scans; the two fact joins
+    // shuffle on their keys and the final cut is a TakeOrderedAndProject,
+    // never a global sort.
+    "q134_shipping_priority" -> ((s, d) => {
+      val cutoff = "1998-06-15"
+      val cust = t(s, d, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val ord = t(s, d, "orders")
+        .where(col("o_orderdate") < lit(cutoff))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val li = t(s, d, "lineitem")
+        .where(col("l_shipdate") > lit(cutoff))
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("__rev"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("__rev")), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
+    }),
+
+    // Near-dup candidate-graph degree profile: docs per degree over the
+    // q43 band-bucket pair graph (degree 0 = the untouched corpus rest) —
+    // the graph-shape audit that predicts contraction-round counts and
+    // flags a band config collapsing into a mega-component. Degrees are
+    // per-doc counts over the distinct pair set; the histogram rolls
+    // doc-count rows into ≤ max-degree rows.
+    "q135_dup_graph_degrees" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sig = minhashSignatureFrame(docs)
+      val banded = Dedup.minhashBandPostingsFromSignatures(sig,
+        numHashes = 8, bands = 4)
+      val pairs = banded.select(col("id").as("id_a"), col("band_idx"), col("band_val"))
+        .join(banded.select(col("id").as("id_b"), col("band_idx"), col("band_val")),
+          Seq("band_idx", "band_val"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      val deg = pairs.select(col("id_a").as("id"))
+        .union(pairs.select(col("id_b").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+      val withZero = docs.select(col("doc_id").as("id"))
+        .join(deg, Seq("id"), "left")
+        .withColumn("degree", coalesce(col("degree"), lit(0L)))
+      withZero.groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("degree"))
+    }),
+
+    // Token-budget planning: per-source repetition factor for an
+    // equal-share 1M-token mixture — repetition_milli > 1000 means that
+    // source must repeat (multi-epoch) to fill its share, the number a
+    // mixture designer reads BEFORE launching q75's sampler. Pure integer
+    // arithmetic over the per-source token totals.
+    "q136_token_budget_plan" -> ((s, d) => {
+      val budget = 1000000L
+      val per = t(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("n_toks"))
+      val n = per.agg(count(lit(1)).as("__ns"))
+      per.crossJoin(broadcast(n))
+        .withColumn("target_toks", expr(s"$budget div __ns"))
+        .withColumn("repetition_milli",
+          expr("target_toks * 1000 div n_toks"))
+        .select(col("source"), col("n_docs"), col("n_toks"),
+          col("target_toks"), col("repetition_milli"))
+        .orderBy(col("source"))
     })
   )
 
@@ -3853,6 +3924,42 @@ object SparkEntry {
            FROM dfc)
          SELECT bucket_id, df_band, count(*) AS n_shingles,
            CAST(sum(df) AS BIGINT) AS n_postings
-         FROM b GROUP BY 1, 2 ORDER BY bucket_id"""
+         FROM b GROUP BY 1, 2 ORDER BY bucket_id""",
+
+    "q134_shipping_priority" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+           AND l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+
+    // q43's band CTEs → distinct pair set → symmetric degree counts, with
+    // degree-0 docs folded in via the left join.
+    "q135_dup_graph_degrees" ->
+      s"""WITH $minhashCtes,
+         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                  FROM mbands a JOIN mbands b
+                    ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id),
+         u AS (SELECT id_a AS id FROM cand UNION ALL SELECT id_b FROM cand),
+         deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM u GROUP BY 1),
+         z AS (SELECT d.doc_id, coalesce(g.degree, 0) AS degree
+               FROM documents d LEFT JOIN deg g ON g.id = d.doc_id)
+         SELECT degree, count(*) AS n_docs
+         FROM z GROUP BY 1 ORDER BY degree""",
+
+    "q136_token_budget_plan" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+             CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_toks
+           FROM documents GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM per)
+         SELECT source, n_docs, n_toks,
+           CAST(1000000 // ns AS BIGINT) AS target_toks,
+           CAST((1000000 // ns) * 1000 // n_toks AS BIGINT) AS repetition_milli
+         FROM per, n ORDER BY source"""
   )
 }
