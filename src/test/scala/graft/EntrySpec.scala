@@ -122,4 +122,23 @@ class EntrySpec extends AnyFunSuite {
       s"q99's join sides reference ${rddIds.distinct.length} distinct RDDs " +
         s"(ids $rddIds) — the postings materialization is not shared")
   }
+
+  test("q117 probes the materialized vocab counts (no corpus re-scan)") {
+    // The vocab count table is materialized once and feeds the sketch
+    // build, the top-20 cut and the exact join-back; a documents scan in
+    // the final plan means one of the three consumers regressed to
+    // re-running the corpus explode+agg.
+    val df = SparkEntry.queries("q117_cms_error")(spark, SparkTestSession.sf)
+    assert(parquetScans(df, "documents") == 0,
+      "q117 re-read documents parquet instead of reusing the vocab counts")
+  }
+
+  test("q128 aggregates from the materialized bigram table (no corpus re-scan)") {
+    // The bigram count table is materialized; the context marginal and the
+    // final rollup both read it. A documents scan here means the
+    // corpus-sized position join runs twice again.
+    val df = SparkEntry.queries("q128_bigram_entropy")(spark, SparkTestSession.sf)
+    assert(parquetScans(df, "documents") == 0,
+      "q128 re-read documents parquet instead of reusing the bigram counts")
+  }
 }
