@@ -2003,6 +2003,43 @@ object SparkEntry {
         .select(col("source"), col("n_docs"), col("n_toks"),
           col("target_toks"), col("repetition_milli"))
         .orderBy(col("source"))
+    }),
+
+    // Empirical LSH recall curve: per true-Jaccard band (integer milli,
+    // exact), what fraction of genuinely-similar pairs the 8-hash/4-band
+    // MinHash blocking actually surfaces — the measured S-curve that
+    // validates (or indicts) the band configuration, next to q116's
+    // estimator error and q89's ANN recall. Ground truth comes from the
+    // capped inverted-index pair core over the materialized postings;
+    // detection from the band-bucket candidate set over the materialized
+    // signature frame.
+    "q137_lsh_recall_curve" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val postings = mat(Dedup.shinglePostings(docs, "doc_id", "text", 3))
+      val truth = Dedup.pairOverlapCounts(postings, maxDocFreq = Some(100L))
+        .withColumn("j_milli", expr("inter * 1000 div (n_a + n_b - inter)"))
+        .where(col("j_milli") >= 50)
+        .select(col("id_a"), col("id_b"), expr("j_milli div 100").as("band"))
+      // Signatures hash the shingle STRINGS (portable md5 slots), so they
+      // cannot derive from the xxhash64 postings — their own materialized
+      // frame, the q70/q84 idiom.
+      val sig = minhashSignatureFrame(docs)
+      val banded = Dedup.minhashBandPostingsFromSignatures(sig, numHashes = 8,
+        bands = 4)
+      val cand = banded
+        .select(col("id").as("id_a"), col("band_idx"), col("band_val"))
+        .join(banded
+          .select(col("id").as("id_b"), col("band_idx"), col("band_val")),
+          Seq("band_idx", "band_val"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+        .withColumn("__det", lit(1L))
+      truth.join(cand, Seq("id_a", "id_b"), "left")
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("__det"), lit(0L))).as("n_detected"))
+        .withColumn("recall_milli", expr("n_detected * 1000 div n_true"))
+        .orderBy(col("band"))
     })
   )
 
@@ -3960,6 +3997,31 @@ object SparkEntry {
          SELECT source, n_docs, n_toks,
            CAST(1000000 // ns AS BIGINT) AS target_toks,
            CAST((1000000 // ns) * 1000 // n_toks AS BIGINT) AS repetition_milli
-         FROM per, n ORDER BY source"""
+         FROM per, n ORDER BY source""",
+
+    // q42's capped truth pairs (integer-milli Jaccard) left-joined to
+    // q43's band candidates, rolled up per band.
+    "q137_lsh_recall_curve" ->
+      s"""WITH $minhashCtes,
+         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                  FROM mbands a JOIN mbands b
+                    ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id),
+         ef AS (SELECT * FROM e WHERE sh NOT IN
+                  (SELECT sh FROM e GROUP BY sh HAVING count(*) > 100)),
+         p AS (SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+                 count(*) AS inter
+               FROM ef a JOIN ef b ON a.sh = b.sh AND a.id < b.id
+               GROUP BY 1, 2, 3, 4),
+         t AS (SELECT id_a, id_b,
+                 CAST(inter * 1000 // (n_a + n_b - inter) AS BIGINT) AS jm
+               FROM p WHERE inter * 1000 // (n_a + n_b - inter) >= 50),
+         j AS (SELECT t.jm // 100 AS band,
+                 CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS det
+               FROM t LEFT JOIN cand c
+                 ON c.id_a = t.id_a AND c.id_b = t.id_b)
+         SELECT CAST(band AS BIGINT) AS band, count(*) AS n_true,
+           CAST(sum(det) AS BIGINT) AS n_detected,
+           CAST(sum(det) * 1000 // count(*) AS BIGINT) AS recall_milli
+         FROM j GROUP BY band ORDER BY band"""
   )
 }

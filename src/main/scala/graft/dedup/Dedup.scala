@@ -328,6 +328,14 @@ object Dedup {
     pairOverlaps(postings, maxDocFreq).where(col("inter") >= minShared)
       .select(col("id_a"), col("id_b"), col("inter"))
 
+  /** Public view of the raw pair core — (id_a, id_b, inter, n_a, n_b) —
+    * for consumers that derive their own metric (integer-milli Jaccard,
+    * the q137 recall curve) instead of the prepackaged
+    * [[ngramJaccardFromPostings]]/[[ngramContainmentFromPostings]] cuts. */
+  def pairOverlapCounts(postings: DataFrame,
+                        maxDocFreq: Option[Long] = None): DataFrame =
+    pairOverlaps(postings, maxDocFreq)
+
   private def pairOverlaps(postings: DataFrame,
                            maxDocFreq: Option[Long]): DataFrame = {
     val sizes = postings.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
