@@ -2040,6 +2040,67 @@ object SparkEntry {
           sum(coalesce(col("__det"), lit(0L))).as("n_detected"))
         .withColumn("recall_milli", expr("n_detected * 1000 div n_true"))
         .orderBy(col("band"))
+    }),
+
+    // Small-quantity order analysis (TPC-H Q17 shape): revenue from
+    // lineitems under half their part's average quantity, per brand. The
+    // classic correlated subquery becomes a per-part aggregate DIM joined
+    // back by partkey — one extra keyed shuffle, no per-row subquery.
+    // Quantities are integral doubles, so sum/count and the ×0.5 threshold
+    // are IEEE-exact in both engines.
+    "q138_small_qty_parts" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val avgq = li.groupBy(col("l_partkey"))
+        .agg((sum(col("l_quantity")) / count(lit(1))).as("__avg"))
+      li.join(avgq, Seq("l_partkey"))
+        .where(col("l_quantity") < lit(0.5) * col("__avg"))
+        .join(t(s, d, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_small_lines"),
+          round(sum(col("l_extendedprice")), 2).as("small_revenue"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // Supply-side rollup joining the two previously-unexercised dims:
+    // revenue per supplier nation (lineitem ⋈ supplier ⋈ nation ⋈ region)
+    // + supplier counts and account balances. Dims broadcast; the one
+    // corpus-sized shuffle keys by suppkey.
+    "q139_supplier_nations" -> ((s, d) => {
+      val sup = t(s, d, "supplier")
+      val nat = t(s, d, "nation")
+      val reg = t(s, d, "region")
+      val rev = t(s, d, "lineitem")
+        .select(col("l_suppkey"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("__rev"))
+        .groupBy(col("l_suppkey")).agg(sum(col("__rev")).as("__srev"))
+      sup.join(rev, col("s_suppkey") === col("l_suppkey"), "left")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          round(sum(col("s_acctbal")), 2).as("total_acctbal"),
+          round(sum(coalesce(col("__srev"), lit(0.0))), 2).as("revenue"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // Per-user event-type transition matrix (the first-order Markov counts
+    // behind session modeling / bot signatures): lead over the user-keyed
+    // window, then a 25-cell aggregate with per-from-state probabilities
+    // via a broadcast totals dim.
+    "q140_event_transitions" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val trans = t(s, d, "events")
+        .withColumn("__next", lead(col("event_type"), 1).over(w))
+        .where(col("__next").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("__next").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = trans.groupBy(col("from_type")).agg(sum(col("n")).as("__tot"))
+      trans.join(broadcast(totals), Seq("from_type"))
+        .withColumn("p_milli", expr("n * 1000 div __tot"))
+        .select(col("from_type"), col("to_type"), col("n"), col("p_milli"))
+        .orderBy(col("from_type"), col("to_type"))
     })
   )
 
@@ -4022,6 +4083,44 @@ object SparkEntry {
          SELECT CAST(band AS BIGINT) AS band, count(*) AS n_true,
            CAST(sum(det) AS BIGINT) AS n_detected,
            CAST(sum(det) * 1000 // count(*) AS BIGINT) AS recall_milli
-         FROM j GROUP BY band ORDER BY band"""
+         FROM j GROUP BY band ORDER BY band""",
+
+    "q138_small_qty_parts" ->
+      """WITH a AS (SELECT l_partkey, sum(l_quantity) / count(*) AS avgq
+                    FROM lineitem GROUP BY 1),
+         f AS (SELECT l.l_partkey, l.l_extendedprice
+               FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
+               WHERE l.l_quantity < 0.5 * a.avgq)
+         SELECT p.p_brand, count(*) AS n_small_lines,
+           round(sum(f.l_extendedprice), 2) AS small_revenue
+         FROM f JOIN part p ON f.l_partkey = p.p_partkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "q139_supplier_nations" ->
+      """WITH rev AS (SELECT l_suppkey,
+             sum(l_extendedprice * (1.0 - l_discount)) AS srev
+           FROM lineitem GROUP BY 1)
+         SELECT r.r_name, n.n_name, count(*) AS n_suppliers,
+           round(sum(s.s_acctbal), 2) AS total_acctbal,
+           round(sum(coalesce(rev.srev, 0.0)), 2) AS revenue
+         FROM supplier s
+         LEFT JOIN rev ON s.s_suppkey = rev.l_suppkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q140_event_transitions" ->
+      """WITH t AS (SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+           FROM events),
+         c AS (SELECT from_type, to_type, count(*) AS n FROM t
+               WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tt
+                 FROM c GROUP BY 1)
+         SELECT c.from_type, c.to_type, c.n,
+           CAST(c.n * 1000 // tot.tt AS BIGINT) AS p_milli
+         FROM c JOIN tot USING (from_type)
+         ORDER BY c.from_type, c.to_type"""
   )
 }
