@@ -2101,6 +2101,25 @@ object SparkEntry {
         .withColumn("p_milli", expr("n * 1000 div __tot"))
         .select(col("from_type"), col("to_type"), col("n"), col("p_milli"))
         .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // Left-outer interval join, batch parity for the streaming form
+    // (StreamJoinSpec drives the stream path): every purchase with its
+    // in-lookback clicks, or nulls when the user clicked nothing — the
+    // enrichment join where absence is itself the signal. Same equi+range
+    // plan as q64 without the aggregate, so unmatched rows survive.
+    "q141_interval_join_outer" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts").as("p_ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+      streaming.StreamJoin.intervalJoin(purchases, clicks, "user_id",
+          "p_ts", "c_ts", "10 minutes", joinType = "left_outer")
+        .select(col("purchase_id"), col("user_id"), col("click_id"))
+        .orderBy(col("purchase_id"), col("click_id"))
     })
   )
 
@@ -4121,6 +4140,19 @@ object SparkEntry {
          SELECT c.from_type, c.to_type, c.n,
            CAST(c.n * 1000 // tot.tt AS BIGINT) AS p_milli
          FROM c JOIN tot USING (from_type)
-         ORDER BY c.from_type, c.to_type"""
+         ORDER BY c.from_type, c.to_type""",
+
+    // NULLS FIRST pins DuckDB to Spark's ascending null order on the
+    // outer side's null click_id.
+    "q141_interval_join_outer" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+             FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts AS c_ts, event_id AS click_id
+             FROM events WHERE event_type = 'click')
+         SELECT p.purchase_id, p.user_id, c.click_id
+         FROM p LEFT JOIN c ON c.user_id = p.user_id
+           AND c.c_ts >= p.p_ts - INTERVAL 10 MINUTE
+           AND c.c_ts <= p.p_ts
+         ORDER BY purchase_id, click_id NULLS FIRST"""
   )
 }

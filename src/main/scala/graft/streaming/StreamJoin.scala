@@ -27,10 +27,20 @@ object StreamJoin {
     * body (e.g. "10 minutes"). Pass `watermark` for streaming inputs (both
     * sides get it); leave it None for batch frames. Output columns are the
     * left columns then the right columns minus its `key` (deduplicated the
-    * way `join(_, Seq(key))` would). */
+    * way `join(_, Seq(key))` would).
+    *
+    * `joinType` additionally supports "left_outer": unmatched left rows
+    * emit with null right columns — in streaming, ONLY once the watermark
+    * proves no in-range right row can still arrive (the null row is
+    * delayed, not withheld; Spark's outer stream-stream contract), which is
+    * why the outer form REQUIRES a watermark on both sides. State stays
+    * bounded exactly as for inner: purge at watermark − lookback. */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String, rightTs: String, lookback: String,
-                   watermark: Option[String] = None): DataFrame = {
+                   watermark: Option[String] = None,
+                   joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer",
+      s"unsupported interval-join type '$joinType'")
     require(leftTs != rightTs,
       s"leftTs and rightTs must be distinct column names, both are '$leftTs'")
     // The join condition references columns unqualified, so any cross-side
@@ -50,7 +60,8 @@ object StreamJoin {
     l.join(r,
         col(rKey) === col(key) &&
           col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
-          col(rightTs) <= col(leftTs))
+          col(rightTs) <= col(leftTs),
+        joinType)
       .drop(rKey)
   }
 }
