@@ -2120,6 +2120,27 @@ object SparkEntry {
           "p_ts", "c_ts", "10 minutes", joinType = "left_outer")
         .select(col("purchase_id"), col("user_id"), col("click_id"))
         .orderBy(col("purchase_id"), col("click_id"))
+    }),
+
+    // Winsorized per-source quality means: raw vs P5/P95-clipped — the
+    // outlier-robust reporting a mixture designer trusts over raw means.
+    // Cut values come from Calibrate's nearest-rank histogram machinery
+    // (value-deterministic integers; the corpus collapses to the bounded
+    // histogram before any window — no per-group sort at 100 TB), then
+    // broadcast back for the clip.
+    "q142_winsorized_quality" -> ((s, d) => {
+      val scored = t(s, d, "documents")
+        .select(col("source"), TextOps.qualityScoreMilli(col("text")).as("q"))
+      val cuts = Calibrate.nearestRankCuts(scored, Seq("source"), "q",
+        Seq(5, 95))
+      scored.join(broadcast(cuts), Seq("source"))
+        .withColumn("__cq", greatest(col("p5"), least(col("p95"), col("q"))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("p5")).as("p5"), min(col("p95")).as("p95"),
+          expr("sum(q) div count(*)").as("mean_q_milli"),
+          expr("sum(__cq) div count(*)").as("wins_mean_q_milli"))
+        .orderBy(col("source"))
     })
   )
 
@@ -4153,6 +4174,32 @@ object SparkEntry {
          FROM p LEFT JOIN c ON c.user_id = p.user_id
            AND c.c_ts >= p.p_ts - INTERVAL 10 MINUTE
            AND c.c_ts <= p.p_ts
-         ORDER BY purchase_id, click_id NULLS FIRST"""
+         ORDER BY purchase_id, click_id NULLS FIRST""",
+
+    // The same nearest-rank cut definition over the value histogram:
+    // cut(p) = min value with cum_le >= ceil(p*n/100), all integer.
+    "q142_winsorized_quality" ->
+      s"""WITH $qualityMilliCte,
+         j AS (SELECT d.source, q.quality_milli AS v
+               FROM documents d JOIN q USING (doc_id)),
+         h AS (SELECT source, v, count(*) AS n FROM j GROUP BY 1, 2),
+         c AS (SELECT source, v, n,
+                 sum(n) OVER (PARTITION BY source ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS cum_le,
+                 sum(n) OVER (PARTITION BY source) AS ng
+               FROM h),
+         cuts AS (SELECT source,
+             CAST(min(CASE WHEN cum_le >= (5 * ng + 99) // 100 THEN v END)
+               AS BIGINT) AS p5,
+             CAST(min(CASE WHEN cum_le >= (95 * ng + 99) // 100 THEN v END)
+               AS BIGINT) AS p95
+           FROM c GROUP BY 1)
+         SELECT j.source, count(*) AS n_docs,
+           min(cuts.p5) AS p5, min(cuts.p95) AS p95,
+           CAST(sum(j.v) // count(*) AS BIGINT) AS mean_q_milli,
+           CAST(sum(greatest(cuts.p5, least(cuts.p95, j.v))) // count(*)
+             AS BIGINT) AS wins_mean_q_milli
+         FROM j JOIN cuts USING (source)
+         GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -51,4 +51,32 @@ object Calibrate {
           expr(s"(${buckets}L * __cum_lt) div __ng")).as(bucketOut): _*)
     df.join(broadcast(dim), groupCols :+ valueCol)
   }
+
+  /** Per-group nearest-rank percentile cut values over the same bounded
+    * value histogram: cut(p) = the smallest value whose ≤-cumulative count
+    * reaches ⌈p·n/100⌉ — the classic nearest-rank definition, integer-only
+    * and value-deterministic, so an independent engine reproduces it
+    * bit-for-bit (interpolated percentiles would put a float between two
+    * scale points and re-open the rounding-boundary hazard). Output: one
+    * row per group with a `p<P>` LongType column per requested percent.
+    * Same scale shape as [[histogramBuckets]]: the corpus collapses to the
+    * histogram before any window; the window runs over ≤ |scale| rows per
+    * group. */
+  def nearestRankCuts(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                      percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be within [1, 100], got $percents")
+    val gs = groupCols.map(col)
+    val hist = df.groupBy(gs :+ col(valueCol): _*).agg(count(lit(1)).as("__n"))
+    val wLe = Window.partitionBy(gs: _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val c = hist
+      .withColumn("__cum_le", sum(col("__n")).over(wLe))
+      .withColumn("__ng", sum(col("__n")).over(Window.partitionBy(gs: _*)))
+    val aggs = percents.map { p =>
+      min(when(col("__cum_le") >= expr(s"(${p}L * __ng + 99) div 100"),
+        col(valueCol))).cast("long").as(s"p$p")
+    }
+    c.groupBy(gs: _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -68,4 +68,34 @@ class CalibrateSpec extends AnyFunSuite {
       Calibrate.histogramBuckets(df, Seq("g"), "v", 0, "b")
     }
   }
+
+  test("nearestRankCuts matches the sort-based nearest-rank definition") {
+    // Values 1..100 in group a (P5 = 5, P95 = 95 under nearest-rank);
+    // a small tied group b where cuts land on the tie value.
+    val df = ((1 to 100).map(v => ("a", v.toLong)) ++
+      Seq.fill(10)(("b", 7L)) ++ Seq(("b", 9L))).toDF("g", "v")
+    val got = Calibrate.nearestRankCuts(df, Seq("g"), "v", Seq(5, 50, 95))
+      .orderBy("g").as[(String, Long, Long, Long)].collect().toSeq
+    // group b: n=11 → rank ceil(5·11/100)=1 → 7; ceil(50·11/100)=6 → 7;
+    // ceil(95·11/100)=11 → 9.
+    assert(got == Seq(("a", 5L, 50L, 95L), ("b", 7L, 7L, 9L)), got.toString)
+    // cross-check every cut against an explicit sorted-seq nearest-rank
+    val byG = df.as[(String, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    for ((g, p5, p50, p95) <- got; (p, want) <- Seq(5 -> p5, 50 -> p50, 95 -> p95)) {
+      val xs = byG(g)
+      val r = math.ceil(p * xs.length / 100.0).toInt.max(1)
+      assert(xs(r - 1) == want, s"group $g P$p: got $want want ${xs(r - 1)}")
+    }
+  }
+
+  test("nearestRankCuts rejects out-of-range percents") {
+    val df = Seq(("g", 1L)).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      Calibrate.nearestRankCuts(df, Seq("g"), "v", Seq(0))
+    }
+    intercept[IllegalArgumentException] {
+      Calibrate.nearestRankCuts(df, Seq("g"), "v", Seq.empty)
+    }
+  }
 }
