@@ -153,6 +153,26 @@ class ScaleSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
   }
 
+  test("rank-limit windows plan a partial WindowGroupLimit before the shuffle") {
+    // Spark 3.5+ rewrites `row_number() <= k` windows into a two-phase
+    // WindowGroupLimit: the PARTIAL node keeps only k rows per group per
+    // input partition BEFORE the exchange — the shuffle carries ≤ k·parts
+    // rows per group instead of the whole group. This is the built-in
+    // operator that makes topKPerGroup's plain form viable at scale (and
+    // why no hand-rolled bounded-heap SparkPlan exists here); this test
+    // pins the rewrite so a conf/regression that disables it is loud.
+    val li = Tables.load(spark, SparkTestSession.sf, "lineitem")
+    val plan = operators.WindowOps.topKPerGroup(li, Seq(col("l_returnflag")),
+        Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")),
+        10)
+      .queryExecution.executedPlan.toString
+    val hits = "WindowGroupLimit".r.findAllIn(plan).size
+    assert(hits >= 2,
+      s"expected partial+final WindowGroupLimit nodes, found $hits in:\n$plan")
+    assert(plan.contains("Partial"),
+      s"expected a Partial-mode WindowGroupLimit before the exchange:\n$plan")
+  }
+
   test("diversified top-k caps each group and matches the naive reference") {
     val li = Tables.load(spark, SparkTestSession.sf, "lineitem")
     val part = Seq(col("l_returnflag"))
