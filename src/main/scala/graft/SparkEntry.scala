@@ -2141,6 +2141,78 @@ object SparkEntry {
           expr("sum(q) div count(*)").as("mean_q_milli"),
           expr("sum(__cq) div count(*)").as("wins_mean_q_milli"))
         .orderBy(col("source"))
+    }),
+
+    // Large-volume customers (TPC-H Q18 shape): the fact table collapses
+    // to per-order quantity totals FIRST (map-side-combined sum — the
+    // only full lineitem pass), the >250 filter shrinks that to a tiny
+    // order set, and only THEN do orders/customer join in — AQE turns
+    // the filtered side into a broadcast at any scale where it stays
+    // small. TakeOrderedAndProject keeps the top-100 without a global
+    // sort. Quantities are small integers in doubles, so the sum and the
+    // threshold compare are exact.
+    "q143_large_orders" -> ((s, d) => {
+      val tot = t(s, d, "lineitem").groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("tq"))
+        .where(col("tq") > 250)
+      t(s, d, "orders").join(tot, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"),
+          round(col("o_totalprice"), 2).as("total_price"),
+          round(col("tq"), 2).as("tot_qty"))
+        .orderBy(col("total_price").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // Per-user max drawdown of the event value series: running peak via
+    // an UNBOUNDED PRECEDING max window (per-user series are bounded at
+    // high key cardinality; ONE corpus-sized series would route through
+    // ScanOps' segmented scan exactly like the global EWMA), then the
+    // max peak-relative drop. Doubles stay untouched until the single
+    // terminal round(6): peak is a max (exact), (peak-value)/peak is
+    // per-row IEEE arithmetic — identical across engines.
+    "q144_user_drawdown" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      t(s, d, "events")
+        .withColumn("__peak", max(col("value")).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(max(col("__peak")), 6).as("peak"),
+          round(max((col("__peak") - col("value")) / col("__peak")), 6)
+            .as("max_drawdown"))
+        .orderBy(col("user_id"))
+    }),
+
+    // Column profiler — the stats pass a catalog/CBO (or a data-quality
+    // gate) runs over a new table: per column null accounting, exact
+    // distinct cardinality, min/max. Every column is first canonicalized
+    // to ONE sortable string form (zero-padded integers, wall-clock
+    // timestamp text, HALF_UP centi-scaled value) so a single narrow
+    // 6-way stack feeds one hash aggregate with map-side partials —
+    // lexicographic min/max on the canonical form IS the semantic
+    // min/max. At 100 TB the exact countDistinct becomes
+    // approx_count_distinct; the shape is otherwise unchanged.
+    "q145_column_profile" -> ((s, d) => {
+      val canon = t(s, d, "events").select(
+        lpad(col("event_id").cast("string"), 19, "0").as("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        lpad(col("user_id").cast("string"), 19, "0").as("user_id"),
+        col("event_type"),
+        lpad(floor(col("value") * 100 + 0.5).cast("string"), 12, "0")
+          .as("value"),
+        col("props"))
+      canon.select(expr(
+          "stack(6, 'event_id', event_id, 'ts', ts, 'user_id', user_id, " +
+            "'event_type', event_type, 'value', value, 'props', props) " +
+            "AS (col_name, v)"))
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_rows"), count(col("v")).as("n_nonnull"),
+          countDistinct(col("v")).as("n_distinct"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+        .orderBy(col("col_name"))
     })
   )
 
@@ -4200,6 +4272,50 @@ object SparkEntry {
            CAST(sum(greatest(cuts.p5, least(cuts.p95, j.v))) // count(*)
              AS BIGINT) AS wins_mean_q_milli
          FROM j JOIN cuts USING (source)
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+
+    "q143_large_orders" ->
+      """WITH tot AS (SELECT l_orderkey, sum(l_quantity) AS tq
+                      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250)
+         SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS total_price, round(tq, 2) AS tot_qty
+         FROM orders JOIN tot ON o_orderkey = tot.l_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY total_price DESC, o_orderkey LIMIT 100""",
+
+    "q144_user_drawdown" ->
+      """WITH p AS (SELECT user_id, value,
+             max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS peak
+           FROM events)
+         SELECT user_id, count(*) AS n_events,
+           round(max(peak), 6) AS peak,
+           round(max((peak - value) / peak), 6) AS max_drawdown
+         FROM p GROUP BY 1 ORDER BY user_id""",
+
+    // Same canonical string forms as the Spark side (zero-padded
+    // integers sort numerically; wall-clock text sorts chronologically;
+    // floor(x*100+0.5) is HALF_UP on the identical double in both
+    // engines) — so min/max/distinct agree byte-for-byte.
+    "q145_column_profile" ->
+      """WITH canon AS (SELECT
+             lpad(CAST(event_id AS VARCHAR), 19, '0') AS event_id,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+             lpad(CAST(user_id AS VARCHAR), 19, '0') AS user_id,
+             event_type,
+             lpad(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR),
+               12, '0') AS value,
+             props
+           FROM events),
+         l AS (SELECT 'event_id' AS col_name, event_id AS v FROM canon
+           UNION ALL SELECT 'ts', ts FROM canon
+           UNION ALL SELECT 'user_id', user_id FROM canon
+           UNION ALL SELECT 'event_type', event_type FROM canon
+           UNION ALL SELECT 'value', value FROM canon
+           UNION ALL SELECT 'props', props FROM canon)
+         SELECT col_name, count(*) AS n_rows, count(v) AS n_nonnull,
+           count(DISTINCT v) AS n_distinct,
+           min(v) AS min_v, max(v) AS max_v
+         FROM l GROUP BY 1 ORDER BY 1"""
   )
 }
