@@ -2213,6 +2213,97 @@ object SparkEntry {
           countDistinct(col("v")).as("n_distinct"),
           min(col("v")).as("min_v"), max(col("v")).as("max_v"))
         .orderBy(col("col_name"))
+    }),
+
+    // PageRank over the MinHash candidate graph (q135's pair set) —
+    // integer-ppm, 3 rounds: the "template hub" ranking that tells a
+    // curator WHICH documents sit at the center of the duplication
+    // structure before mass deletion. Each round is one shuffle join
+    // against the once-materialized degree-annotated edge list plus one
+    // map-side-combined inflow aggregate (Graph.pageRankPpm); the floored
+    // integer arithmetic makes every rank bit-identical to the oracle's
+    // unrolled-CTE mirror.
+    "q146_pagerank" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val banded = Dedup.minhashBandPostingsFromSignatures(
+        minhashSignatureFrame(docs), numHashes = 8, bands = 4)
+      val pairs = banded
+        .select(col("id").as("id_a"), col("band_idx"), col("band_val"))
+        .join(banded.select(col("id").as("id_b"), col("band_idx"), col("band_val")),
+          Seq("band_idx", "band_val"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      Graph.pageRankPpm(docs.select(col("doc_id")), "doc_id",
+          pairs, "id_a", "id_b", iters = 3)
+        .orderBy(col("rank_ppm").desc, col("id"))
+        .limit(20)
+        .select(col("id").as("doc_id"), col("rank_ppm"))
+    }),
+
+    // Int8 scalar quantization of the embedding column with measured
+    // reconstruction error — the compression decision (4× smaller index)
+    // an ANN deployment makes, with the evidence attached. Per-dim
+    // min/max via a narrow posexplode into a map-side-combined 64-group
+    // aggregate; the two 64-element range arrays broadcast back as ONE
+    // row and the quantize/reconstruct/error loop runs inside per-row
+    // array lambdas — no explode on the error path. Everything is cast
+    // to double BEFORE any arithmetic so both engines run identical
+    // float64 ops; the only order-dependent float sums sit under the
+    // terminal round(6).
+    "q147_embedding_quantize" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dims = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("i", "vf")))
+        .select(col("i"), col("vf").cast("double").as("v"))
+        .groupBy(col("i"))
+        .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      val arrs = dims.agg(
+        expr("transform(array_sort(collect_list(struct(i, mn))), s -> s.mn)")
+          .as("mn_arr"),
+        expr("transform(array_sort(collect_list(struct(i, mx))), s -> s.mx)")
+          .as("mx_arr"))
+      emb.crossJoin(broadcast(arrs))
+        .withColumn("sse", expr(
+          """aggregate(transform(embedding, (x, i) ->
+               CASE WHEN element_at(mx_arr, i+1) = element_at(mn_arr, i+1)
+                 THEN 0D
+                 ELSE pow(CAST(x AS DOUBLE) - (element_at(mn_arr, i+1)
+                   + floor((CAST(x AS DOUBLE) - element_at(mn_arr, i+1)) * 255
+                       / (element_at(mx_arr, i+1) - element_at(mn_arr, i+1)) + 0.5)
+                     * (element_at(mx_arr, i+1) - element_at(mn_arr, i+1)) / 255), 2)
+               END), 0D, (a, b) -> a + b)"""))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(col("sse")), 6).as("total_sse"),
+          round(max(col("sse")), 6).as("max_sse"))
+        .orderBy(col("label"))
+    }),
+
+    // Last-touch attribution: every purchase credited to the user's most
+    // recent non-purchase event within a 30-minute window — computed in a
+    // SINGLE per-user window pass (last(..., ignoreNulls) carrying both
+    // the type and its timestamp), not a self-join; the as-of-join
+    // semantics via the ignore-nulls carry idiom. Per-user series are
+    // bounded; the rollup is a tiny grouped aggregate.
+    "q148_last_touch" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val nonP = col("event_type") =!= "purchase"
+      t(s, d, "events")
+        .withColumn("prev_type",
+          last(when(nonP, col("event_type")), ignoreNulls = true).over(w))
+        .withColumn("prev_ts",
+          last(when(nonP, col("ts")), ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .withColumn("attributed",
+          when(col("prev_ts").isNotNull &&
+              col("prev_ts") >= col("ts") - expr("INTERVAL 30 MINUTES"),
+            col("prev_type")).otherwise(lit("none")))
+        .groupBy(col("attributed"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("attributed"))
     })
   )
 
@@ -2345,6 +2436,35 @@ object SparkEntry {
     s"""$shinglesCte,
        sig AS (SELECT id, $sigCols FROM e GROUP BY id),
        mbands AS ($bandSelects)"""
+  }
+
+  /** q146 oracle: three unrolled PageRank rounds over the band candidate
+    * graph — the same floored integer-ppm arithmetic as
+    * [[graft.operators.Graph.pageRankPpm]] (r // deg contributions,
+    * (inflow·85) // 100 damping, 150000 // N teleport), so every rank is
+    * bit-identical. */
+  private def pageRankSql: String = {
+    val rounds = (1 to 3).map { k =>
+      s"""i$k AS (SELECT s.dst AS id, CAST(sum(r.r // s.deg) AS BIGINT) AS inflow
+            FROM symdeg s JOIN r${k - 1} r ON r.id = s.src GROUP BY 1),
+          r$k AS (SELECT d.doc_id AS id,
+              CAST(150000 // nn.n + coalesce(i.inflow, 0) * 85 // 100 AS BIGINT) AS r
+            FROM documents d CROSS JOIN nn LEFT JOIN i$k i ON i.id = d.doc_id)"""
+    }.mkString(",\n")
+    s"""WITH $minhashCtes,
+       cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM mbands a JOIN mbands b
+                  ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id),
+       sym AS (SELECT id_a AS src, id_b AS dst FROM cand
+               UNION SELECT id_b, id_a FROM cand),
+       deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+       symdeg AS (SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d USING (src)),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       r0 AS (SELECT doc_id AS id, CAST(1000000 // nn.n AS BIGINT) AS r
+              FROM documents CROSS JOIN nn),
+       $rounds
+       SELECT id AS doc_id, r AS rank_ppm FROM r3
+       ORDER BY rank_ppm DESC, doc_id LIMIT 20"""
   }
 
   private def minhashSql: String =
@@ -4316,6 +4436,41 @@ object SparkEntry {
          SELECT col_name, count(*) AS n_rows, count(v) AS n_nonnull,
            count(DISTINCT v) AS n_distinct,
            min(v) AS min_v, max(v) AS max_v
-         FROM l GROUP BY 1 ORDER BY 1"""
+         FROM l GROUP BY 1 ORDER BY 1""",
+
+    "q146_pagerank" -> pageRankSql,
+
+    // Cast to double BEFORE any arithmetic (float32 → float64 is exact),
+    // then the identical quantize/reconstruct float64 expression — only
+    // the per-vec/per-label sums are order-dependent and they sit under
+    // the terminal round(6).
+    "q147_embedding_quantize" ->
+      """WITH ex0 AS (SELECT vec_id, label, unnest(embedding) AS vf,
+             unnest(range(len(embedding))) AS i FROM embeddings),
+         ex AS (SELECT vec_id, label, CAST(vf AS DOUBLE) AS v, i FROM ex0),
+         dims AS (SELECT i, min(v) AS mn, max(v) AS mx FROM ex GROUP BY 1),
+         er AS (SELECT e.vec_id, e.label,
+             sum(CASE WHEN d.mx = d.mn THEN 0
+                 ELSE pow(e.v - (d.mn + floor((e.v - d.mn) * 255 / (d.mx - d.mn) + 0.5)
+                   * (d.mx - d.mn) / 255), 2) END) AS sse
+           FROM ex e JOIN dims d USING (i) GROUP BY 1, 2)
+         SELECT label, count(*) AS n_vecs, round(sum(sse), 6) AS total_sse,
+           round(max(sse), 6) AS max_sse
+         FROM er GROUP BY 1 ORDER BY label""",
+
+    "q148_last_touch" ->
+      """WITH p AS (SELECT user_id, ts, event_type, value,
+           last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+             IGNORE NULLS) OVER w AS prev_type,
+           last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+             IGNORE NULLS) OVER w AS prev_ts
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT CASE WHEN prev_ts IS NOT NULL
+             AND prev_ts >= ts - INTERVAL 30 MINUTE
+             THEN prev_type ELSE 'none' END AS attributed,
+           count(*) AS n_purchases, round(sum(value), 2) AS total_value
+         FROM p WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -282,4 +282,61 @@ object Graph {
     (allNodes.join(nbrMin, Seq("id"), "left")
       .select(col("id"), least(col("nmin"), col("id")).as("comp")), it)
   }
+
+  /** Fixed-iteration PageRank over an undirected graph, in exact integer
+    * parts-per-million arithmetic — the centrality ranking over a near-dup
+    * candidate graph that surfaces the "template hub" documents every
+    * cluster touches (a dup graph's highest-rank nodes are the boilerplate
+    * carriers worth human review before mass deletion).
+    *
+    * Shapes, per iteration: ONE shuffle join (current ranks ⋈ the static
+    * degree-annotated edge list, keyed by src) and ONE map-side-combined
+    * aggregate on dst — the canonical distributed PageRank round; nothing
+    * is ever collected. The degree-annotated symmetric edge list is derived
+    * once and materialized (localCheckpoint, unless `graft.materialize` is
+    * `false`) so the `iters` rounds and the degree computation re-read one
+    * frame instead of re-deriving the candidate pairs each round. A fixed
+    * small `iters` keeps the lineage depth bounded, so no per-round RDD
+    * re-wrapping is needed (contrast [[connectedComponents]], whose round
+    * count is data-dependent).
+    *
+    * All arithmetic is integral and floored (`div`), so ranks are
+    * bit-identical across engines, partitionings and merge orders:
+    *   r₀ = 1e6 div N;  contribution = rank div deg;
+    *   rₖ₊₁ = (1e6−1e4·dampingPct) div N·… — concretely
+    *   rₖ₊₁ = ((100−dampingPct)·10⁴) div N + (inflow · dampingPct) div 100.
+    * Dangling (degree-0) mass is dropped — the standard simplification —
+    * so ranks need not sum to 1e6. The single driver-side action is the
+    * node count (one scalar, same class as the IVF centroid collects).
+    *
+    * @return (id, rank_ppm) for every node in `nodes`
+    */
+  def pageRankPpm(nodes: DataFrame, idCol: String, edges: DataFrame,
+                  srcCol: String, dstCol: String, iters: Int = 3,
+                  dampingPct: Int = 85): DataFrame = {
+    val spark = nodes.sparkSession
+    val ids = nodes.select(col(idCol).cast("long").as("id"))
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst")).distinct()
+    val withDeg = {
+      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val j = sym.join(deg, "src")
+      if (spark.conf.get("graft.materialize", "true") != "false")
+        j.localCheckpoint() else j
+    }
+    val n = math.max(ids.count(), 1L)
+    val teleport = (100L - dampingPct) * 10000L / n
+    var ranks = ids.withColumn("rank_ppm", lit(1000000L / n))
+    for (_ <- 1 to iters) {
+      val inflow = withDeg.join(ranks, withDeg("src") === ranks("id"))
+        .select(col("dst"), expr("rank_ppm div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      ranks = ids.join(inflow, ids("id") === inflow("dst"), "left")
+        .select(col("id"), (lit(teleport) +
+          expr(s"coalesce(inflow, 0L) * $dampingPct div 100")).as("rank_ppm"))
+    }
+    ranks
+  }
 }

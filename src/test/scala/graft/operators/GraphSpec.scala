@@ -263,4 +263,57 @@ class GraphSpec extends AnyFunSuite {
     val m = comps(Seq(1L, 2L, 3L, 4L), Seq((1L, 2L), (1L, 3L), (1L, 4L)))
     assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
+
+  // ------------------------------------------------------------ pageRank
+
+  private def ranks(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                    iters: Int): Map[Long, Long] = {
+    val n = nodes.toDF("id")
+    val e = edges.toDF("src", "dst")
+    Graph.pageRankPpm(n, "id", e, "src", "dst", iters)
+      .as[(Long, Long)].collect().toMap
+  }
+
+  /** Driver-side reference: the identical floored integer-ppm recurrence,
+    * computed sequentially. */
+  private def prRef(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                    iters: Int): Map[Long, Long] = {
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (a, b) => a != b }.distinct
+    val deg = sym.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val nN = nodes.size.toLong
+    var r = nodes.map(_ -> 1000000L / nN).toMap
+    for (_ <- 1 to iters) {
+      val inflow = sym.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / deg(src) }.sum }
+      r = nodes.map(v =>
+        v -> (150000L / nN + inflow.getOrElse(v, 0L) * 85 / 100)).toMap
+    }
+    r
+  }
+
+  test("pageRank: one round on a path graph matches the hand computation") {
+    // 1-2-3 path + isolated 4. N=4: r0=250000 each, teleport=37500.
+    // Round 1 inflows: 1←125000, 2←500000, 3←125000, 4←0.
+    val m = ranks(Seq(1L, 2L, 3L, 4L), Seq((1L, 2L), (2L, 3L)), iters = 1)
+    assert(m == Map(1L -> 143750L, 2L -> 462500L, 3L -> 143750L, 4L -> 37500L))
+  }
+
+  test("pageRank: three rounds match the sequential integer reference") {
+    val nodes = (1L to 30L).toSeq
+    // Hub 1 touching 2-10, a 11-15 ring, random extra edges, dangling 21-30.
+    val edges = (2L to 10L).map(v => (1L, v)) ++
+      (11L to 14L).map(v => (v, v + 1)) :+ (15L, 11L) :+
+      (3L, 12L) :+ (7L, 20L) :+ (16L, 17L) :+ (18L, 19L)
+    assert(ranks(nodes, edges, iters = 3) == prRef(nodes, edges, iters = 3))
+  }
+
+  test("pageRank: edge direction is ignored and hubs outrank leaves") {
+    val nodes = (1L to 10L).toSeq
+    val star = (2L to 10L).map(v => (v, 1L)) // all edges INTO 1
+    val m = ranks(nodes, star, iters = 3)
+    assert(m(1L) > m(2L), "hub must outrank a leaf")
+    assert((2L to 10L).map(m).toSet.size == 1, "leaves are symmetric")
+    assert(m == prRef(nodes, star, iters = 3))
+  }
 }
