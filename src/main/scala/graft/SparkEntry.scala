@@ -2304,6 +2304,79 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_purchases"),
           round(sum(col("value")), 2).as("total_value"))
         .orderBy(col("attributed"))
+    }),
+
+    // Hourly resample + forward-fill — the gap-filling the reference's
+    // pandas `resample().ffill()` does, distributed: the time spine is
+    // GENERATED per type from its min/max hour (sequence+explode — spine
+    // size is types × hours, never corpus-sized), hourly aggregates join
+    // on, and empty hours carry the last observed (already-rounded) value
+    // via the ignore-nulls window. Per-type spine windows are bounded by
+    // the calendar, not the data.
+    "q149_resample_ffill" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val hourly = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_events"),
+          round(avg(col("value")), 6).as("avg_value"))
+      val spine = ev.groupBy(col("event_type"))
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("hour"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      spine.join(hourly, Seq("event_type", "hour"), "left")
+        .withColumn("is_gap", col("n_events").isNull.cast("int"))
+        .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+        .withColumn("filled_value",
+          last(col("avg_value"), ignoreNulls = true).over(w))
+        .select(col("event_type"), col("hour"), col("n_events"),
+          col("is_gap"), col("filled_value"))
+        .orderBy(col("event_type"), col("hour"))
+    }),
+
+    // Per-type daily trend via closed-form OLS over aggregate sums — the
+    // regression a monitoring dashboard fits, with no per-group sort or
+    // collect: day indexes and their squares sum EXACTLY as longs, the
+    // daily means are rounded once before entering the sums, and the one
+    // float division lands under the terminal round(6).
+    "q150_trend_slope" -> ((s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).as("day"))
+        .agg(round(avg(col("value")), 6).as("y"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("day")).as("sx"), sum(expr("day * day")).as("sxx"),
+          sum(col("y")).as("sy"), sum(col("day") * col("y")).as("sxy"))
+        .select(col("event_type"), col("n_days"),
+          round((col("n_days") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_days") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("slope_per_day"),
+          round(col("sy") / col("n_days"), 6).as("mean_daily_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Exact price quartiles per return flag WITHOUT a global sort:
+    // extendedprice is centi-scaled to integers (HALF_UP on the exact
+    // double, same floor(x*100+0.5) both engines), so the corpus
+    // collapses to its value histogram and Calibrate.nearestRankCuts
+    // reads the cuts off bounded-size cumulative counts. The histogram is
+    // bounded by the PRICE DOMAIN (part price × quantity grid), not the
+    // row count — at 100 TB it stays millions of rows while the fact
+    // table is billions.
+    "q151_price_quartiles" -> ((s, d) => {
+      val centi = t(s, d, "lineitem").select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100 + 0.5).as("cp"))
+      val cuts = Calibrate.nearestRankCuts(centi, Seq("l_returnflag"), "cp",
+        Seq(25, 50, 75))
+      centi.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_rows"))
+        .join(broadcast(cuts), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("n_rows"),
+          col("p25"), col("p50"), col("p75"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -4471,6 +4544,72 @@ object SparkEntry {
              AND prev_ts >= ts - INTERVAL 30 MINUTE
              THEN prev_type ELSE 'none' END AS attributed,
            count(*) AS n_purchases, round(sum(value), 2) AS total_value
-         FROM p WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1"""
+         FROM p WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""",
+
+    "q149_resample_ffill" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+             count(*) AS n_events, round(avg(value), 6) AS avg_value
+           FROM events GROUP BY 1, 2),
+         bounds AS (SELECT event_type, date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1 FROM events GROUP BY 1),
+         spine AS (SELECT event_type,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+           FROM bounds),
+         j AS (SELECT s.event_type, s.hour,
+             coalesce(h.n_events, 0) AS n_events,
+             CASE WHEN h.n_events IS NULL THEN 1 ELSE 0 END AS is_gap,
+             last_value(h.avg_value IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.hour
+               ROWS UNBOUNDED PRECEDING) AS filled_value
+           FROM spine s LEFT JOIN hourly h
+             ON h.event_type = s.event_type AND h.hour = s.hour)
+         SELECT event_type, hour, CAST(n_events AS BIGINT) AS n_events,
+           is_gap, filled_value
+         FROM j ORDER BY event_type, hour""",
+
+    // Day indexes and squares sum exactly as integers; daily means are
+    // rounded before entering the sums; one float division under the
+    // terminal round.
+    "q150_trend_slope" ->
+      """WITH daily AS (SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             round(avg(value), 6) AS y
+           FROM events GROUP BY 1, 2),
+         s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(day) AS BIGINT) AS sx,
+             CAST(sum(day * day) AS BIGINT) AS sxx,
+             sum(y) AS sy, sum(day * y) AS sxy
+           FROM daily GROUP BY 1)
+         SELECT event_type, n_days,
+           round((n_days * sxy - sx * sy) / (n_days * sxx - sx * sx), 6)
+             AS slope_per_day,
+           round(sy / n_days, 6) AS mean_daily_value
+         FROM s ORDER BY event_type""",
+
+    // Same nearest-rank cut definition as q142 over the centi-scaled
+    // price histogram (floor(x*100+0.5) = HALF_UP on the identical
+    // double in both engines).
+    "q151_price_quartiles" ->
+      """WITH v AS (SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cp
+           FROM lineitem),
+         h AS (SELECT l_returnflag, cp, count(*) AS n FROM v GROUP BY 1, 2),
+         c AS (SELECT l_returnflag, cp, n,
+             sum(n) OVER (PARTITION BY l_returnflag ORDER BY cp
+               ROWS UNBOUNDED PRECEDING) AS cum_le,
+             sum(n) OVER (PARTITION BY l_returnflag) AS ng
+           FROM h),
+         cuts AS (SELECT l_returnflag,
+             CAST(min(CASE WHEN cum_le >= (25 * ng + 99) // 100 THEN cp END)
+               AS BIGINT) AS p25,
+             CAST(min(CASE WHEN cum_le >= (50 * ng + 99) // 100 THEN cp END)
+               AS BIGINT) AS p50,
+             CAST(min(CASE WHEN cum_le >= (75 * ng + 99) // 100 THEN cp END)
+               AS BIGINT) AS p75
+           FROM c GROUP BY 1)
+         SELECT v.l_returnflag, count(*) AS n_rows,
+           min(cuts.p25) AS p25, min(cuts.p50) AS p50, min(cuts.p75) AS p75
+         FROM v JOIN cuts USING (l_returnflag)
+         GROUP BY 1 ORDER BY 1"""
   )
 }
