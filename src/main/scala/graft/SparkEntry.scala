@@ -2377,6 +2377,72 @@ object SparkEntry {
         .select(col("l_returnflag"), col("n_rows"),
           col("p25"), col("p50"), col("p75"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Split-leakage audit: near-dup candidate pairs whose members landed
+    // in DIFFERENT train/val/test splits — the eval-integrity number a
+    // random (non-cluster-aware) split hides. Pairs from the q135 band
+    // graph; membership from the same hash-stable assignSplit the
+    // pipeline ships, so the audit measures the REAL splits. Rolled up
+    // per unordered split pair with an is_leak flag.
+    "q152_split_leakage" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val banded = Dedup.minhashBandPostingsFromSignatures(
+        minhashSignatureFrame(docs), numHashes = 8, bands = 4)
+      val pairs = banded
+        .select(col("id").as("id_a"), col("band_idx"), col("band_val"))
+        .join(banded.select(col("id").as("id_b"), col("band_idx"), col("band_val")),
+          Seq("band_idx", "band_val"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      val split = operators.Splits.assignSplit(docs.select(col("doc_id")),
+        col("doc_id"), Seq(("train", 90), ("val", 95), ("test", 100)))
+      pairs
+        .join(split.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+        .join(split.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+        .select(least(col("sa"), col("sb")).as("split_lo"),
+          greatest(col("sa"), col("sb")).as("split_hi"))
+        .groupBy(col("split_lo"), col("split_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("is_leak", (col("split_lo") =!= col("split_hi")).cast("int"))
+        .orderBy(col("split_lo"), col("split_hi"))
+    }),
+
+    // Curriculum ordering: global quality quintile (histogram buckets —
+    // no corpus sort) descending, deterministically shuffled WITHIN each
+    // bucket by the md5 draw — the easy-first training order, emitted as
+    // the first 100 scheduled docs via TakeOrderedAndProject. The only
+    // window runs over the ≤1001-row value histogram.
+    "q153_curriculum_order" -> ((s, d) => {
+      val scored = t(s, d, "documents")
+        .select(col("doc_id"), TextOps.qualityScoreMilli(col("text")).as("q"))
+      Calibrate.histogramBuckets(scored, Seq.empty, "q", 5, "bucket")
+        .withColumn("draw", functions.Draws.md5Draw(col("doc_id"), 1000000000L))
+        .orderBy(col("bucket").desc, col("draw"), col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), col("bucket"), col("q"), col("draw"))
+    }),
+
+    // Returned-item revenue loss (TPC-H Q10 shape): the 'R' filter cuts
+    // the fact scan first, revenue pre-aggregates per order and then per
+    // customer BEFORE any dim join, nation broadcasts, and the top-20
+    // rides TakeOrderedAndProject on the rounded loss with a unique
+    // custkey tiebreak.
+    "q154_returned_revenue" -> ((s, d) => {
+      val rev = t(s, d, "lineitem").where(col("l_returnflag") === "R")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("lost"))
+      t(s, d, "orders").join(rev, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("lost")).as("lost"), count(lit(1)).as("n_orders"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("n_orders"), round(col("lost"), 2).as("lost_revenue"))
+        .orderBy(col("lost_revenue").desc, col("c_custkey"))
+        .limit(20)
     })
   )
 
@@ -4610,6 +4676,60 @@ object SparkEntry {
          SELECT v.l_returnflag, count(*) AS n_rows,
            min(cuts.p25) AS p25, min(cuts.p50) AS p50, min(cuts.p75) AS p75
          FROM v JOIN cuts USING (l_returnflag)
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+
+    // q135's band candidate pairs × q80's md5 split assignment, rolled
+    // up per unordered split pair.
+    "q152_split_leakage" ->
+      s"""WITH $minhashCtes,
+         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                  FROM mbands a JOIN mbands b
+                    ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id),
+         sp AS (SELECT doc_id,
+             CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 100 < 90 THEN 'train'
+                  WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM documents),
+         j AS (SELECT least(a.split, b.split) AS split_lo,
+                 greatest(a.split, b.split) AS split_hi
+               FROM cand JOIN sp a ON a.doc_id = cand.id_a
+                         JOIN sp b ON b.doc_id = cand.id_b)
+         SELECT split_lo, split_hi, count(*) AS n_pairs,
+           CASE WHEN split_lo <> split_hi THEN 1 ELSE 0 END AS is_leak
+         FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Global quality quintile from the value histogram (cum_lt = rows
+    // strictly below), md5-draw shuffle within bucket, top-100.
+    "q153_curriculum_order" ->
+      s"""WITH $qualityMilliCte,
+         h AS (SELECT quality_milli AS qv, count(*) AS n FROM q GROUP BY 1),
+         c AS (SELECT qv, n,
+             coalesce(sum(n) OVER (ORDER BY qv
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_lt,
+             sum(n) OVER () AS ng
+           FROM h),
+         b AS (SELECT qv,
+             CAST(least(4, (5 * cum_lt) // ng) AS BIGINT) AS bucket FROM c),
+         j AS (SELECT q.doc_id, b.bucket, q.quality_milli AS q,
+             CAST('0x' || substring(md5(CAST(q.doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) % 1000000000 AS draw
+           FROM q JOIN b ON b.qv = q.quality_milli)
+         SELECT doc_id, bucket, q, draw FROM j
+         ORDER BY bucket DESC, draw, doc_id LIMIT 100""",
+
+    "q154_returned_revenue" ->
+      """WITH rev AS (SELECT l_orderkey,
+             sum(l_extendedprice * (1.0 - l_discount)) AS lost
+           FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+         byc AS (SELECT o_custkey, sum(rev.lost) AS lost,
+             count(*) AS n_orders
+           FROM orders JOIN rev ON o_orderkey = rev.l_orderkey GROUP BY 1)
+         SELECT c_custkey, c_name, n_name, n_orders,
+           round(byc.lost, 2) AS lost_revenue
+         FROM byc JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY lost_revenue DESC, c_custkey LIMIT 20"""
   )
 }
