@@ -2443,6 +2443,75 @@ object SparkEntry {
           col("n_orders"), round(col("lost"), 2).as("lost_revenue"))
         .orderBy(col("lost_revenue").desc, col("c_custkey"))
         .limit(20)
+    }),
+
+    // Join-key skew profiler — the reading an engineer takes BEFORE
+    // choosing salting/AQE-skew settings: per-key row counts collapse to
+    // a count histogram (nearestRankCuts' bounded shape), plus the exact
+    // share of rows concentrated above the P99 key. One corpus scan
+    // builds the per-key frame (materialized); everything downstream is
+    // histogram- or single-row-sized.
+    "q155_key_skew" -> ((s, d) => {
+      val perKey = mat(t(s, d, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n")))
+      val cuts = Calibrate.nearestRankCuts(perKey, Seq.empty, "n",
+        Seq(50, 90, 99))
+      val tail = perKey.crossJoin(broadcast(cuts))
+        .where(col("n") >= col("p99"))
+        .agg(sum(col("n")).as("tail_rows"))
+      perKey.agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+          max(col("n")).as("max_n"))
+        .crossJoin(broadcast(cuts)).crossJoin(broadcast(tail))
+        .select(col("n_keys"), col("n_rows"), col("max_n"),
+          col("p50"), col("p90"), col("p99"),
+          expr("tail_rows * 1000000 div n_rows").as("tail_share_ppm"))
+    }),
+
+    // Time-to-convert distribution: seconds from a user's first event to
+    // their first purchase, quartiles off the seconds histogram — one
+    // conditional-min aggregate over the corpus (no window, no
+    // self-join), then histogram-sized work. Epoch math goes through the
+    // NTZ-safe TimeOps helpers; the division runs on the DIFFERENCE so
+    // both engines floor identically.
+    "q156_time_to_convert" -> ((s, d) => {
+      val per = t(s, d, "events").groupBy(col("user_id"))
+        .agg(min(TimeOps.epochMicros(col("ts"))).as("first_us"),
+          min(when(col("event_type") === "purchase",
+            TimeOps.epochMicros(col("ts")))).as("first_p_us"))
+        .where(col("first_p_us").isNotNull)
+        .select(expr("(first_p_us - first_us) div 1000000").as("tt_sec"))
+      val cuts = Calibrate.nearestRankCuts(per, Seq.empty, "tt_sec",
+        Seq(25, 50, 75, 90))
+      per.agg(count(lit(1)).as("n_converting"), max(col("tt_sec")).as("max_sec"))
+        .crossJoin(broadcast(cuts))
+        .select(col("n_converting"), col("p25"), col("p50"), col("p75"),
+          col("p90"), col("max_sec"))
+    }),
+
+    // Dedup-method agreement: the MinHash band candidate pairs vs the
+    // SimHash Hamming-verified pairs over the same corpus, bucketed into
+    // both/minhash_only/simhash_only — the methodology audit run before
+    // trusting either family alone. Full-outer on the pair key; both
+    // sides are the banded (never all-pairs) cores.
+    "q157_method_agreement" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val banded = Dedup.minhashBandPostingsFromSignatures(
+        minhashSignatureFrame(docs), numHashes = 8, bands = 4)
+      val m = banded
+        .select(col("id").as("id_a"), col("band_idx"), col("band_val"))
+        .join(banded.select(col("id").as("id_b"), col("band_idx"), col("band_val")),
+          Seq("band_idx", "band_val"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+        .withColumn("in_m", lit(1))
+      val sh = Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 3)
+        .select(col("id_a"), col("id_b")).withColumn("in_s", lit(1))
+      m.join(sh, Seq("id_a", "id_b"), "full_outer")
+        .select(when(col("in_m").isNotNull && col("in_s").isNotNull, "both")
+          .when(col("in_m").isNotNull, "minhash_only")
+          .otherwise("simhash_only").as("method"))
+        .groupBy(col("method")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("method"))
     })
   )
 
@@ -4730,6 +4799,81 @@ object SparkEntry {
            round(byc.lost, 2) AS lost_revenue
          FROM byc JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
-         ORDER BY lost_revenue DESC, c_custkey LIMIT 20"""
+         ORDER BY lost_revenue DESC, c_custkey LIMIT 20""",
+
+    "q155_key_skew" ->
+      """WITH pk AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+         h AS (SELECT n AS v, count(*) AS cnt FROM pk GROUP BY 1),
+         c AS (SELECT v, cnt,
+             sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_le,
+             sum(cnt) OVER () AS ng
+           FROM h),
+         cuts AS (SELECT
+             CAST(min(CASE WHEN cum_le >= (50 * ng + 99) // 100 THEN v END)
+               AS BIGINT) AS p50,
+             CAST(min(CASE WHEN cum_le >= (90 * ng + 99) // 100 THEN v END)
+               AS BIGINT) AS p90,
+             CAST(min(CASE WHEN cum_le >= (99 * ng + 99) // 100 THEN v END)
+               AS BIGINT) AS p99
+           FROM c),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(max(n) AS BIGINT) AS max_n FROM pk),
+         tl AS (SELECT CAST(sum(pk.n) AS BIGINT) AS tail_rows
+                FROM pk, cuts WHERE pk.n >= cuts.p99)
+         SELECT n_keys, n_rows, max_n, p50, p90, p99,
+           CAST(tail_rows * 1000000 // n_rows AS BIGINT) AS tail_share_ppm
+         FROM st, cuts, tl""",
+
+    // The division runs on the µs DIFFERENCE (floor once), mirroring the
+    // engine exactly.
+    "q156_time_to_convert" ->
+      """WITH per AS (SELECT user_id,
+             (min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               - min(epoch_us(ts))) // 1000000 AS tt_sec
+           FROM events GROUP BY 1
+           HAVING min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+             IS NOT NULL),
+         h AS (SELECT tt_sec AS v, count(*) AS cnt FROM per GROUP BY 1),
+         c AS (SELECT v, cnt,
+             sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_le,
+             sum(cnt) OVER () AS ng
+           FROM h),
+         cuts AS (SELECT
+             CAST(min(CASE WHEN cum_le >= (25 * ng + 99) // 100 THEN v END)
+               AS BIGINT) AS p25,
+             CAST(min(CASE WHEN cum_le >= (50 * ng + 99) // 100 THEN v END)
+               AS BIGINT) AS p50,
+             CAST(min(CASE WHEN cum_le >= (75 * ng + 99) // 100 THEN v END)
+               AS BIGINT) AS p75,
+             CAST(min(CASE WHEN cum_le >= (90 * ng + 99) // 100 THEN v END)
+               AS BIGINT) AS p90
+           FROM c),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n_converting,
+             CAST(max(tt_sec) AS BIGINT) AS max_sec FROM per)
+         SELECT n_converting, p25, p50, p75, p90, max_sec FROM st, cuts""",
+
+    // The MinHash band-candidate pair set FULL JOINed to the SimHash
+    // Hamming-verified pair set, bucketed by membership.
+    "q157_method_agreement" ->
+      s"""WITH $minhashCtes, $simhashCtes,
+         mc AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM mbands a JOIN mbands b
+                  ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id),
+         scand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                   FROM bands a JOIN bands b
+                     ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id),
+         sc AS (SELECT c.id_a, c.id_b
+                FROM scand c JOIN sim sa ON sa.id = c.id_a
+                             JOIN sim sb ON sb.id = c.id_b
+                WHERE bit_count(xor(sa.sim, sb.sim)) <= 3),
+         j AS (SELECT CASE
+                 WHEN m.id_a IS NOT NULL AND s.id_a IS NOT NULL THEN 'both'
+                 WHEN m.id_a IS NOT NULL THEN 'minhash_only'
+                 ELSE 'simhash_only' END AS method
+               FROM mc m FULL JOIN sc s
+                 ON m.id_a = s.id_a AND m.id_b = s.id_b)
+         SELECT method, count(*) AS n_pairs FROM j
+         GROUP BY 1 ORDER BY method"""
   )
 }
