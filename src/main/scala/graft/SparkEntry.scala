@@ -2512,6 +2512,87 @@ object SparkEntry {
           .otherwise("simhash_only").as("method"))
         .groupBy(col("method")).agg(count(lit(1)).as("n_pairs"))
         .orderBy(col("method"))
+    }),
+
+    // Content-defined chunking (FastCDC/storage-dedup shape) at token
+    // grain: a boundary lands wherever the trigram ending at a position
+    // draws 0 mod 16 (the md5 draw — content-defined, so an insertion
+    // only reshapes its OWN chunk), chunk ids are the running boundary
+    // count, and chunk text hashes dedup across the corpus. Every window
+    // is per-doc (scan-local); chunk counting is map-side combined. The
+    // single-row report is the storage planner's dedup forecast.
+    "q158_cdc_chunk_dedup" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val wPrev = w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val tk = t(s, d, "documents").select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+      val ch = tk
+        .withColumn("t1", lag(col("tok"), 1).over(w))
+        .withColumn("t2", lag(col("tok"), 2).over(w))
+        .withColumn("is_b", when(col("pos") >= 2 &&
+          functions.Draws.md5Draw(
+            concat_ws(" ", col("t2"), col("t1"), col("tok")), 16L) === 0,
+          1L).otherwise(0L))
+        .withColumn("chunk_id", coalesce(sum(col("is_b")).over(wPrev), lit(0L)))
+      val chunks = mat(ch.groupBy(col("doc_id"), col("chunk_id"))
+        .agg(md5(expr(
+          "array_join(transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok), ' ')"))
+          .as("ch_hash"),
+          count(lit(1)).as("n_toks")))
+      val hottest = chunks.groupBy(col("ch_hash"))
+        .agg(count(lit(1)).as("cnt")).agg(max(col("cnt")).as("max_chunk_copies"))
+      chunks.agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("ch_hash")).as("n_distinct"),
+          expr("count(distinct ch_hash) * 1000000 div count(*)").as("distinct_ppm"),
+          expr("sum(n_toks) * 1000 div count(*)").as("avg_chunk_toks_milli"))
+        .crossJoin(broadcast(hottest))
+    }),
+
+    // Join-cardinality estimation from the key histogram — the CBO read
+    // that predicts the q64-family self-join's output size EXACTLY
+    // (Σ n²) and names the keys that dominate it, before the join runs.
+    // Integer math end-to-end; one corpus scan.
+    "q159_join_size_estimate" -> ((s, d) => {
+      val pk = mat(t(s, d, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n")))
+      val tot = pk.agg(sum(expr("n * n")).as("total_pairs"))
+      pk.withColumn("contrib", expr("n * n"))
+        .crossJoin(broadcast(tot))
+        .select(col("user_id"), col("n"), col("contrib"), col("total_pairs"),
+          expr("contrib * 1000000 div total_pairs").as("share_ppm"))
+        .orderBy(col("contrib").desc, col("user_id"))
+        .limit(5)
+    }),
+
+    // Argmax join: each customer's LATEST order and that order's biggest
+    // line item — two max_by(struct) aggregates (deterministic composite
+    // tiebreaks) joined on the selected key: the top-1-per-group pattern
+    // with NO window sort anywhere, the shape that survives a hot
+    // customer at any scale. The oracle reproduces it with rank windows —
+    // same deterministic result, independent formulation.
+    "q160_argmax_join" -> ((s, d) => {
+      val lastO = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(max_by(
+          struct(col("o_orderkey"), col("o_orderdate"), col("o_totalprice")),
+          struct(col("o_orderdate"), col("o_orderkey"))).as("o"))
+        .select(col("o_custkey"), col("o.o_orderkey").as("o_orderkey"),
+          col("o.o_orderdate").as("o_orderdate"),
+          col("o.o_totalprice").as("o_totalprice"))
+      val topLine = t(s, d, "lineitem").groupBy(col("l_orderkey"))
+        .agg(max_by(struct(col("l_extendedprice"), col("l_linenumber")),
+          struct(col("l_extendedprice"), col("l_linenumber"))).as("l"))
+        .select(col("l_orderkey"),
+          col("l.l_extendedprice").as("top_line_price"),
+          col("l.l_linenumber").as("top_line_no"))
+      lastO.join(topLine, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), round(col("o_totalprice"), 2).as("total_price"),
+          round(col("top_line_price"), 2).as("top_line_price"),
+          col("top_line_no"))
+        .orderBy(col("c_custkey"))
+        .limit(50)
     })
   )
 
@@ -4874,6 +4955,69 @@ object SparkEntry {
                FROM mc m FULL JOIN sc s
                  ON m.id_a = s.id_a AND m.id_b = s.id_b)
          SELECT method, count(*) AS n_pairs FROM j
-         GROUP BY 1 ORDER BY method"""
+         GROUP BY 1 ORDER BY method""",
+
+    // Boundary trigrams use the same md5-draw idiom as the engine
+    // (content-defined mod-16), chunk ids are the strictly-preceding
+    // boundary count, chunk hashes are md5 of the position-ordered text.
+    "q158_cdc_chunk_dedup" ->
+      """WITH tk AS (SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\s+')) AS tok,
+             unnest(range(len(string_split_regex(trim(text), '\s+')))) AS pos
+           FROM documents),
+         g AS (SELECT doc_id, pos, tok,
+             lag(tok, 1) OVER w AS t1, lag(tok, 2) OVER w AS t2
+           FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         b AS (SELECT doc_id, pos, tok,
+             CASE WHEN pos >= 2 AND CAST('0x' || substring(
+                 md5(t2 || ' ' || t1 || ' ' || tok), 1, 8) AS BIGINT) % 16 = 0
+               THEN 1 ELSE 0 END AS is_b
+           FROM g),
+         ch AS (SELECT doc_id, pos, tok,
+             coalesce(sum(is_b) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+           FROM b),
+         chunks AS (SELECT doc_id, chunk_id,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS ch_hash,
+             count(*) AS n_toks
+           FROM ch GROUP BY 1, 2),
+         mc AS (SELECT CAST(max(cnt) AS BIGINT) AS max_chunk_copies
+                FROM (SELECT ch_hash, count(*) AS cnt FROM chunks GROUP BY 1))
+         SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT ch_hash) AS BIGINT) AS n_distinct,
+           CAST(count(DISTINCT ch_hash) * 1000000 // count(*) AS BIGINT)
+             AS distinct_ppm,
+           CAST(sum(n_toks) * 1000 // count(*) AS BIGINT)
+             AS avg_chunk_toks_milli,
+           min(mc.max_chunk_copies) AS max_chunk_copies
+         FROM chunks, mc""",
+
+    "q159_join_size_estimate" ->
+      """WITH pk AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+         tot AS (SELECT CAST(sum(n * n) AS BIGINT) AS total_pairs FROM pk)
+         SELECT user_id, CAST(n AS BIGINT) AS n,
+           CAST(n * n AS BIGINT) AS contrib, total_pairs,
+           CAST(n * n * 1000000 // total_pairs AS BIGINT) AS share_ppm
+         FROM pk, tot ORDER BY contrib DESC, user_id LIMIT 5""",
+
+    // Independent formulation: rank windows with the same composite
+    // tiebreaks select the identical rows the engine's max_by picks.
+    "q160_argmax_join" ->
+      """WITH lo AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+           FROM orders),
+         sel AS (SELECT * FROM lo WHERE rn = 1),
+         tl AS (SELECT l_orderkey, l_extendedprice, l_linenumber,
+             row_number() OVER (PARTITION BY l_orderkey
+               ORDER BY l_extendedprice DESC, l_linenumber DESC) AS rn
+           FROM lineitem),
+         seltl AS (SELECT * FROM tl WHERE rn = 1)
+         SELECT sel.o_custkey AS c_custkey, sel.o_orderkey, sel.o_orderdate,
+           round(sel.o_totalprice, 2) AS total_price,
+           round(seltl.l_extendedprice, 2) AS top_line_price,
+           seltl.l_linenumber AS top_line_no
+         FROM sel JOIN seltl ON sel.o_orderkey = seltl.l_orderkey
+         ORDER BY c_custkey LIMIT 50"""
   )
 }
