@@ -2593,6 +2593,62 @@ object SparkEntry {
           col("top_line_no"))
         .orderBy(col("c_custkey"))
         .limit(50)
+    }),
+
+    // Rolling 7-day active users, EXACTLY, via the offset-explode trick:
+    // the (day, user) distinct pairs expand 7× onto the days they cover
+    // and the rolling distinct becomes a plain groupBy-countDistinct —
+    // an EQUI-join shape (no range join, no repeated window scans), the
+    // standard way sliding-window distinct survives scale. The spine
+    // bounds clip partial windows at the corpus edge.
+    "q161_rolling_wau" -> ((s, d) => {
+      val pairs = t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val bounds = pairs.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      pairs
+        .select(col("user_id"), col("day"),
+          explode(expr("sequence(0, 6)")).as("o"))
+        .select(col("user_id"), expr("date_add(day, o)").as("d"))
+        .crossJoin(broadcast(bounds))
+        .where(col("d") >= col("d0") && col("d") <= col("d1"))
+        .groupBy(col("d"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .orderBy(col("d"))
+    }),
+
+    // Shipping-priority mix per ship month (TPC-H Q12 shape): the fact
+    // join keyed by orderkey with the priority classification folded into
+    // TWO conditional counts (one pass, no pivot), plus the exact
+    // integer-milli mean order→ship delay.
+    "q162_ship_priority_mix" -> ((s, d) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("n_high"),
+          sum(when(hi, 0L).otherwise(1L)).as("n_low"),
+          expr("sum(datediff(to_date(l_shipdate), to_date(o_orderdate))) " +
+            "* 1000 div count(*)").as("delay_days_milli"))
+        .orderBy(col("ship_month"))
+    }),
+
+    // Sequential pattern mining (lite): the corpus's most common 3-event
+    // behavior motifs — per-user ordered trigrams of event types via two
+    // scan-local lags, then a map-side-combined global count with
+    // distinct-user reach; top-20 rides TakeOrderedAndProject.
+    "q163_event_trigrams" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("t1", lag(col("event_type"), 1).over(w))
+        .withColumn("t2", lag(col("event_type"), 2).over(w))
+        .where(col("t2").isNotNull)
+        .select(col("user_id"),
+          concat_ws(">", col("t2"), col("t1"), col("event_type")).as("motif"))
+        .groupBy(col("motif"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("n").desc, col("motif"))
+        .limit(20)
     })
   )
 
@@ -5018,6 +5074,39 @@ object SparkEntry {
            round(seltl.l_extendedprice, 2) AS top_line_price,
            seltl.l_linenumber AS top_line_no
          FROM sel JOIN seltl ON sel.o_orderkey = seltl.l_orderkey
-         ORDER BY c_custkey LIMIT 50"""
+         ORDER BY c_custkey LIMIT 50""",
+
+    "q161_rolling_wau" ->
+      """WITH pairs AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+           FROM events),
+         bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM pairs),
+         ex AS (SELECT p.user_id, p.day + CAST(o.o AS INTEGER) AS d
+                FROM pairs p, (SELECT unnest(range(0, 7)) AS o) o)
+         SELECT d, count(DISTINCT user_id) AS wau
+         FROM ex, bounds WHERE d >= d0 AND d <= d1
+         GROUP BY d ORDER BY d""",
+
+    "q162_ship_priority_mix" ->
+      """SELECT date_trunc('month', l_shipdate) AS ship_month,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 0 ELSE 1 END) AS BIGINT) AS n_low,
+           CAST(sum(date_diff('day', CAST(o_orderdate AS DATE),
+               CAST(l_shipdate AS DATE))) * 1000 // count(*) AS BIGINT)
+             AS delay_days_milli
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY ship_month""",
+
+    "q163_event_trigrams" ->
+      """WITH g AS (SELECT user_id, event_type,
+             lag(event_type, 1) OVER w AS t1,
+             lag(event_type, 2) OVER w AS t2
+           FROM events WINDOW w AS (PARTITION BY user_id
+             ORDER BY ts, event_id)),
+         m AS (SELECT user_id, t2 || '>' || t1 || '>' || event_type AS motif
+               FROM g WHERE t2 IS NOT NULL)
+         SELECT motif, count(*) AS n, count(DISTINCT user_id) AS n_users
+         FROM m GROUP BY 1 ORDER BY n DESC, motif LIMIT 20"""
   )
 }
