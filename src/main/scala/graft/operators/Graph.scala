@@ -302,18 +302,25 @@ object Graph {
     *
     * All arithmetic is integral and floored (`div`), so ranks are
     * bit-identical across engines, partitionings and merge orders:
-    *   r₀ = 1e6 div N;  contribution = rank div deg;
-    *   rₖ₊₁ = (1e6−1e4·dampingPct) div N·… — concretely
-    *   rₖ₊₁ = ((100−dampingPct)·10⁴) div N + (inflow · dampingPct) div 100.
+    *   r₀ = scale div N;  contribution = rank div deg;
+    *   rₖ₊₁ = (scale·(100−dampingPct) div 100) div N
+    *           + (inflow · dampingPct) div 100.
     * Dangling (degree-0) mass is dropped — the standard simplification —
-    * so ranks need not sum to 1e6. The single driver-side action is the
-    * node count (one scalar, same class as the IVF centroid collects).
+    * so ranks need not sum to `scale`. The single driver-side action is
+    * the node count (one scalar, same class as the IVF centroid collects).
     *
-    * @return (id, rank_ppm) for every node in `nodes`
+    * `scale` is the total integer mass and sets the RESOLUTION: per-node
+    * quantities are ~scale/N, and floored division eats ~one unit per
+    * round, so keep scale ≳ 10⁴·N or ranks quantize to zero (measured: at
+    * N = 250 000 the 10⁶ default underflows by round 2 — LargeScaleSpec
+    * runs 10¹²). The 10⁶ default stays for corpus-sized dup graphs where
+    * the ppm reading is the convenient one.
+    *
+    * @return (id, rank_ppm) for every node in `nodes`, in parts-per-`scale`
     */
   def pageRankPpm(nodes: DataFrame, idCol: String, edges: DataFrame,
                   srcCol: String, dstCol: String, iters: Int = 3,
-                  dampingPct: Int = 85): DataFrame = {
+                  dampingPct: Int = 85, scale: Long = 1000000L): DataFrame = {
     val spark = nodes.sparkSession
     val ids = nodes.select(col(idCol).cast("long").as("id"))
     val e0 = edges.select(col(srcCol).cast("long").as("src"),
@@ -327,8 +334,8 @@ object Graph {
         j.localCheckpoint() else j
     }
     val n = math.max(ids.count(), 1L)
-    val teleport = (100L - dampingPct) * 10000L / n
-    var ranks = ids.withColumn("rank_ppm", lit(1000000L / n))
+    val teleport = scale * (100L - dampingPct) / 100L / n
+    var ranks = ids.withColumn("rank_ppm", lit(scale / n))
     for (_ <- 1 to iters) {
       val inflow = withDeg.join(ranks, withDeg("src") === ranks("id"))
         .select(col("dst"), expr("rank_ppm div deg").as("c"))

@@ -393,4 +393,48 @@ class LargeScaleSpec extends AnyFunSuite {
     assert(ratio < 10.0,
       f"4× data cost $ratio%.1f× wall — super-linear; the hot n-gram pinned the join")
   }
+
+  /** Mega-hub graph: node 0 touches n/10 leaves (the giant duplicate
+    * cluster's root shape) plus a chain for diameter. The inflow aggregate
+    * keyed by dst must map-side-combine the hub's n/10 contributions —
+    * any shape that shuffles one row per hub edge to a single reducer
+    * degrades super-linearly here. */
+  /** Mass scale for the big runs: per-node quantities stay ~10⁶ at n=10⁶,
+    * far above the flooring loss (the 10⁶ ppm default would quantize to
+    * zero here — the documented resolution contract). */
+  private val PrMass = 1000000000000L
+
+  private def pageRankPipeline(n: Long): (Long, Long) = {
+    import spark.implicits._
+    val nodes = spark.range(n).select(col("id"))
+    val star = spark.range(n).where(col("id") % 10 === 1)
+      .select(lit(0L).as("src"), col("id").as("dst"))
+    val chain = spark.range(n - 1)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val ranks = operators.Graph.pageRankPpm(nodes, "id",
+      star.union(chain), "src", "dst", iters = 3, scale = PrMass)
+    val row = ranks.agg(sum(col("rank_ppm")), max(col("rank_ppm")))
+      .as[(Long, Long)].head()
+    row
+  }
+
+  test("pageRank on a mega-hub graph scales ~linearly", LargeScale) {
+    val small = 250000L
+    val large = 1000000L
+    pageRankPipeline(10000L)
+    val ((_, maxSmall), tSmall) = timed(pageRankPipeline(small))
+    val ((_, maxLarge), tLarge) = timed(pageRankPipeline(large))
+    // The hub must dominate: it absorbs ~n/10 contributions each round, so
+    // its rank stays orders above the per-node share scale/n.
+    assert(maxSmall > PrMass / small * 50,
+      s"hub rank $maxSmall did not dominate at n=$small")
+    assert(maxLarge > PrMass / large * 50,
+      s"hub rank $maxLarge did not dominate at n=$large")
+    val ratio = tLarge / tSmall
+    info(f"pageRank: $small%,d nodes in $tSmall%.1f s; $large%,d nodes in " +
+      f"$tLarge%.1f s (ratio $ratio%.1f× for 4× nodes)")
+    assert(ratio < 10.0,
+      f"4× nodes cost $ratio%.1f× wall — super-linear; the hub inflow is " +
+        "concentrating instead of map-side combining")
+  }
 }

@@ -173,6 +173,32 @@ class ScaleSpec extends AnyFunSuite {
       s"expected a Partial-mode WindowGroupLimit before the exchange:\n$plan")
   }
 
+  test("argmax join plans aggregates only — no window sort anywhere") {
+    // q160's contract: top-1-per-group via max_by(struct) compiles to hash
+    // aggregates with map-side partials; a WindowExec in this plan would
+    // mean a per-group sort task is back (the shape a hot customer kills).
+    val plan = SparkEntry.queries("q160_argmax_join")(spark, SparkTestSession.sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"argmax join must not plan a window:\n$plan")
+    assert(plan.contains("max_by"), s"expected max_by aggregates:\n$plan")
+  }
+
+  test("rolling WAU expands to an equi-keyed aggregate — no range join") {
+    // q161's contract: the 7-day sliding distinct is an offset-explode +
+    // groupBy, never a BroadcastNestedLoopJoin/range join over the spine.
+    val plan = SparkEntry.queries("q161_rolling_wau")(spark, SparkTestSession.sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"rolling WAU must not plan a cartesian product:\n$plan")
+    // The only nested-loop allowed is the broadcast of the 1-row bounds
+    // frame (the sanctioned crossJoin(broadcast(...)) totals pattern).
+    assert(!plan.contains("NestedLoop") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"rolling WAU must not plan a non-broadcast nested-loop join:\n$plan")
+    assert(plan.contains("Generate"), s"expected the offset explode:\n$plan")
+  }
+
   test("diversified top-k caps each group and matches the naive reference") {
     val li = Tables.load(spark, SparkTestSession.sf, "lineitem")
     val part = Seq(col("l_returnflag"))
