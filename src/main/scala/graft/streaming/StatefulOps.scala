@@ -69,4 +69,49 @@ object StatefulOps {
           Iterator(EwmaUpdate(symbol, s.lastTs, s.ewma, s.n))
       }
   }
+
+  case class GridEvent(key: String, hour: Long, value: Double)
+  case class FfillState(lastHour: Long, lastValue: Double)
+  case class GridRow(key: String, hour: Long, value: Double, isGap: Boolean)
+
+  /** Streaming counterpart of q149's resample + forward-fill: per key,
+    * every grid hour between the last observed point and each new one is
+    * emitted as a carried gap row, so a live consumer always sees a DENSE
+    * hourly grid (the chart-continuity contract the reference's pandas
+    * `resample().ffill()` provides offline).
+    *
+    * State per key is one (lastHour, lastValue) pair — O(1), checkpointed
+    * incrementally; the rows a batch emits are bounded by the hours that
+    * actually elapsed. Within-batch order is restored by an in-memory
+    * sort (bounded by the batch's per-key row count); a duplicate grid
+    * point is last-write-wins re-emitted; a late row BEHIND the grid
+    * clock is dropped — the batch operator (q149) does the full
+    * out-of-order merge for free, and reconciling a replay is its job.
+    */
+  def gridFfill(events: Dataset[GridEvent]): Dataset[GridRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[FfillState, GridRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, batch: Iterator[GridEvent], state: GroupState[FfillState]) =>
+          val sorted = batch.toVector.sortBy(e => (e.hour, e.value))
+          val out = Vector.newBuilder[GridRow]
+          var s = state.getOption.getOrElse(FfillState(Long.MinValue, Double.NaN))
+          sorted.foreach { e =>
+            if (s.lastHour == Long.MinValue || e.hour == s.lastHour) {
+              out += GridRow(key, e.hour, e.value, isGap = false)
+              s = FfillState(e.hour, e.value)
+            } else if (e.hour > s.lastHour) {
+              var h = s.lastHour + 1
+              while (h < e.hour) {
+                out += GridRow(key, h, s.lastValue, isGap = true); h += 1
+              }
+              out += GridRow(key, e.hour, e.value, isGap = false)
+              s = FfillState(e.hour, e.value)
+            } // else: behind the grid clock — dropped (see scaladoc)
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
 }

@@ -63,6 +63,35 @@ class StatefulAndSaltingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming gridFfill emits dense hourly grids across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StatefulOps.{GridEvent, GridRow}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[GridEvent]
+    val out = StatefulOps.gridFfill(mem.toDS())
+    val q = out.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ffill_out").start()
+    try {
+      // batch 1: hours 1 and 4 observed (out of order) → 2 and 3 carried
+      mem.addData(GridEvent("A", 4L, 40.0), GridEvent("A", 1L, 10.0),
+        GridEvent("B", 7L, 7.0))
+      q.processAllAvailable()
+      // batch 2: hour 6 → 5 carried from 40.0; hour 3 is LATE → dropped
+      mem.addData(GridEvent("A", 6L, 60.0), GridEvent("A", 3L, 99.0))
+      q.processAllAvailable()
+      val rows = spark.sql("select * from ffill_out").as[GridRow]
+        .collect().toSet
+      assert(rows == Set(
+        GridRow("A", 1L, 10.0, isGap = false),
+        GridRow("A", 2L, 10.0, isGap = true),
+        GridRow("A", 3L, 10.0, isGap = true),
+        GridRow("A", 4L, 40.0, isGap = false),
+        GridRow("A", 5L, 40.0, isGap = true),
+        GridRow("A", 6L, 60.0, isGap = false),
+        GridRow("B", 7L, 7.0, isGap = false)))
+    } finally q.stop()
+  }
+
   test("salted aggregation matches direct groupBy on skewed keys") {
     // 90% of rows share one hot key.
     val df = spark.range(10000)
