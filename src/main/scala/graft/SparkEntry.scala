@@ -2649,7 +2649,51 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("n").desc, col("motif"))
         .limit(20)
-    })
+    }),
+
+    // Revenue-change forecast (TPC-H Q6 shape): the pure scan-aggregate —
+    // every predicate (year, discount band, quantity cap) pushes into the
+    // parquet scan, no join, one map-side-combined global sum. The
+    // double literals compare against the same stored doubles in both
+    // engines, so the filter set is identical.
+    "q164_forecast_revenue" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .where(year(col("l_shipdate")) === 1996 &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice") * col("l_discount")), 2)
+            .as("revenue_increase"))),
+
+    // Customer order-count distribution (TPC-H Q13 shape): the left join
+    // keeps zero-order customers in the histogram — count(o_orderkey)
+    // counts matches only — then the doc-count frame collapses to the
+    // distribution; both aggregates map-side combine.
+    "q165_customer_distribution" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+
+    // Promotion revenue share per ship month (TPC-H Q14 shape): the part
+    // dim broadcasts into the fact pass, the promo flag folds into a
+    // conditional sum — one join, one aggregate, one terminal round on
+    // the share ratio.
+    "q166_promo_share" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+        .agg(round(
+            sum(when(col("p_type") === "PROMO",
+              col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .otherwise(lit(0.0))) /
+            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6)
+          .as("promo_share"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("total_revenue"))
+        .orderBy(col("ship_month")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -5107,6 +5151,31 @@ object SparkEntry {
          m AS (SELECT user_id, t2 || '>' || t1 || '>' || event_type AS motif
                FROM g WHERE t2 IS NOT NULL)
          SELECT motif, count(*) AS n, count(DISTINCT user_id) AS n_users
-         FROM m GROUP BY 1 ORDER BY n DESC, motif LIMIT 20"""
+         FROM m GROUP BY 1 ORDER BY n DESC, motif LIMIT 20""",
+
+    "q164_forecast_revenue" ->
+      """SELECT count(*) AS n_lines,
+           round(sum(l_extendedprice * l_discount), 2) AS revenue_increase
+         FROM lineitem
+         WHERE year(l_shipdate) = 1996
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 24""",
+
+    "q165_customer_distribution" ->
+      """WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY 1)
+         SELECT c_count, count(*) AS custdist FROM co
+         GROUP BY 1 ORDER BY custdist DESC, c_count DESC""",
+
+    "q166_promo_share" ->
+      """SELECT date_trunc('month', l_shipdate) AS ship_month,
+           round(sum(CASE WHEN p_type = 'PROMO'
+               THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1.0 - l_discount)), 6) AS promo_share,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+             AS total_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY ship_month"""
   )
 }
