@@ -2693,7 +2693,78 @@ object SparkEntry {
           .as("promo_share"),
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
             .as("total_revenue"))
-        .orderBy(col("ship_month")))
+        .orderBy(col("ship_month"))),
+
+    // Dedup cost/benefit in TOKENS — the number that justifies (or
+    // kills) each dedup tier's compute spend: every doc attributed to
+    // exactly one stage (exact-dropped by fingerprint, near-dropped by
+    // MinHash component keep-min, kept), with token mass per stage. The
+    // component keeper is always itself a fingerprint keeper (the comp
+    // min is the min of its own fp group), so stages partition cleanly.
+    // One materialized base frame feeds both groupings.
+    "q167_dedup_savings" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val base = mat(docs.select(col("doc_id"),
+        TextOps.contentFingerprint(col("text")).as("fp"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_toks")))
+      val fpKeep = base.groupBy(col("fp")).agg(min(col("doc_id")).as("fp_keep"))
+      val comp = minhashComponents(docs).select(col("id").as("doc_id"), col("comp"))
+      val compKeep = comp.groupBy(col("comp"))
+        .agg(min(col("doc_id")).as("comp_keep"))
+      base.join(fpKeep, Seq("fp")).join(comp, Seq("doc_id"))
+        .join(compKeep, Seq("comp"))
+        .withColumn("stage",
+          when(col("doc_id") =!= col("fp_keep"), "exact_dropped")
+            .when(col("doc_id") =!= col("comp_keep"), "near_dropped")
+            .otherwise("kept"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"),
+          sum(when(col("stage") === "exact_dropped", col("n_toks"))
+            .otherwise(0L)).as("exact_dropped_tokens"),
+          sum(when(col("stage") === "near_dropped", col("n_toks"))
+            .otherwise(0L)).as("near_dropped_tokens"),
+          sum(when(col("stage") === "kept", col("n_toks")).otherwise(0L))
+            .as("kept_tokens"))
+        .withColumn("kept_ppm", expr("kept_tokens * 1000000 div total_tokens"))
+    }),
+
+    // Packing efficiency audit: how well q81's 2048-token bins actually
+    // fill — capacity utilization in exact integer milli, bin-count
+    // accounting, and the under-filled tail. Derives entirely from the
+    // bucketed packing (no new corpus pass shape); the per-bin rollup is
+    // bin-count-sized.
+    "q168_pack_efficiency" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("n_toks", TextOps.tokenCount(col("text")).cast("long"))
+      val bins = operators.Packing.packBins(docs, col("n_toks"), col("doc_id"),
+          2048L)
+        .groupBy(col("bin")).agg(sum(col("n_toks")).as("fill"),
+          count(lit(1)).as("n_docs"))
+      bins.agg(count(lit(1)).as("n_bins"), sum(col("fill")).as("total_tokens"),
+          expr("sum(fill) * 1000 div (count(*) * 2048)").as("mean_fill_milli"),
+          min(col("fill")).as("min_fill"), max(col("fill")).as("max_fill"),
+          sum(when(col("fill") < 1844, 1L).otherwise(0L)).as("n_under_90pct"))
+    }),
+
+    // Shard mixing audit: source-composition entropy per output shard —
+    // a well-mixed deterministic sharding should give every shard the
+    // corpus's source distribution (entropy ≈ corpus entropy), and a
+    // skewed shard is a training-order bug waiting to happen. Counts are
+    // exact integers; ln enters once, under the terminal round(6).
+    "q169_shard_mixing" -> ((s, d) => {
+      val sharded = operators.Splits.assignShard(
+        t(s, d, "documents").select(col("doc_id"), col("source")),
+        col("doc_id"), 16)
+      val cnt = sharded.groupBy(col("shard"), col("source"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cnt.groupBy(col("shard")).agg(sum(col("n")).as("tot"),
+        count(lit(1)).as("n_sources"))
+      cnt.join(broadcast(tot), Seq("shard"))
+        .groupBy(col("shard"))
+        .agg(min(col("tot")).as("n_docs"), min(col("n_sources")).as("n_sources"),
+          round(-sum((col("n") / col("tot")) *
+            log(col("n") / col("tot"))), 6).as("source_entropy"))
+        .orderBy(col("shard"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -5176,6 +5247,73 @@ object SparkEntry {
            round(sum(l_extendedprice * (1.0 - l_discount)), 2)
              AS total_revenue
          FROM lineitem JOIN part ON l_partkey = p_partkey
-         GROUP BY 1 ORDER BY ship_month"""
+         GROUP BY 1 ORDER BY ship_month""",
+
+    // Fingerprint keepers × the recursive MinHash component keepers —
+    // each doc lands in exactly one stage; token mass per stage.
+    "q167_dedup_savings" ->
+      s"""WITH RECURSIVE $minhashCompCtes,
+         b AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_toks,
+             md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+           FROM documents),
+         fpk AS (SELECT fp, min(doc_id) AS fp_keep FROM b GROUP BY 1),
+         ck AS (SELECT comp, min(doc_id) AS comp_keep FROM comp GROUP BY 1),
+         st AS (SELECT b.doc_id, b.n_toks,
+             CASE WHEN b.doc_id <> fpk.fp_keep THEN 'exact_dropped'
+                  WHEN b.doc_id <> ck.comp_keep THEN 'near_dropped'
+                  ELSE 'kept' END AS stage
+           FROM b JOIN fpk USING (fp)
+           JOIN comp ON comp.doc_id = b.doc_id
+           JOIN ck USING (comp))
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN stage = 'exact_dropped' THEN n_toks ELSE 0 END)
+             AS BIGINT) AS exact_dropped_tokens,
+           CAST(sum(CASE WHEN stage = 'near_dropped' THEN n_toks ELSE 0 END)
+             AS BIGINT) AS near_dropped_tokens,
+           CAST(sum(CASE WHEN stage = 'kept' THEN n_toks ELSE 0 END)
+             AS BIGINT) AS kept_tokens,
+           CAST(sum(CASE WHEN stage = 'kept' THEN n_toks ELSE 0 END)
+             * 1000000 // sum(n_toks) AS BIGINT) AS kept_ppm
+         FROM st""",
+
+    // q81's md5-ordered cumsum packing, rolled up per bin.
+    "q168_pack_efficiency" ->
+      """WITH w AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks,
+             md5(CAST(doc_id AS VARCHAR)) AS k
+           FROM documents),
+         c AS (SELECT doc_id, n_toks,
+             CAST(sum(n_toks) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)
+                  - n_toks AS BIGINT) AS bef
+           FROM w),
+         bins AS (SELECT bef // 2048 AS bin, CAST(sum(n_toks) AS BIGINT) AS fill
+                  FROM c GROUP BY 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(fill) AS BIGINT) AS total_tokens,
+           CAST(sum(fill) * 1000 // (count(*) * 2048) AS BIGINT)
+             AS mean_fill_milli,
+           min(fill) AS min_fill, max(fill) AS max_fill,
+           CAST(sum(CASE WHEN fill < 1844 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_under_90pct
+         FROM bins""",
+
+    // Same md5 shard draw as q113 (mod 16), per-shard source entropy in
+    // nats with ln only under the terminal round.
+    "q169_shard_mixing" ->
+      """WITH sh AS (SELECT doc_id, source,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) % 16 AS shard
+           FROM documents),
+         cnt AS (SELECT shard, source, count(*) AS n FROM sh GROUP BY 1, 2),
+         tot AS (SELECT shard, CAST(sum(n) AS BIGINT) AS tot,
+             count(*) AS n_sources FROM cnt GROUP BY 1)
+         SELECT cnt.shard, min(tot.tot) AS n_docs,
+           min(tot.n_sources) AS n_sources,
+           round(-sum((CAST(cnt.n AS DOUBLE) / tot.tot)
+             * ln(CAST(cnt.n AS DOUBLE) / tot.tot)), 6) AS source_entropy
+         FROM cnt JOIN tot USING (shard)
+         GROUP BY 1 ORDER BY cnt.shard"""
   )
 }
