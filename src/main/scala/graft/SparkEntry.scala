@@ -2764,6 +2764,47 @@ object SparkEntry {
           round(-sum((col("n") / col("tot")) *
             log(col("n") / col("tot"))), 6).as("source_entropy"))
         .orderBy(col("shard"))
+    }),
+
+    // Greedy max-coverage selection: the 5 documents that jointly cover
+    // the most distinct corpus shingles (Coverage.greedyCover — the
+    // facility-location greedy a seed-set/benchmark curator runs).
+    // Driver-iterated rounds with one TakeOrdered(1) collect each; all
+    // counting stays distributed. Gains count shingle HASHES engine-side
+    // vs raw strings oracle-side — equal barring 64-bit collision, the
+    // q42-family tolerance.
+    "q170_greedy_cover" -> ((s, d) =>
+      operators.Coverage.greedyCover(
+        Dedup.shinglePostings(t(s, d, "documents"), "doc_id", "text", 3),
+        "id", "shh", 5)
+        .orderBy(col("round"))),
+
+    // LSH precision audit — q137's complement: of the band-bucket
+    // candidate pairs, how many are REAL near-dups at the working
+    // thresholds? Candidates left-join the capped exact pair core; a
+    // candidate with no surviving truth row (or sub-threshold Jaccard)
+    // is a false positive the verify stage must pay to reject.
+    "q171_lsh_precision" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val banded = Dedup.minhashBandPostingsFromSignatures(
+        minhashSignatureFrame(docs), numHashes = 8, bands = 4)
+      val cand = banded
+        .select(col("id").as("id_a"), col("band_idx"), col("band_val"))
+        .join(banded.select(col("id").as("id_b"), col("band_idx"), col("band_val")),
+          Seq("band_idx", "band_val"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      val truth = Dedup.pairOverlapCounts(
+          Dedup.shinglePostings(docs, "doc_id", "text", 3),
+          maxDocFreq = Some(100L))
+        .select(col("id_a"), col("id_b"),
+          expr("inter * 1000 div (n_a + n_b - inter)").as("jm"))
+      cand.join(truth, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("jm") >= 500, 1L).otherwise(0L)).as("n_true_500"),
+          sum(when(col("jm") >= 300, 1L).otherwise(0L)).as("n_true_300"))
+        .withColumn("precision500_milli",
+          expr("n_true_500 * 1000 div n_candidates"))
     })
   )
 
@@ -2925,6 +2966,33 @@ object SparkEntry {
        $rounds
        SELECT id AS doc_id, r AS rank_ppm FROM r3
        ORDER BY rank_ppm DESC, doc_id LIMIT 20"""
+  }
+
+  /** q170 oracle: the same 5 greedy max-coverage rounds unrolled as CTEs
+    * over the RAW shingle postings (gain/coverage counts are
+    * hash-agnostic — the q42-family collision tolerance). */
+  private def greedyCoverSql: String = {
+    val rounds = (1 to 5).map { r =>
+      val src =
+        if (r == 1) "ed"
+        else s"(SELECT * FROM ed WHERE sh NOT IN (SELECT sh FROM cov${r - 1}))"
+      val covBody =
+        if (r == 1) "SELECT DISTINCT e2.sh FROM ed e2 JOIN p1 ON e2.id = p1.id"
+        else s"SELECT sh FROM cov${r - 1} " +
+          s"UNION SELECT e2.sh FROM ed e2 JOIN p$r ON e2.id = p$r.id"
+      s"""g$r AS (SELECT id, count(*) AS g FROM $src t$r GROUP BY 1),
+          p$r AS (SELECT id, g FROM g$r ORDER BY g DESC, id LIMIT 1),
+          cov$r AS ($covBody)"""
+    }.mkString(",\n")
+    val sel = (1 to 5).map { r =>
+      s"""SELECT $r AS round, p$r.id AS doc_id, CAST(p$r.g AS BIGINT) AS gain,
+         (SELECT CAST(count(*) AS BIGINT) FROM cov$r) AS covered_cum
+         FROM p$r"""
+    }.mkString(" UNION ALL ")
+    s"""WITH $shinglesCte,
+       ed AS (SELECT id, sh FROM e),
+       $rounds
+       $sel ORDER BY round"""
   }
 
   private def minhashSql: String =
@@ -5314,6 +5382,33 @@ object SparkEntry {
            round(-sum((CAST(cnt.n AS DOUBLE) / tot.tot)
              * ln(CAST(cnt.n AS DOUBLE) / tot.tot)), 6) AS source_entropy
          FROM cnt JOIN tot USING (shard)
-         GROUP BY 1 ORDER BY cnt.shard"""
+         GROUP BY 1 ORDER BY cnt.shard""",
+
+    "q170_greedy_cover" -> greedyCoverSql,
+
+    // q43's candidates LEFT JOIN the q42 capped truth core; a missing or
+    // sub-threshold truth row is a false positive.
+    "q171_lsh_precision" ->
+      s"""WITH $minhashCtes,
+         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                  FROM mbands a JOIN mbands b
+                    ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id),
+         ef AS (SELECT * FROM e WHERE sh NOT IN
+                  (SELECT sh FROM e GROUP BY sh HAVING count(*) > 100)),
+         pp AS (SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a,
+                 b.n_sh AS n_b, count(*) AS inter
+               FROM ef a JOIN ef b ON a.sh = b.sh AND a.id < b.id
+               GROUP BY 1, 2, 3, 4),
+         tt AS (SELECT id_a, id_b,
+                 CAST(inter * 1000 // (n_a + n_b - inter) AS BIGINT) AS jm
+               FROM pp)
+         SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN tt.jm >= 500 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true_500,
+           CAST(sum(CASE WHEN tt.jm >= 300 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true_300,
+           CAST(sum(CASE WHEN tt.jm >= 500 THEN 1 ELSE 0 END) * 1000
+             // count(*) AS BIGINT) AS precision500_milli
+         FROM cand LEFT JOIN tt USING (id_a, id_b)"""
   )
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Greedy maximum-coverage selection — the (1 − 1/e)-approximate
+  * facility-location greedy behind coverage-driven data curation: pick the
+  * k documents that jointly cover the most distinct corpus keys (shingles,
+  * topics, vocabulary), the "most representative subset" a benchmark
+  * builder or seed-set curator asks for.
+  *
+  * Submodular maximization cannot be expressed as one declarative plan —
+  * each pick CHANGES the objective for the next — so the driver iterates
+  * the k rounds (k is small by contract: a human-sized selection), and the
+  * per-round work stays fully distributed:
+  *
+  *  - remaining postings = one LEFT-ANTI join against the covered-key set
+  *    (broadcast-able while covered is small; shuffle-hash beyond);
+  *  - marginal gains = one map-side-combined `groupBy(id).count`;
+  *  - the winner = `orderBy(gain desc, id).limit(1)` — TakeOrdered(1), ONE
+  *    collected row per round (same driver-scalar class as the IVF
+  *    centroid collects);
+  *  - the covered set re-materializes per round (localCheckpoint, unless
+  *    `graft.materialize=false`) so round r+1 plans one flat scan, not r
+  *    nested unions.
+  *
+  * Ties break on the smaller id, so the selection is value-deterministic
+  * and an independent engine reproduces it exactly (the oracle unrolls the
+  * same k rounds as CTEs).
+  */
+object Coverage {
+
+  /** @param postings (id, key) rows; duplicates are collapsed
+    * @param k        number of documents to select (driver-iterated)
+    * @return k rows (round, doc_id, gain, covered_cum): the pick of each
+    *         round, its marginal gain, and the cumulative distinct keys
+    *         covered; fewer than k rows when the corpus is exhausted
+    */
+  def greedyCover(postings: DataFrame, idCol: String, keyCol: String,
+                  k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val doMat = spark.conf.get("graft.materialize", "true") != "false"
+    def mat(df: DataFrame): DataFrame = if (doMat) df.localCheckpoint() else df
+    val p = mat(postings
+      .select(col(idCol).cast("long").as("id"), col(keyCol).as("sh"))
+      .distinct())
+    var covered: DataFrame = null
+    val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val remaining =
+        if (covered == null) p else p.join(covered, Seq("sh"), "left_anti")
+      val top = remaining.groupBy(col("id")).agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("id")).limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val id = top(0).getLong(0)
+        val gain = top(0).getLong(1)
+        val newCov = p.where(col("id") === id).select(col("sh"))
+        covered = mat(
+          if (covered == null) newCov
+          else covered.union(newCov).distinct())
+        picks += ((r, id, gain, covered.count()))
+        r += 1
+      }
+    }
+    picks.toSeq.toDF("round", "doc_id", "gain", "covered_cum")
+  }
+}

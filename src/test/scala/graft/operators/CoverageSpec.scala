@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+
+class CoverageSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def run(postings: Seq[(Long, String)], k: Int): Seq[(Int, Long, Long, Long)] =
+    Coverage.greedyCover(postings.toDF("id", "sh"), "id", "sh", k)
+      .as[(Int, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+
+  test("greedy picks maximize marginal gain with min-id tiebreak") {
+    // doc 1 covers {a,b,c}; doc 2 covers {c,d}; doc 3 covers {d,e}.
+    // Round 1: doc 1 (gain 3). Round 2: docs 2 and 3 both gain 2 over
+    // {a,b,c}? doc 2 adds {d} (1), doc 3 adds {d,e} (2) → doc 3.
+    // Round 3: doc 2 adds nothing beyond {a..e}∩{c,d} → gain 0 rows are
+    // absent → exhausted, only 2 rounds emitted before a zero-gain pick.
+    val p = Seq(1L -> "a", 1L -> "b", 1L -> "c",
+      2L -> "c", 2L -> "d", 3L -> "d", 3L -> "e")
+    val got = run(p, 5)
+    assert(got == Seq((1, 1L, 3L, 3L), (2, 3L, 2L, 5L)))
+  }
+
+  test("ties break on the smaller doc id") {
+    val p = Seq(7L -> "x", 7L -> "y", 4L -> "p", 4L -> "q")
+    val got = run(p, 1)
+    assert(got == Seq((1, 4L, 2L, 2L)))
+  }
+
+  test("duplicate postings collapse before counting") {
+    val p = Seq(1L -> "a", 1L -> "a", 1L -> "b", 2L -> "c")
+    val got = run(p, 2)
+    assert(got.head == ((1, 1L, 2L, 2L)))
+    assert(got(1) == ((2, 2L, 1L, 3L)))
+  }
+
+  test("matches a driver-side greedy reference on a random-ish fixture") {
+    val p = for {
+      id <- 1L to 40L
+      j <- 0 until 6
+    } yield id -> s"k${(id * 7 + j * j) % 53}"
+    val got = run(p, 6)
+    // sequential reference
+    val byDoc = p.distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var covered = Set.empty[String]
+    val ref = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)]()
+    for (r <- 1 to 6) {
+      val gains = byDoc.view.mapValues(s => (s -- covered).size).toMap
+      val best = gains.filter(_._2 > 0)
+      if (best.nonEmpty) {
+        val (id, g) = best.toSeq.minBy { case (i, gg) => (-gg, i) }
+        covered = covered ++ byDoc(id)
+        ref += ((ref.size + 1, id, g.toLong, covered.size.toLong))
+      }
+    }
+    assert(got == ref.toSeq)
+  }
+}
