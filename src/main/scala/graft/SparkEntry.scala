@@ -2805,6 +2805,75 @@ object SparkEntry {
           sum(when(col("jm") >= 300, 1L).otherwise(0L)).as("n_true_300"))
         .withColumn("precision500_milli",
           expr("n_true_500 * 1000 div n_candidates"))
+    }),
+
+    // Time-weighted average price per (type, day): each observation
+    // weighted by its holding time to the next same-day event — the TWAP
+    // a fill-quality report uses, vs the plain mean that over-weights
+    // burst periods. The lead window partitions by (type, day), so no
+    // partition outgrows a day; durations are exact integer micros via
+    // the NTZ-safe epoch helper.
+    "q172_twap" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("day", to_date(col("ts")))
+        .withColumn("us", TimeOps.epochMicros(col("ts")))
+        .withColumn("dur_us", lead(col("us"), 1).over(w) - col("us"))
+        .where(col("dur_us").isNotNull)
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n_intervals"),
+          round(sum(col("value") * col("dur_us")) / sum(col("dur_us")), 6)
+            .as("twap"),
+          round(avg(col("value")), 6).as("plain_mean"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
+    // Keyword search scoring — the retrieval read-path over the TF-IDF
+    // family: docs ranked by Σ tf·ln(N/df) for the query terms. The term
+    // filter lands BEFORE any shuffle (only matching tokens leave the
+    // scan), df and N broadcast as tiny dims, and the top-10 rides
+    // TakeOrderedAndProject on the rounded score.
+    "q173_keyword_search" -> ((s, d) => {
+      val terms = Seq("spark", "vector", "stream")
+      val docs = t(s, d, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        .where(col("w").isin(terms: _*))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val dfd = tf.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(broadcast(dfd), Seq("w")).crossJoin(broadcast(n))
+        .withColumn("contrib", col("tf") * log(col("n_docs") / col("df")))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("contrib")), 6).as("score"),
+          count(lit(1)).as("n_terms_hit"), sum(col("tf")).as("total_tf"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    }),
+
+    // Language-ID confidence margin: top-score minus runner-up of the
+    // marker scores, rolled up per predicted language — the calibration
+    // read that says WHERE the q37 heuristic is guessing (margin 0 =
+    // coin-flip). Integer scores end-to-end; one projection, one
+    // map-side-combined rollup.
+    "q174_lang_margin" -> ((s, d) => {
+      val scoreCols = TextOps.LangMarkers.map { case (l, ws) =>
+        TextOps.langScore(col("text"), ws).cast("long").as(s"s_$l") }
+      val arr = array(TextOps.LangMarkers.map { case (l, _) =>
+        col(s"s_$l") }: _*)
+      t(s, d, "documents")
+        .select(col("doc_id") +: TextOps.langId(col("text")).as("pred_lang") +:
+          scoreCols: _*)
+        .withColumn("ss", sort_array(arr, asc = false))
+        .withColumn("margin",
+          element_at(col("ss"), 1) - element_at(col("ss"), 2))
+        .groupBy(col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(margin) * 1000 div count(*)").as("mean_margin_milli"),
+          sum(when(col("margin") === 0, 1L).otherwise(0L)).as("n_ambiguous"))
+        .orderBy(col("pred_lang"))
     })
   )
 
@@ -5409,6 +5478,54 @@ object SparkEntry {
              AS n_true_300,
            CAST(sum(CASE WHEN tt.jm >= 500 THEN 1 ELSE 0 END) * 1000
              // count(*) AS BIGINT) AS precision500_milli
-         FROM cand LEFT JOIN tt USING (id_a, id_b)"""
+         FROM cand LEFT JOIN tt USING (id_a, id_b)""",
+
+    "q172_twap" ->
+      """WITH e2 AS (SELECT event_type, CAST(ts AS DATE) AS day, ts,
+             event_id, value, epoch_us(ts) AS us FROM events),
+         l AS (SELECT event_type, day, value,
+             lead(us) OVER (PARTITION BY event_type, day
+               ORDER BY ts, event_id) - us AS dur_us
+           FROM e2)
+         SELECT event_type, day, count(*) AS n_intervals,
+           round(sum(value * dur_us) / sum(dur_us), 6) AS twap,
+           round(avg(value), 6) AS plain_mean
+         FROM l WHERE dur_us IS NOT NULL
+         GROUP BY 1, 2 ORDER BY event_type, day""",
+
+    "q173_keyword_search" ->
+      """WITH tk AS (SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\s+')) AS w
+           FROM documents),
+         tf AS (SELECT doc_id, w, count(*) AS tf FROM tk
+                WHERE w IN ('spark', 'vector', 'stream') GROUP BY 1, 2),
+         df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+         n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         sc AS (SELECT tf.doc_id,
+             round(sum(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)), 6)
+               AS score,
+             count(*) AS n_terms_hit, CAST(sum(tf.tf) AS BIGINT) AS total_tf
+           FROM tf JOIN df USING (w) CROSS JOIN n GROUP BY 1)
+         SELECT doc_id, score, n_terms_hit, total_tf FROM sc
+         ORDER BY score DESC, doc_id LIMIT 10""",
+
+    "q174_lang_margin" -> {
+      val scoreDefs = TextOps.LangMarkers.map { case (l, ws) =>
+        s"${langScoreSql(ws)} AS s_$l" }.mkString(", ")
+      val names = TextOps.LangMarkers.map(_._1)
+      val mx = names.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+      val pred = names.map(l => s"WHEN s_$l = $mx THEN '$l'")
+        .mkString("CASE ", " ", " END")
+      val lst = names.map(l => s"CAST(s_$l AS BIGINT)").mkString("[", ", ", "]")
+      s"""WITH sc AS (SELECT doc_id, $scoreDefs FROM documents),
+         p AS (SELECT doc_id, $pred AS pred_lang,
+             list_sort($lst, 'DESC') AS ss FROM sc),
+         m AS (SELECT pred_lang, ss[1] - ss[2] AS margin FROM p)
+         SELECT pred_lang, count(*) AS n_docs,
+           CAST(sum(margin) * 1000 // count(*) AS BIGINT) AS mean_margin_milli,
+           CAST(sum(CASE WHEN margin = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_ambiguous
+         FROM m GROUP BY 1 ORDER BY 1"""
+    }
   )
 }
