@@ -2874,6 +2874,68 @@ object SparkEntry {
           expr("sum(margin) * 1000 div count(*)").as("mean_margin_milli"),
           sum(when(col("margin") === 0, 1L).otherwise(0L)).as("n_ambiguous"))
         .orderBy(col("pred_lang"))
+    }),
+
+    // Exact Spearman rank correlation WITHOUT ranking rows: both columns
+    // live on tiny value domains (quantity 1-50, centi-discount 0-10), so
+    // tie-averaged ranks come off the value histograms — doubled
+    // (rank2 = 2·cum_lt + cnt + 1) to stay INTEGER — and broadcast back
+    // as ≤51-row dims. Sums accumulate in DECIMAL(38,0) (exact at any
+    // row count; plain longs overflow past ~1e12 rows), and the one
+    // irrational step (sqrt) runs on the final scalars. Pearson on the
+    // raw values rides along for contrast.
+    "q175_spearman" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(
+        col("l_quantity").cast("long").as("x"),
+        floor(col("l_discount") * 100 + 0.5).as("y"))
+      def rankDim(c: String): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col(c))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        li.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+          .withColumn("cum_lt", coalesce(sum(col("cnt")).over(w), lit(0L)))
+          .select(col(c), (col("cum_lt") * 2 + col("cnt") + 1).as(s"r_$c"))
+      }
+      val dec = "decimal(38,0)"
+      li.join(broadcast(rankDim("x")), Seq("x"))
+        .join(broadcast(rankDim("y")), Seq("y"))
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("r_x").cast(dec)).as("sx"), sum(col("r_y").cast(dec)).as("sy"),
+          sum((col("r_x") * col("r_x")).cast(dec)).as("sxx"),
+          sum((col("r_y") * col("r_y")).cast(dec)).as("syy"),
+          sum((col("r_x") * col("r_y")).cast(dec)).as("sxy"),
+          round(corr(col("x"), col("y")), 6).as("pearson_raw"))
+        .select(col("n").cast("long").as("n_rows"), col("pearson_raw"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+             sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))), 6)
+            .as("spearman_rho"))
+    }),
+
+    // Mutual information between language and source — the corpus-design
+    // read that says whether sources specialize by language (MI ≈ 0 =
+    // independent mixing). All counts exact integers; the log's argument
+    // is a ratio of exact integer products; ln and the weighted sum sit
+    // under the terminal round(6). Marginal entropies ride along to
+    // normalize against.
+    "q176_mutual_info" -> ((s, d) => {
+      val cells = mat(t(s, d, "documents").groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n")))
+      val nl = cells.groupBy(col("lang")).agg(sum(col("n")).as("nl"))
+      val ns = cells.groupBy(col("source")).agg(sum(col("n")).as("ns"))
+      val tot = cells.agg(sum(col("n")).as("nn"))
+      val mi = cells.join(broadcast(nl), Seq("lang"))
+        .join(broadcast(ns), Seq("source")).crossJoin(broadcast(tot))
+        .agg(sum(col("n")).cast("long").as("n_docs"),
+          round(sum((col("n") / col("nn")) *
+            log((col("n").cast("double") * col("nn")) /
+              (col("nl").cast("double") * col("ns")))), 6).as("mi_nats"))
+      val hl = nl.crossJoin(broadcast(tot))
+        .agg(round(-sum((col("nl") / col("nn")) * log(col("nl") / col("nn"))), 6)
+          .as("h_lang"))
+      val hs = ns.crossJoin(broadcast(tot))
+        .agg(round(-sum((col("ns") / col("nn")) * log(col("ns") / col("nn"))), 6)
+          .as("h_source"))
+      mi.crossJoin(broadcast(hl)).crossJoin(broadcast(hs))
     })
   )
 
@@ -5526,6 +5588,58 @@ object SparkEntry {
            CAST(sum(CASE WHEN margin = 0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_ambiguous
          FROM m GROUP BY 1 ORDER BY 1"""
-    }
+    },
+
+    // Doubled tie-averaged ranks (2·cum_lt + cnt + 1) off the value
+    // histograms; HUGEINT sums; sqrt only on the final scalars.
+    "q175_spearman" ->
+      """WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y
+           FROM lineitem),
+         rx AS (SELECT x, 2 * coalesce(sum(cnt) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + cnt + 1 AS r_x
+           FROM (SELECT x, count(*) AS cnt FROM v GROUP BY 1)),
+         ry AS (SELECT y, 2 * coalesce(sum(cnt) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + cnt + 1 AS r_y
+           FROM (SELECT y, count(*) AS cnt FROM v GROUP BY 1)),
+         j AS (SELECT v.x, v.y, rx.r_x, ry.r_y
+               FROM v JOIN rx USING (x) JOIN ry USING (y)),
+         s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(r_x) AS HUGEINT) AS sx,
+             CAST(sum(r_y) AS HUGEINT) AS sy,
+             CAST(sum(r_x * r_x) AS HUGEINT) AS sxx,
+             CAST(sum(r_y * r_y) AS HUGEINT) AS syy,
+             CAST(sum(r_x * r_y) AS HUGEINT) AS sxy,
+             round(corr(x, y), 6) AS pearson_raw
+           FROM j)
+         SELECT CAST(n AS BIGINT) AS n_rows, pearson_raw,
+           round(CAST(n * sxy - sx * sy AS DOUBLE) /
+             (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS spearman_rho
+         FROM s""",
+
+    "q176_mutual_info" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS n
+                        FROM documents GROUP BY 1, 2),
+         nl AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl
+                FROM cells GROUP BY 1),
+         ns AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns
+                FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
+         mi AS (SELECT CAST(sum(cells.n) AS BIGINT) AS n_docs,
+             round(sum((CAST(cells.n AS DOUBLE) / nn)
+               * ln((CAST(cells.n AS DOUBLE) * nn)
+                    / (CAST(nl.nl AS DOUBLE) * ns.ns))), 6) AS mi_nats
+           FROM cells JOIN nl USING (lang) JOIN ns USING (source)
+           CROSS JOIN tot),
+         hl AS (SELECT round(-sum((CAST(nl AS DOUBLE) / nn)
+               * ln(CAST(nl AS DOUBLE) / nn)), 6) AS h_lang
+           FROM nl CROSS JOIN tot),
+         hs AS (SELECT round(-sum((CAST(ns AS DOUBLE) / nn)
+               * ln(CAST(ns AS DOUBLE) / nn)), 6) AS h_source
+           FROM ns CROSS JOIN tot)
+         SELECT n_docs, mi_nats, h_lang, h_source FROM mi, hl, hs"""
   )
 }
