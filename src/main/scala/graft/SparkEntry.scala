@@ -2936,6 +2936,81 @@ object SparkEntry {
         .agg(round(-sum((col("ns") / col("nn")) * log(col("ns") / col("nn"))), 6)
           .as("h_source"))
       mi.crossJoin(broadcast(hl)).crossJoin(broadcast(hs))
+    }),
+
+    // Jackknife-over-sources standard error of the corpus mean quality —
+    // the leave-one-group-out uncertainty a mixture designer attaches to
+    // the headline number WITHOUT any resampling randomness: θ_i are
+    // closed-form from per-group sums (a ~20-row frame), so the whole
+    // estimator is two tiny aggregates over one corpus scan.
+    "q177_jackknife_se" -> ((s, d) => {
+      val g = mat(t(s, d, "documents")
+        .select(col("source"), TextOps.qualityScoreMilli(col("text")).as("q"))
+        .groupBy(col("source")).agg(sum(col("q")).as("sg"), count(lit(1)).as("m")))
+      val tot = g.agg(sum(col("sg")).as("bigS"), sum(col("m")).as("bigN"),
+        count(lit(1)).as("gcnt"))
+      val theta = g.crossJoin(broadcast(tot))
+        .select(col("gcnt"), col("bigS"), col("bigN"),
+          ((col("bigS") - col("sg")) / (col("bigN") - col("m"))).as("theta"))
+      theta.groupBy(col("gcnt"), col("bigS"), col("bigN"))
+        .agg(avg(col("theta")).as("tbar"),
+          sum(col("theta") * col("theta")).as("tsq"))
+        .select(col("bigN").as("n_docs"), col("gcnt").as("n_sources"),
+          expr("bigS div bigN").as("mean_q_milli"),
+          round(sqrt(((col("gcnt") - 1) / col("gcnt").cast("double")) *
+            (col("tsq") - col("gcnt") * col("tbar") * col("tbar"))), 6)
+            .as("jk_se_milli"))
+    }),
+
+    // A/B test readout on a hash-stable user split (md5 parity — the
+    // same engine-independent assignment the splits use): per-arm
+    // conversion in integer ppm plus the pooled two-proportion z-score.
+    // One conditional-max per user, then a 2-row rollup.
+    "q178_ab_test" -> ((s, d) => {
+      val per = t(s, d, "events").groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+        .withColumn("arm", functions.Draws.md5Draw(col("user_id"), 2L))
+      val arms = per.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+      val a = arms.where(col("arm") === 0)
+        .select(col("n").as("n_a"), col("c").as("conv_a"))
+      val b = arms.where(col("arm") === 1)
+        .select(col("n").as("n_b"), col("c").as("conv_b"))
+      a.crossJoin(broadcast(b))
+        .withColumn("rate_a_ppm", expr("conv_a * 1000000 div n_a"))
+        .withColumn("rate_b_ppm", expr("conv_b * 1000000 div n_b"))
+        .withColumn("__p", (col("conv_a") + col("conv_b")) /
+          (col("n_a") + col("n_b")))
+        // degenerate pooled rate (all or none converted) ⇒ zero variance
+        // and an undefined z; report 0 instead of dividing by zero
+        .withColumn("z_score",
+          when(col("__p") > 0 && col("__p") < 1, round(
+            (col("conv_b") / col("n_b") - col("conv_a") / col("n_a")) /
+            sqrt(col("__p") * (lit(1.0) - col("__p")) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6))
+          .otherwise(lit(0.0)))
+        .select(col("n_a"), col("conv_a"), col("rate_a_ppm"),
+          col("n_b"), col("conv_b"), col("rate_b_ppm"), col("z_score"))
+    }),
+
+    // Longest activity streaks — the gaps-and-islands shape: per-user
+    // distinct active days minus their row_number collapse each
+    // consecutive run onto one island date, islands aggregate to
+    // (length, start), and the global top-20 rides
+    // TakeOrderedAndProject. Windows stay per-user (bounded by the
+    // calendar).
+    "q179_streaks" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day"))
+      t(s, d, "events").select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+        .withColumn("island", date_sub(col("day"), row_number().over(w)))
+        .groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("streak_days"), min(col("day")).as("start_day"))
+        .select(col("user_id"), col("streak_days"), col("start_day"))
+        .orderBy(col("streak_days").desc, col("user_id"), col("start_day"))
+        .limit(20)
     })
   )
 
@@ -5640,6 +5715,62 @@ object SparkEntry {
          hs AS (SELECT round(-sum((CAST(ns AS DOUBLE) / nn)
                * ln(CAST(ns AS DOUBLE) / nn)), 6) AS h_source
            FROM ns CROSS JOIN tot)
-         SELECT n_docs, mi_nats, h_lang, h_source FROM mi, hl, hs"""
+         SELECT n_docs, mi_nats, h_lang, h_source FROM mi, hl, hs""",
+
+    "q177_jackknife_se" ->
+      s"""WITH $qualityMilliCte,
+         g AS (SELECT d.source, CAST(sum(q.quality_milli) AS BIGINT) AS sg,
+             count(*) AS m
+           FROM documents d JOIN q USING (doc_id) GROUP BY 1),
+         tot AS (SELECT CAST(sum(sg) AS BIGINT) AS bigS,
+             CAST(sum(m) AS BIGINT) AS bigN,
+             CAST(count(*) AS BIGINT) AS gcnt FROM g),
+         th AS (SELECT gcnt, bigS, bigN,
+             CAST(bigS - sg AS DOUBLE) / (bigN - m) AS theta
+           FROM g CROSS JOIN tot),
+         agg AS (SELECT gcnt, bigS, bigN, avg(theta) AS tbar,
+             sum(theta * theta) AS tsq
+           FROM th GROUP BY 1, 2, 3)
+         SELECT bigN AS n_docs, gcnt AS n_sources,
+           CAST(bigS // bigN AS BIGINT) AS mean_q_milli,
+           round(sqrt(((gcnt - 1) / CAST(gcnt AS DOUBLE))
+             * (tsq - gcnt * tbar * tbar)), 6) AS jk_se_milli
+         FROM agg""",
+
+    "q178_ab_test" ->
+      """WITH per AS (SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+             CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)
+               AS BIGINT) % 2 AS arm
+           FROM events GROUP BY 1),
+         arms AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conv) AS BIGINT) AS c FROM per GROUP BY 1),
+         a AS (SELECT n AS n_a, c AS conv_a FROM arms WHERE arm = 0),
+         b AS (SELECT n AS n_b, c AS conv_b FROM arms WHERE arm = 1),
+         j AS (SELECT *,
+             CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b) AS p
+           FROM a CROSS JOIN b)
+         SELECT n_a, conv_a, CAST(conv_a * 1000000 // n_a AS BIGINT)
+             AS rate_a_ppm,
+           n_b, conv_b, CAST(conv_b * 1000000 // n_b AS BIGINT) AS rate_b_ppm,
+           CASE WHEN p > 0 AND p < 1 THEN
+             round((CAST(conv_b AS DOUBLE) / n_b
+                 - CAST(conv_a AS DOUBLE) / n_a)
+               / sqrt(p * (1.0 - p) * (1.0 / n_a + 1.0 / n_b)), 6)
+           ELSE 0.0 END AS z_score
+         FROM j""",
+
+    "q179_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+           FROM events),
+         isl AS (SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS INTEGER) AS island
+           FROM days),
+         st AS (SELECT user_id, island, count(*) AS streak_days,
+             min(day) AS start_day
+           FROM isl GROUP BY 1, 2)
+         SELECT user_id, streak_days, start_day FROM st
+         ORDER BY streak_days DESC, user_id, start_day LIMIT 20"""
   )
 }
