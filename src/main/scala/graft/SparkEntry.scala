@@ -3011,7 +3011,55 @@ object SparkEntry {
         .select(col("user_id"), col("streak_days"), col("start_day"))
         .orderBy(col("streak_days").desc, col("user_id"), col("start_day"))
         .limit(20)
-    })
+    }),
+
+    // Exact-k-per-stratum deterministic sample: EXACTLY min(20, n) docs
+    // per source, chosen by md5-draw order — the quota sampler q61's
+    // fraction form can't guarantee. The literal k rides the
+    // WindowGroupLimit partial rewrite (ScaleSpec-pinned), so the shuffle
+    // carries ≤ k·partitions rows per group, never whole groups.
+    "q180_exact_k_sample" -> ((s, d) => {
+      val drawn = t(s, d, "documents").select(col("doc_id"), col("source"),
+        functions.Draws.md5Draw(col("doc_id"), 1000000000L).as("draw"))
+      operators.WindowOps.topKPerGroup(drawn, Seq(col("source")),
+          Seq(col("draw"), col("doc_id")), 20)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("kept_ids_sum"),
+          max(col("draw")).as("max_draw"))
+        .orderBy(col("source"))
+    }),
+
+    // Near-dup explain panel: the top verified pairs with the metrics a
+    // human triages on — Jaccard, containment (subset detection), length
+    // ratio — all integer milli off the one capped pair core.
+    "q181_pair_explain" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val len = docs.select(col("doc_id"), col("n_chars"))
+      Dedup.pairOverlapCounts(
+          Dedup.shinglePostings(docs, "doc_id", "text", 3),
+          maxDocFreq = Some(100L))
+        .withColumn("jm", expr("inter * 1000 div (n_a + n_b - inter)"))
+        .where(col("jm") >= 300)
+        .withColumn("containment_milli", expr("inter * 1000 div least(n_a, n_b)"))
+        .join(len.select(col("doc_id").as("id_a"), col("n_chars").as("chars_a")),
+          Seq("id_a"))
+        .join(len.select(col("doc_id").as("id_b"), col("n_chars").as("chars_b")),
+          Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("jm"), col("containment_milli"),
+          expr("least(chars_a, chars_b) * 1000 div greatest(chars_a, chars_b)")
+            .as("len_ratio_milli"))
+        .orderBy(col("jm").desc, col("id_a"), col("id_b"))
+        .limit(10)
+    }),
+
+    // Catalog row-count summary — the SHOW-TABLES-extended read over all
+    // ten corpus tables: one count aggregate per table, unioned. Each
+    // count is a column-pruned parquet scan (metadata-cheap).
+    "q182_table_catalog" -> ((s, d) =>
+      Tables.names.map { n =>
+        t(s, d, n).agg(count(lit(1)).as("n_rows"))
+          .select(lit(n).as("table_name"), col("n_rows"))
+      }.reduce(_.unionByName(_)).orderBy(col("table_name")))
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -5771,6 +5819,45 @@ object SparkEntry {
              min(day) AS start_day
            FROM isl GROUP BY 1, 2)
          SELECT user_id, streak_days, start_day FROM st
-         ORDER BY streak_days DESC, user_id, start_day LIMIT 20"""
+         ORDER BY streak_days DESC, user_id, start_day LIMIT 20""",
+
+    "q180_exact_k_sample" ->
+      """WITH drawn AS (SELECT doc_id, source,
+             CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+               AS BIGINT) % 1000000000 AS draw
+           FROM documents),
+         r AS (SELECT *, row_number() OVER (PARTITION BY source
+               ORDER BY draw, doc_id) AS rn
+           FROM drawn)
+         SELECT source, count(*) AS n_kept,
+           CAST(sum(doc_id) AS BIGINT) AS kept_ids_sum,
+           CAST(max(draw) AS BIGINT) AS max_draw
+         FROM r WHERE rn <= 20 GROUP BY 1 ORDER BY 1""",
+
+    "q181_pair_explain" ->
+      s"""WITH $shinglesCte,
+         ef AS (SELECT * FROM e WHERE sh NOT IN
+                  (SELECT sh FROM e GROUP BY sh HAVING count(*) > 100)),
+         pp AS (SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS n_a,
+                 b.n_sh AS n_b, count(*) AS inter
+               FROM ef a JOIN ef b ON a.sh = b.sh AND a.id < b.id
+               GROUP BY 1, 2, 3, 4),
+         t AS (SELECT id_a, id_b,
+                 CAST(inter * 1000 // (n_a + n_b - inter) AS BIGINT) AS jm,
+                 CAST(inter * 1000 // least(n_a, n_b) AS BIGINT)
+                   AS containment_milli
+               FROM pp
+               WHERE inter * 1000 // (n_a + n_b - inter) >= 300),
+         j AS (SELECT t.*, da.n_chars AS chars_a, db.n_chars AS chars_b
+               FROM t JOIN documents da ON da.doc_id = t.id_a
+                      JOIN documents db ON db.doc_id = t.id_b)
+         SELECT id_a, id_b, jm, containment_milli,
+           CAST(least(chars_a, chars_b) * 1000
+             // greatest(chars_a, chars_b) AS BIGINT) AS len_ratio_milli
+         FROM j ORDER BY jm DESC, id_a, id_b LIMIT 10""",
+
+    "q182_table_catalog" -> Tables.names.sorted.map(n =>
+        s"SELECT '$n' AS table_name, count(*) AS n_rows FROM $n")
+      .mkString("", " UNION ALL ", " ORDER BY table_name")
   )
 }
