@@ -3059,7 +3059,82 @@ object SparkEntry {
       Tables.names.map { n =>
         t(s, d, n).agg(count(lit(1)).as("n_rows"))
           .select(lit(n).as("table_name"), col("n_rows"))
-      }.reduce(_.unionByName(_)).orderBy(col("table_name")))
+      }.reduce(_.unionByName(_)).orderBy(col("table_name"))),
+
+    // Tukey-fence outlier counts per return flag: the 1.5·IQR rule on
+    // centi-scaled prices with the quartiles off the value histogram
+    // (q151's machinery) — fences and counts all exact integers, no
+    // global sort at any scale.
+    "q183_iqr_outliers" -> ((s, d) => {
+      val centi = t(s, d, "lineitem").select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100 + 0.5).as("cp"))
+      val cuts = Calibrate.nearestRankCuts(centi, Seq("l_returnflag"), "cp",
+          Seq(25, 75))
+        .withColumn("lo_fence", expr("p25 - (3 * (p75 - p25)) div 2"))
+        .withColumn("hi_fence", expr("p75 + (3 * (p75 - p25)) div 2"))
+      centi.join(broadcast(cuts), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("lo_fence")).as("lo_fence"),
+          min(col("hi_fence")).as("hi_fence"),
+          sum(when(col("cp") < col("lo_fence"), 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("cp") > col("hi_fence"), 1L).otherwise(0L)).as("n_high"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Additive seasonal decomposition per event type: value minus the
+    // hour-of-day and day-of-week effects (each a broadcast profile dim,
+    // the q05/q06 tables put to work), with residual vs raw variance —
+    // the "how much of the signal is calendar" read. Three tiny profile
+    // aggregates and one fact pass.
+    "q184_seasonal_decomposition" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_type"), col("value"),
+        hour(col("ts")).as("hr"), dayofweek(col("ts")).as("dow"))
+      val mh = ev.groupBy(col("event_type"), col("hr"))
+        .agg(avg(col("value")).as("m_hr"))
+      val md = ev.groupBy(col("event_type"), col("dow"))
+        .agg(avg(col("value")).as("m_dow"))
+      val g = ev.groupBy(col("event_type")).agg(avg(col("value")).as("m_all"))
+      ev.join(broadcast(mh), Seq("event_type", "hr"))
+        .join(broadcast(md), Seq("event_type", "dow"))
+        .join(broadcast(g), Seq("event_type"))
+        .withColumn("res", col("value") - col("m_hr") - col("m_dow") + col("m_all"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("value") * col("value"))
+            - avg(col("value")) * avg(col("value")), 6).as("raw_var"),
+          round(avg(col("res") * col("res"))
+            - avg(col("res")) * avg(col("res")), 6).as("resid_var"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Gini concentration WITHOUT sorting individuals: the rank-sum runs
+    // over the count HISTOGRAM (2·Σrᵢxᵢ = Σ_v v·n_v·(2·cum_lt + n_v + 1)
+    // — tie groups share consecutive ranks), so the only window is
+    // histogram-sized. Exact integer arithmetic to the final floored
+    // milli; emitted for both engagement (events per user) and corpus
+    // mass (tokens per doc). Long sums hold to ~1e18 — the petabyte
+    // upgrade is the same chain in DECIMAL(38,0).
+    "q185_gini" -> ((s, d) => {
+      def gini(perKey: DataFrame, label: String): DataFrame = {
+        val h = perKey.groupBy(col("v")).agg(count(lit(1)).as("nv"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        h.withColumn("cum_lt", coalesce(sum(col("nv")).over(w), lit(0L)))
+          .agg(sum(col("nv")).as("n"), sum(col("v") * col("nv")).as("t"),
+            sum(col("v") * col("nv") * (col("cum_lt") * 2 + col("nv") + 1))
+              .as("s2"))
+          .select(lit(label).as("dimension"), col("n").as("n_units"),
+            col("t").as("total"),
+            expr("((s2 - (n + 1) * t) * 1000) div (n * t)").as("gini_milli"))
+      }
+      val users = t(s, d, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("v")).select(col("v"))
+      val docs = t(s, d, "documents")
+        .select(TextOps.tokenCount(col("text")).cast("long").as("v"))
+      gini(users, "events_per_user").unionByName(gini(docs, "tokens_per_doc"))
+        .orderBy(col("dimension"))
+    })
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -5858,6 +5933,77 @@ object SparkEntry {
 
     "q182_table_catalog" -> Tables.names.sorted.map(n =>
         s"SELECT '$n' AS table_name, count(*) AS n_rows FROM $n")
-      .mkString("", " UNION ALL ", " ORDER BY table_name")
+      .mkString("", " UNION ALL ", " ORDER BY table_name"),
+
+    "q183_iqr_outliers" ->
+      """WITH v AS (SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cp
+           FROM lineitem),
+         h AS (SELECT l_returnflag, cp, count(*) AS n FROM v GROUP BY 1, 2),
+         c AS (SELECT l_returnflag, cp, n,
+             sum(n) OVER (PARTITION BY l_returnflag ORDER BY cp
+               ROWS UNBOUNDED PRECEDING) AS cum_le,
+             sum(n) OVER (PARTITION BY l_returnflag) AS ng
+           FROM h),
+         cuts AS (SELECT l_returnflag,
+             CAST(min(CASE WHEN cum_le >= (25 * ng + 99) // 100 THEN cp END)
+               AS BIGINT) AS p25,
+             CAST(min(CASE WHEN cum_le >= (75 * ng + 99) // 100 THEN cp END)
+               AS BIGINT) AS p75
+           FROM c GROUP BY 1),
+         f AS (SELECT l_returnflag, p25 - (3 * (p75 - p25)) // 2 AS lo_fence,
+                 p75 + (3 * (p75 - p25)) // 2 AS hi_fence
+               FROM cuts)
+         SELECT v.l_returnflag, count(*) AS n_rows,
+           CAST(min(f.lo_fence) AS BIGINT) AS lo_fence,
+           CAST(min(f.hi_fence) AS BIGINT) AS hi_fence,
+           CAST(sum(CASE WHEN v.cp < f.lo_fence THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low,
+           CAST(sum(CASE WHEN v.cp > f.hi_fence THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high
+         FROM v JOIN f USING (l_returnflag)
+         GROUP BY 1 ORDER BY 1""",
+
+    "q184_seasonal_decomposition" ->
+      """WITH e2 AS (SELECT event_type, value,
+             CAST(hour(ts) AS INTEGER) AS hr,
+             CAST(dayofweek(ts) + 1 AS INTEGER) AS dow
+           FROM events),
+         mh AS (SELECT event_type, hr, avg(value) AS m_hr
+                FROM e2 GROUP BY 1, 2),
+         md AS (SELECT event_type, dow, avg(value) AS m_dow
+                FROM e2 GROUP BY 1, 2),
+         g AS (SELECT event_type, avg(value) AS m_all FROM e2 GROUP BY 1),
+         r AS (SELECT e2.event_type, e2.value,
+                 e2.value - mh.m_hr - md.m_dow + g.m_all AS res
+               FROM e2 JOIN mh USING (event_type, hr)
+                       JOIN md USING (event_type, dow)
+                       JOIN g USING (event_type))
+         SELECT event_type, count(*) AS n,
+           round(avg(value * value) - avg(value) * avg(value), 6) AS raw_var,
+           round(avg(res * res) - avg(res) * avg(res), 6) AS resid_var
+         FROM r GROUP BY 1 ORDER BY 1""",
+
+    "q185_gini" -> {
+      def giniSql(perKey: String, label: String): String =
+        s"""SELECT '$label' AS dimension, n AS n_units, t AS total,
+           ((s2 - (n + 1) * t) * 1000) // (n * t) AS gini_milli
+           FROM (SELECT CAST(sum(nv) AS BIGINT) AS n,
+               CAST(sum(v * nv) AS BIGINT) AS t,
+               CAST(sum(v * nv * (cum_lt * 2 + nv + 1)) AS BIGINT) AS s2
+             FROM (SELECT v, nv,
+                 coalesce(sum(nv) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_lt
+               FROM (SELECT v, count(*) AS nv FROM ($perKey) GROUP BY 1)))"""
+      val users =
+        "SELECT count(*) AS v FROM events GROUP BY user_id"
+      val docs =
+        """SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           AS v FROM documents"""
+      s"""SELECT * FROM (${giniSql(users, "events_per_user")}
+         UNION ALL ${giniSql(docs, "tokens_per_doc")})
+         ORDER BY dimension"""
+    }
   )
 }
