@@ -2315,10 +2315,15 @@ object SparkEntry {
     // the calendar, not the data.
     "q149_resample_ffill" -> ((s, d) => {
       val ev = t(s, d, "events")
+      // The carried value is EXACT integer milli-of-centi (values are
+      // centi-precision, so floor(v·100+.5) is lossless): round(avg(),6)
+      // sat on a half-ulp boundary at sf0.1 and flipped between engines
+      // with the float sum order — integer division cannot.
       val hourly = ev
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
         .agg(count(lit(1)).as("n_events"),
-          round(avg(col("value")), 6).as("avg_value"))
+          expr("sum(floor(value * 100 + 0.5)) * 1000 div count(*)")
+            .as("avg_value"))
       val spine = ev.groupBy(col("event_type"))
         .agg(date_trunc("hour", min(col("ts"))).as("h0"),
           date_trunc("hour", max(col("ts"))).as("h1"))
@@ -5330,9 +5335,13 @@ object SparkEntry {
            count(*) AS n_purchases, round(sum(value), 2) AS total_value
          FROM p WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""",
 
+    // The carried value is exact integer milli-of-centi (see the engine
+    // comment): a float avg hit a rounding boundary at sf0.1.
     "q149_resample_ffill" ->
       """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour,
-             count(*) AS n_events, round(avg(value), 6) AS avg_value
+             count(*) AS n_events,
+             CAST(CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) * 1000
+               // count(*) AS BIGINT) AS avg_value
            FROM events GROUP BY 1, 2),
          bounds AS (SELECT event_type, date_trunc('hour', min(ts)) AS h0,
              date_trunc('hour', max(ts)) AS h1 FROM events GROUP BY 1),
