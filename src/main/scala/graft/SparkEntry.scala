@@ -3139,6 +3139,74 @@ object SparkEntry {
         .select(TextOps.tokenCount(col("text")).cast("long").as("v"))
       gini(users, "events_per_user").unionByName(gini(docs, "tokens_per_doc"))
         .orderBy(col("dimension"))
+    }),
+
+    // Quality-vs-volume tradeoff curve: docs and tokens surviving each
+    // candidate quality cutoff — the chart a curator reads to PICK the
+    // gate before running it. One corpus scan collapses to the quality
+    // histogram (with token mass), then an 11-row threshold spine
+    // cross-joins the ≤1001-row histogram — sweep cost is independent of
+    // corpus size.
+    "q186_quality_volume_curve" -> ((s, d) => {
+      val h = t(s, d, "documents")
+        .select(TextOps.qualityScoreMilli(col("text")).as("q"),
+          TextOps.tokenCount(col("text")).cast("long").as("toks"))
+        .groupBy(col("q"))
+        .agg(count(lit(1)).as("nd"), sum(col("toks")).as("nt"))
+      val tot = h.agg(sum(col("nd")).as("td"), sum(col("nt")).as("tt"))
+      val spine = s.range(0, 11).select((col("id") * 100).as("threshold"))
+      spine.crossJoin(h).crossJoin(broadcast(tot))
+        .groupBy(col("threshold"))
+        .agg(sum(when(col("q") >= col("threshold"), col("nd")).otherwise(0L))
+            .as("n_docs_kept"),
+          sum(when(col("q") >= col("threshold"), col("nt")).otherwise(0L))
+            .as("n_tokens_kept"),
+          expr("sum(CASE WHEN q >= threshold THEN nt ELSE 0 END) * 1000000" +
+            " div min(tt)").as("token_share_ppm"))
+        .orderBy(col("threshold"))
+    }),
+
+    // Effort-to-convert distribution: events a user generates STRICTLY
+    // before their first purchase — one conditional-min + conditional-sum
+    // aggregate per user (no window, no self-join), quartiles off the
+    // bounded count histogram.
+    "q187_events_to_convert" -> ((s, d) => {
+      val firstPurchase = t(s, d, "events")
+        .withColumn("us", TimeOps.epochMicros(col("ts")))
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "purchase", col("us"))).as("p_us"))
+        .where(col("p_us").isNotNull)
+      val withBefore = t(s, d, "events")
+        .withColumn("us", TimeOps.epochMicros(col("ts")))
+        .join(firstPurchase, Seq("user_id"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("us") < col("p_us"), 1L).otherwise(0L)).as("v"))
+      val cuts = Calibrate.nearestRankCuts(withBefore, Seq.empty, "v",
+        Seq(25, 50, 75))
+      withBefore.agg(count(lit(1)).as("n_converting"),
+          max(col("v")).as("max_events_before"))
+        .crossJoin(broadcast(cuts))
+        .select(col("n_converting"), col("p25"), col("p50"), col("p75"),
+          col("max_events_before"))
+    }),
+
+    // Brand price realization: achieved per-unit revenue vs the part's
+    // list price, in exact integer ppm — the margin read over the part
+    // dim. Revenue and quantity pre-aggregate per part BEFORE the
+    // broadcast dim join; one fact pass.
+    "q188_brand_margin" -> ((s, d) => {
+      val per = t(s, d, "lineitem").groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev"), sum(col("l_quantity")).as("qty"))
+      per.join(broadcast(t(s, d, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"),
+          round(sum(col("rev")), 2).as("revenue"),
+          round(sum(col("qty")), 2).as("units"),
+          round(sum(col("rev")) / sum(col("qty") * col("p_retailprice")), 6)
+            .as("realization_ratio"))
+        .orderBy(col("p_brand"))
     })
   )
 
@@ -6013,6 +6081,66 @@ object SparkEntry {
       s"""SELECT * FROM (${giniSql(users, "events_per_user")}
          UNION ALL ${giniSql(docs, "tokens_per_doc")})
          ORDER BY dimension"""
-    }
+    },
+
+    "q186_quality_volume_curve" ->
+      s"""WITH $qualityMilliCte,
+         d2 AS (SELECT q.doc_id, q.quality_milli AS qv,
+             CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+               AS toks
+           FROM documents d JOIN q ON q.doc_id = d.doc_id),
+         h AS (SELECT qv, count(*) AS nd, CAST(sum(toks) AS BIGINT) AS nt
+               FROM d2 GROUP BY 1),
+         tot AS (SELECT CAST(sum(nt) AS BIGINT) AS tt FROM h),
+         sp AS (SELECT unnest(range(0, 11)) * 100 AS threshold)
+         SELECT sp.threshold,
+           CAST(sum(CASE WHEN h.qv >= sp.threshold THEN h.nd ELSE 0 END)
+             AS BIGINT) AS n_docs_kept,
+           CAST(sum(CASE WHEN h.qv >= sp.threshold THEN h.nt ELSE 0 END)
+             AS BIGINT) AS n_tokens_kept,
+           CAST(sum(CASE WHEN h.qv >= sp.threshold THEN h.nt ELSE 0 END)
+             * 1000000 // min(tot.tt) AS BIGINT) AS token_share_ppm
+         FROM sp CROSS JOIN h CROSS JOIN tot
+         GROUP BY 1 ORDER BY threshold""",
+
+    "q187_events_to_convert" ->
+      """WITH fp AS (SELECT user_id,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS p_us
+           FROM events GROUP BY 1
+           HAVING min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+             IS NOT NULL),
+         wb AS (SELECT e.user_id,
+             CAST(sum(CASE WHEN epoch_us(e.ts) < fp.p_us THEN 1 ELSE 0 END)
+               AS BIGINT) AS v
+           FROM events e JOIN fp USING (user_id) GROUP BY 1),
+         h AS (SELECT v, count(*) AS cnt FROM wb GROUP BY 1),
+         c AS (SELECT v, cnt,
+             sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_le,
+             sum(cnt) OVER () AS ng
+           FROM h),
+         cuts AS (SELECT
+             CAST(min(CASE WHEN cum_le >= (25 * ng + 99) // 100 THEN v END)
+               AS BIGINT) AS p25,
+             CAST(min(CASE WHEN cum_le >= (50 * ng + 99) // 100 THEN v END)
+               AS BIGINT) AS p50,
+             CAST(min(CASE WHEN cum_le >= (75 * ng + 99) // 100 THEN v END)
+               AS BIGINT) AS p75
+           FROM c),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n_converting,
+             CAST(max(v) AS BIGINT) AS max_events_before FROM wb)
+         SELECT n_converting, p25, p50, p75, max_events_before
+         FROM st, cuts""",
+
+    "q188_brand_margin" ->
+      """WITH per AS (SELECT l_partkey,
+             sum(l_extendedprice * (1.0 - l_discount)) AS rev,
+             sum(l_quantity) AS qty
+           FROM lineitem GROUP BY 1)
+         SELECT p_brand, count(*) AS n_parts, round(sum(rev), 2) AS revenue,
+           round(sum(qty), 2) AS units,
+           round(sum(rev) / sum(qty * p_retailprice), 6) AS realization_ratio
+         FROM per JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY 1"""
   )
 }
