@@ -3207,6 +3207,83 @@ object SparkEntry {
           round(sum(col("rev")) / sum(col("qty") * col("p_retailprice")), 6)
             .as("realization_ratio"))
         .orderBy(col("p_brand"))
+    }),
+
+    // Vocabulary-band composition per source: what share of each
+    // source's token mass is head (global top-100 tokens), tail
+    // (occurring ≤2 times corpus-wide), or mid — the lexical-register
+    // read behind tokenizer and filter design. The head list is a
+    // TakeOrdered(100) broadcast; the occurrence counts join back keyed
+    // by token (vocab-bounded, the postings shape).
+    "q189_vocab_bands" -> ((s, d) => {
+      val tk = t(s, d, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+      val counts = mat(tk.groupBy(col("w")).agg(count(lit(1)).as("cnt")))
+      val head = counts.orderBy(col("cnt").desc, col("w")).limit(100)
+        .select(col("w"), lit(1).as("is_head"))
+      tk.join(counts, Seq("w")).join(broadcast(head), Seq("w"), "left")
+        .withColumn("band", when(col("is_head").isNotNull, "head")
+          .when(col("cnt") <= 2, "tail").otherwise("mid"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          expr("sum(CASE WHEN band = 'head' THEN 1 ELSE 0 END) * 1000000" +
+            " div count(*)").as("head_ppm"),
+          expr("sum(CASE WHEN band = 'mid' THEN 1 ELSE 0 END) * 1000000" +
+            " div count(*)").as("mid_ppm"),
+          expr("sum(CASE WHEN band = 'tail' THEN 1 ELSE 0 END) * 1000000" +
+            " div count(*)").as("tail_ppm"))
+        .orderBy(col("source"))
+    }),
+
+    // Data-quality rule engine outcome: the assertion table a pipeline
+    // gate reads — value ranges, empty payloads, cross-table referential
+    // integrity (orphan orders, ship-before-order) — one count per rule,
+    // each rule its own pushed-down scan or keyed join.
+    "q190_dq_rules" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val li = t(s, d, "lineitem")
+      val ord = t(s, d, "orders")
+      def rule(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_violations"))
+          .select(lit(name).as("rule_name"), col("n_violations"))
+      Seq(
+        rule("documents_empty_text",
+          t(s, d, "documents").where(length(trim(col("text"))) === 0)),
+        rule("events_nonpositive_value", ev.where(col("value") <= 0)),
+        rule("events_null_props", ev.where(col("props").isNull)),
+        rule("lineitem_discount_range",
+          li.where(col("l_discount") < 0 || col("l_discount") > 0.5)),
+        rule("lineitem_ship_before_order",
+          li.join(ord, col("l_orderkey") === col("o_orderkey"))
+            .where(col("l_shipdate") < col("o_orderdate"))),
+        rule("orders_orphan_customer",
+          ord.join(t(s, d, "customer"),
+            col("o_custkey") === col("c_custkey"), "left_anti"))
+      ).reduce(_.unionByName(_)).orderBy(col("rule_name"))
+    }),
+
+    // ANN recall@k sweep (k = 1, 5, 10): the eval grid behind choosing
+    // the LSH working point — one exact truth ranking and one LSH
+    // ranking, joined once, with the three cutoffs read off conditional
+    // sums (no per-k recomputation).
+    "q191_recall_at_k" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.where(col("vec_id") < 20)
+      val exact = Ann.bruteForceTopK(qs, emb, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("corpus_id"), col("rank").as("re"))
+      val approx = Ann.lshTopK(qs, emb, "vec_id", "embedding",
+          k = 10, numPlanes = 6, dim = 64, multiProbe = 1)
+        .select(col("query_id"), col("corpus_id"), col("rank").as("ra"))
+      exact.join(approx, Seq("query_id", "corpus_id"), "left")
+        .agg(countDistinct(col("query_id")).as("nq"),
+          sum(when(col("re") <= 1 && col("ra") <= 1, 1L).otherwise(0L)).as("h1"),
+          sum(when(col("re") <= 5 && col("ra") <= 5, 1L).otherwise(0L)).as("h5"),
+          sum(when(col("re") <= 10 && col("ra") <= 10, 1L).otherwise(0L))
+            .as("h10"))
+        .select(expr("stack(3, 1, h1, 5, h5, 10, h10) AS (k, n_hit)"), col("nq"))
+        .select(col("k"), (col("k") * col("nq")).as("n_true"), col("n_hit"),
+          expr("n_hit * 1000 div (k * nq)").as("recall_milli"))
+        .orderBy(col("k"))
     })
   )
 
@@ -3580,6 +3657,47 @@ object SparkEntry {
     * chains inlined over ONE shared signature CTE, counts left-joined per
     * query point. recall_milli uses floor integer division, mirroring the
     * engine's floor(n_hit*1000/n_exact). */
+  /** q191 oracle: the q89 exact/LSH rank CTEs, swept at k = 1/5/10 via
+    * conditional sums over ONE rank join (same shape as the engine). */
+  private def recallAtKSql: String = {
+    val sigExpr = annSigExpr
+    val probes = annProbes
+    s"""WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+       n AS (SELECT vec_id, vec, sqrt(list_dot_product(vec, vec)) AS norm, $sigExpr AS sig
+             FROM p),
+       exr AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(list_dot_product(q.vec, c.vec) / (q.norm * c.norm), 6) DESC,
+                            c.vec_id) AS r
+               FROM n c, n q WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+       qb AS (SELECT vec_id, vec, norm,
+                unnest(list_transform($probes, o -> xor(sig, CAST(o AS BIGINT)))) AS bucket
+              FROM n WHERE vec_id < 20),
+       asims AS (SELECT DISTINCT qb.vec_id AS query_id, c.vec_id AS corpus_id,
+                   round(list_dot_product(qb.vec, c.vec) / (qb.norm * c.norm), 6) AS cosine
+                 FROM n c JOIN qb ON c.sig = qb.bucket
+                 WHERE qb.vec_id <> c.vec_id),
+       ar AS (SELECT query_id, corpus_id,
+                row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, corpus_id) AS r FROM asims),
+       j AS (SELECT e.query_id, e.r AS re, a.r AS ra
+             FROM exr e LEFT JOIN ar a
+               ON a.query_id = e.query_id AND a.corpus_id = e.corpus_id
+               AND a.r <= 10
+             WHERE e.r <= 10),
+       agg AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS nq,
+           CAST(sum(CASE WHEN re <= 1 AND ra <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+           CAST(sum(CASE WHEN re <= 5 AND ra <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS h5,
+           CAST(sum(CASE WHEN re <= 10 AND ra <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS h10
+         FROM j)
+       SELECT k, k * nq AS n_true, h AS n_hit,
+         CAST(h * 1000 // (k * nq) AS BIGINT) AS recall_milli
+       FROM (SELECT 1 AS k, h1 AS h, nq FROM agg
+             UNION ALL SELECT 5, h5, nq FROM agg
+             UNION ALL SELECT 10, h10, nq FROM agg)
+       ORDER BY k"""
+  }
+
   private def annRecallSql: String = {
     val sigExpr = annSigExpr
     val probes = annProbes
@@ -6141,6 +6259,46 @@ object SparkEntry {
            round(sum(qty), 2) AS units,
            round(sum(rev) / sum(qty * p_retailprice), 6) AS realization_ratio
          FROM per JOIN part ON l_partkey = p_partkey
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+
+    "q189_vocab_bands" ->
+      """WITH tk AS (SELECT source,
+             unnest(string_split_regex(trim(text), '\s+')) AS w
+           FROM documents),
+         counts AS (SELECT w, count(*) AS cnt FROM tk GROUP BY 1),
+         head AS (SELECT w FROM counts ORDER BY cnt DESC, w LIMIT 100),
+         b AS (SELECT tk.source,
+             CASE WHEN head.w IS NOT NULL THEN 'head'
+                  WHEN counts.cnt <= 2 THEN 'tail'
+                  ELSE 'mid' END AS band
+           FROM tk JOIN counts USING (w)
+           LEFT JOIN head ON head.w = tk.w)
+         SELECT source, count(*) AS n_tokens,
+           CAST(sum(CASE WHEN band = 'head' THEN 1 ELSE 0 END) * 1000000
+             // count(*) AS BIGINT) AS head_ppm,
+           CAST(sum(CASE WHEN band = 'mid' THEN 1 ELSE 0 END) * 1000000
+             // count(*) AS BIGINT) AS mid_ppm,
+           CAST(sum(CASE WHEN band = 'tail' THEN 1 ELSE 0 END) * 1000000
+             // count(*) AS BIGINT) AS tail_ppm
+         FROM b GROUP BY 1 ORDER BY 1""",
+
+    "q190_dq_rules" ->
+      """SELECT 'documents_empty_text' AS rule_name,
+           count(*) AS n_violations FROM documents
+           WHERE length(trim(text)) = 0
+         UNION ALL SELECT 'events_nonpositive_value', count(*) FROM events
+           WHERE value <= 0
+         UNION ALL SELECT 'events_null_props', count(*) FROM events
+           WHERE props IS NULL
+         UNION ALL SELECT 'lineitem_discount_range', count(*) FROM lineitem
+           WHERE l_discount < 0 OR l_discount > 0.5
+         UNION ALL SELECT 'lineitem_ship_before_order', count(*)
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_shipdate < o_orderdate
+         UNION ALL SELECT 'orders_orphan_customer', count(*) FROM orders
+           WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+         ORDER BY rule_name""",
+
+    "q191_recall_at_k" -> recallAtKSql
   )
 }
