@@ -3284,6 +3284,81 @@ object SparkEntry {
         .select(col("k"), (col("k") * col("nq")).as("n_true"), col("n_hit"),
           expr("n_hit * 1000 div (k * nq)").as("recall_milli"))
         .orderBy(col("k"))
+    }),
+
+    // Revenue by global price quartile band: q151's histogram cuts become
+    // a broadcast 1-row dim and every line item labels itself with pure
+    // column logic — the banded reporting read, no sort anywhere.
+    "q192_price_band_revenue" -> ((s, d) => {
+      val centi = t(s, d, "lineitem").select(
+        floor(col("l_extendedprice") * 100 + 0.5).as("cp"),
+        col("l_extendedprice"), col("l_discount"))
+      val cuts = Calibrate.nearestRankCuts(centi.select(col("cp")), Seq.empty,
+        "cp", Seq(25, 50, 75))
+      centi.crossJoin(broadcast(cuts))
+        .withColumn("band", when(col("cp") <= col("p25"), "q1_low")
+          .when(col("cp") <= col("p50"), "q2_mid_low")
+          .when(col("cp") <= col("p75"), "q3_mid_high")
+          .otherwise("q4_high"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("band"))
+    }),
+
+    // Dual-feed reconciliation — the fintech "do both vendors agree"
+    // report: events hash-split into two feeds, per-minute per-type means
+    // in EXACT integer milli-of-centi for each feed (one conditional
+    // aggregate, no pivot), then the per-type agreement rollup: minutes
+    // covered by both, mean and max absolute divergence.
+    "q193_feed_reconciliation" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .withColumn("feed", functions.Draws.md5Draw(col("event_id"), 2L))
+        .withColumn("c", floor(col("value") * 100 + 0.5))
+        .withColumn("minute", date_trunc("minute", col("ts")))
+      val per = ev.groupBy(col("event_type"), col("minute"))
+        .agg(sum(when(col("feed") === 0, col("c"))).as("sa"),
+          count(when(col("feed") === 0, 1)).as("na"),
+          sum(when(col("feed") === 1, col("c"))).as("sb"),
+          count(when(col("feed") === 1, 1)).as("nb"))
+        .withColumn("da", expr("CASE WHEN na > 0 THEN sa * 1000 div na END"))
+        .withColumn("db", expr("CASE WHEN nb > 0 THEN sb * 1000 div nb END"))
+      per.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_minutes"),
+          sum(when(col("da").isNotNull && col("db").isNotNull, 1L)
+            .otherwise(0L)).as("n_both"),
+          sum(when(col("da").isNotNull && col("db").isNotNull,
+            abs(col("da") - col("db"))).otherwise(0L)).as("__sumdiff"),
+          max(when(col("da").isNotNull && col("db").isNotNull,
+            abs(col("da") - col("db")))).as("max_absdiff"))
+        .withColumn("mean_absdiff",
+          when(col("n_both") > 0, expr("__sumdiff div n_both")).otherwise(0L))
+        .withColumn("max_absdiff", coalesce(col("max_absdiff"), lit(0L)))
+        .select(col("event_type"), col("n_minutes"), col("n_both"),
+          col("mean_absdiff"), col("max_absdiff"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Out-of-order ingestion audit — the measurement that SIZES a
+    // streaming watermark: within each user's arrival order (event_id),
+    // how often does event time regress, and by how much? One per-user
+    // running-max window (bounded series), one global rollup.
+    "q194_ooo_audit" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      t(s, d, "events")
+        .withColumn("us", TimeOps.epochMicros(col("ts")))
+        .withColumn("prev_max", max(col("us")).over(w))
+        .where(col("prev_max").isNotNull)
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("us") < col("prev_max"), 1L).otherwise(0L)).as("n_late"),
+          expr("sum(CASE WHEN us < prev_max THEN 1 ELSE 0 END) * 1000000" +
+            " div count(*)").as("late_ppm"),
+          coalesce(max(when(col("us") < col("prev_max"),
+            expr("(prev_max - us) div 1000000"))), lit(0L))
+            .as("max_lateness_sec"))
     })
   )
 
@@ -6299,6 +6374,76 @@ object SparkEntry {
            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
          ORDER BY rule_name""",
 
-    "q191_recall_at_k" -> recallAtKSql
+    "q191_recall_at_k" -> recallAtKSql,
+
+    "q192_price_band_revenue" ->
+      """WITH v AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             AS cp, l_extendedprice, l_discount FROM lineitem),
+         h AS (SELECT cp, count(*) AS n FROM v GROUP BY 1),
+         c AS (SELECT cp, n,
+             sum(n) OVER (ORDER BY cp ROWS UNBOUNDED PRECEDING) AS cum_le,
+             sum(n) OVER () AS ng FROM h),
+         cuts AS (SELECT
+             CAST(min(CASE WHEN cum_le >= (25 * ng + 99) // 100 THEN cp END)
+               AS BIGINT) AS p25,
+             CAST(min(CASE WHEN cum_le >= (50 * ng + 99) // 100 THEN cp END)
+               AS BIGINT) AS p50,
+             CAST(min(CASE WHEN cum_le >= (75 * ng + 99) // 100 THEN cp END)
+               AS BIGINT) AS p75
+           FROM c),
+         b AS (SELECT CASE WHEN v.cp <= cuts.p25 THEN 'q1_low'
+                 WHEN v.cp <= cuts.p50 THEN 'q2_mid_low'
+                 WHEN v.cp <= cuts.p75 THEN 'q3_mid_high'
+                 ELSE 'q4_high' END AS band,
+               v.l_extendedprice * (1.0 - v.l_discount) AS rev
+             FROM v CROSS JOIN cuts)
+         SELECT band, count(*) AS n_rows, round(sum(rev), 2) AS revenue
+         FROM b GROUP BY 1 ORDER BY 1""",
+
+    "q193_feed_reconciliation" ->
+      """WITH ev AS (SELECT event_type, date_trunc('minute', ts) AS minute,
+             CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)
+               AS BIGINT) % 2 AS feed,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+           FROM events),
+         per AS (SELECT event_type, minute,
+             CAST(sum(CASE WHEN feed = 0 THEN c END) AS BIGINT) AS sa,
+             count(CASE WHEN feed = 0 THEN 1 END) AS na,
+             CAST(sum(CASE WHEN feed = 1 THEN c END) AS BIGINT) AS sb,
+             count(CASE WHEN feed = 1 THEN 1 END) AS nb
+           FROM ev GROUP BY 1, 2),
+         d AS (SELECT event_type,
+             CASE WHEN na > 0 THEN sa * 1000 // na END AS da,
+             CASE WHEN nb > 0 THEN sb * 1000 // nb END AS db
+           FROM per)
+         SELECT event_type, count(*) AS n_minutes,
+           CAST(sum(CASE WHEN da IS NOT NULL AND db IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+           CAST(CASE WHEN sum(CASE WHEN da IS NOT NULL AND db IS NOT NULL
+               THEN 1 ELSE 0 END) > 0
+             THEN sum(CASE WHEN da IS NOT NULL AND db IS NOT NULL
+                 THEN abs(da - db) ELSE 0 END)
+               // sum(CASE WHEN da IS NOT NULL AND db IS NOT NULL
+                 THEN 1 ELSE 0 END)
+             ELSE 0 END AS BIGINT) AS mean_absdiff,
+           CAST(coalesce(max(CASE WHEN da IS NOT NULL AND db IS NOT NULL
+             THEN abs(da - db) END), 0) AS BIGINT) AS max_absdiff
+         FROM d GROUP BY 1 ORDER BY 1""",
+
+    "q194_ooo_audit" ->
+      """WITH s AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+         p AS (SELECT user_id, us,
+             max(us) OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+           FROM s)
+         SELECT count(*) AS n_events,
+           CAST(sum(CASE WHEN us < prev_max THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(sum(CASE WHEN us < prev_max THEN 1 ELSE 0 END) * 1000000
+             // count(*) AS BIGINT) AS late_ppm,
+           CAST(coalesce(max(CASE WHEN us < prev_max
+             THEN (prev_max - us) // 1000000 END), 0) AS BIGINT)
+             AS max_lateness_sec
+         FROM p WHERE prev_max IS NOT NULL"""
   )
 }
