@@ -3359,6 +3359,53 @@ object SparkEntry {
           coalesce(max(when(col("us") < col("prev_max"),
             expr("(prev_max - us) div 1000000"))), lit(0L))
             .as("max_lateness_sec"))
+    }),
+
+    // Largest-remainder (Hamilton) apportionment of a fixed 1000-slot
+    // budget across sources — the EXACT integer allocation a mixture
+    // planner needs where proportional floors leave slots on the table:
+    // floor shares first, then the leftover slots go to the largest
+    // remainders (source-name tiebreak). The only window ranks the
+    // ~20-row share frame. Σ total_slots = 1000 exactly, by construction.
+    "q195_apportionment" -> ((s, d) => {
+      val shares = t(s, d, "documents").groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+      val tot = shares.agg(sum(col("n")).as("t"))
+      val base = shares.crossJoin(broadcast(tot))
+        .withColumn("base_slots", expr("n * 1000 div t"))
+        .withColumn("rem", expr("n * 1000 - (n * 1000 div t) * t"))
+      val leftover = base.agg((lit(1000L) - sum(col("base_slots"))).as("r"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rem").desc, col("source"))
+      base.crossJoin(broadcast(leftover))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("extra_slot", when(col("rk") <= col("r"), 1L).otherwise(0L))
+        .select(col("source"), col("n").as("n_docs"), col("base_slots"),
+          col("extra_slot"),
+          (col("base_slots") + col("extra_slot")).as("total_slots"))
+        .orderBy(col("source"))
+    }),
+
+    // First-week retention bitmaps: each user's active days 0-6 relative
+    // to their own first day packed into one integer mask — the
+    // compressed retention triangle; patterns histogram with exact
+    // bit_count. Distinct (user, day) pairs, one keyed rejoin for the
+    // per-user epoch, integer bit math end-to-end.
+    "q196_retention_bitmap" -> ((s, d) => {
+      val pairs = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val d0 = pairs.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
+      val masks = pairs.join(d0, Seq("user_id"))
+        .withColumn("off", datediff(col("day"), col("d0")))
+        .where(col("off") <= 6)
+        .select(col("user_id"), expr("shiftleft(CAST(1 AS BIGINT), off)").as("b"))
+        .distinct()
+        .groupBy(col("user_id")).agg(sum(col("b")).as("mask"))
+      masks.groupBy(col("mask"))
+        .agg(count(lit(1)).as("n_users"))
+        .withColumn("n_active_days", expr("CAST(bit_count(mask) AS INT)"))
+        .select(col("mask"), col("n_active_days"), col("n_users"))
+        .orderBy(col("mask"))
     })
   )
 
@@ -6444,6 +6491,38 @@ object SparkEntry {
            CAST(coalesce(max(CASE WHEN us < prev_max
              THEN (prev_max - us) // 1000000 END), 0) AS BIGINT)
              AS max_lateness_sec
-         FROM p WHERE prev_max IS NOT NULL"""
+         FROM p WHERE prev_max IS NOT NULL""",
+
+    "q195_apportionment" ->
+      """WITH shares AS (SELECT source, count(*) AS n
+                         FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM shares),
+         base AS (SELECT source, n,
+             CAST(n * 1000 // t AS BIGINT) AS base_slots,
+             CAST(n * 1000 - (n * 1000 // t) * t AS BIGINT) AS rem
+           FROM shares CROSS JOIN tot),
+         lo AS (SELECT CAST(1000 - sum(base_slots) AS BIGINT) AS r FROM base),
+         rk AS (SELECT base.*, lo.r,
+             row_number() OVER (ORDER BY rem DESC, source) AS rk
+           FROM base CROSS JOIN lo)
+         SELECT source, CAST(n AS BIGINT) AS n_docs, base_slots,
+           CAST(CASE WHEN rk <= r THEN 1 ELSE 0 END AS BIGINT) AS extra_slot,
+           CAST(base_slots + CASE WHEN rk <= r THEN 1 ELSE 0 END AS BIGINT)
+             AS total_slots
+         FROM rk ORDER BY source""",
+
+    "q196_retention_bitmap" ->
+      """WITH pairs AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                        FROM events),
+         d0 AS (SELECT user_id, min(day) AS d0 FROM pairs GROUP BY 1),
+         b AS (SELECT DISTINCT p.user_id,
+             CAST(1 AS BIGINT) << date_diff('day', d0.d0, p.day) AS b
+           FROM pairs p JOIN d0 USING (user_id)
+           WHERE date_diff('day', d0.d0, p.day) <= 6),
+         masks AS (SELECT user_id, CAST(sum(b) AS BIGINT) AS mask
+                   FROM b GROUP BY 1)
+         SELECT mask, CAST(bit_count(mask) AS INTEGER) AS n_active_days,
+           count(*) AS n_users
+         FROM masks GROUP BY 1 ORDER BY mask"""
   )
 }
