@@ -1415,11 +1415,7 @@ object SparkEntry {
       val sig = minhashSignatureFrame(docs)
       val banded = Dedup.minhashBandPostingsFromSignatures(sig,
         numHashes = 8, bands = 4)
-      val cand = banded.select(col("id").as("id_a"), col("band_idx"), col("band_val"))
-        .join(banded.select(col("id").as("id_b"), col("band_idx"), col("band_val")),
-          Seq("band_idx", "band_val"))
-        .where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
+      val cand = Dedup.candidatePairsFromBandPostings(banded)
       val sa = sig.select(col("id").as("id_a") +:
         (0 until 8).map(i => col(s"mh$i").as(s"a$i")): _*)
       val sb = sig.select(col("id").as("id_b") +:
@@ -1969,11 +1965,7 @@ object SparkEntry {
       val sig = minhashSignatureFrame(docs)
       val banded = Dedup.minhashBandPostingsFromSignatures(sig,
         numHashes = 8, bands = 4)
-      val pairs = banded.select(col("id").as("id_a"), col("band_idx"), col("band_val"))
-        .join(banded.select(col("id").as("id_b"), col("band_idx"), col("band_val")),
-          Seq("band_idx", "band_val"))
-        .where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
+      val pairs = Dedup.candidatePairsFromBandPostings(banded)
       val deg = pairs.select(col("id_a").as("id"))
         .union(pairs.select(col("id_b").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("degree"))
@@ -2026,13 +2018,7 @@ object SparkEntry {
       val sig = minhashSignatureFrame(docs)
       val banded = Dedup.minhashBandPostingsFromSignatures(sig, numHashes = 8,
         bands = 4)
-      val cand = banded
-        .select(col("id").as("id_a"), col("band_idx"), col("band_val"))
-        .join(banded
-          .select(col("id").as("id_b"), col("band_idx"), col("band_val")),
-          Seq("band_idx", "band_val"))
-        .where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
+      val cand = Dedup.candidatePairsFromBandPostings(banded)
         .withColumn("__det", lit(1L))
       truth.join(cand, Seq("id_a", "id_b"), "left")
         .groupBy(col("band"))
@@ -2227,12 +2213,7 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       val banded = Dedup.minhashBandPostingsFromSignatures(
         minhashSignatureFrame(docs), numHashes = 8, bands = 4)
-      val pairs = banded
-        .select(col("id").as("id_a"), col("band_idx"), col("band_val"))
-        .join(banded.select(col("id").as("id_b"), col("band_idx"), col("band_val")),
-          Seq("band_idx", "band_val"))
-        .where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
+      val pairs = Dedup.candidatePairsFromBandPostings(banded)
       Graph.pageRankPpm(docs.select(col("doc_id")), "doc_id",
           pairs, "id_a", "id_b", iters = 3)
         .orderBy(col("rank_ppm").desc, col("id"))
@@ -2394,12 +2375,7 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       val banded = Dedup.minhashBandPostingsFromSignatures(
         minhashSignatureFrame(docs), numHashes = 8, bands = 4)
-      val pairs = banded
-        .select(col("id").as("id_a"), col("band_idx"), col("band_val"))
-        .join(banded.select(col("id").as("id_b"), col("band_idx"), col("band_val")),
-          Seq("band_idx", "band_val"))
-        .where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
+      val pairs = Dedup.candidatePairsFromBandPostings(banded)
       val split = operators.Splits.assignSplit(docs.select(col("doc_id")),
         col("doc_id"), Seq(("train", 90), ("val", 95), ("test", 100)))
       pairs
@@ -2502,12 +2478,7 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       val banded = Dedup.minhashBandPostingsFromSignatures(
         minhashSignatureFrame(docs), numHashes = 8, bands = 4)
-      val m = banded
-        .select(col("id").as("id_a"), col("band_idx"), col("band_val"))
-        .join(banded.select(col("id").as("id_b"), col("band_idx"), col("band_val")),
-          Seq("band_idx", "band_val"))
-        .where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
+      val m = Dedup.candidatePairsFromBandPostings(banded)
         .withColumn("in_m", lit(1))
       val sh = Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 3)
         .select(col("id_a"), col("id_b")).withColumn("in_s", lit(1))
@@ -2607,8 +2578,8 @@ object SparkEntry {
     // standard way sliding-window distinct survives scale. The spine
     // bounds clip partial windows at the corpus edge.
     "q161_rolling_wau" -> ((s, d) => {
-      val pairs = t(s, d, "events")
-        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val pairs = mat(t(s, d, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct())
       val bounds = pairs.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
       pairs
         .select(col("user_id"), col("day"),
@@ -2793,12 +2764,7 @@ object SparkEntry {
       val docs = t(s, d, "documents")
       val banded = Dedup.minhashBandPostingsFromSignatures(
         minhashSignatureFrame(docs), numHashes = 8, bands = 4)
-      val cand = banded
-        .select(col("id").as("id_a"), col("band_idx"), col("band_val"))
-        .join(banded.select(col("id").as("id_b"), col("band_idx"), col("band_val")),
-          Seq("band_idx", "band_val"))
-        .where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
+      val cand = Dedup.candidatePairsFromBandPostings(banded)
       val truth = Dedup.pairOverlapCounts(
           Dedup.shinglePostings(docs, "doc_id", "text", 3),
           maxDocFreq = Some(100L))
@@ -2843,10 +2809,10 @@ object SparkEntry {
     "q173_keyword_search" -> ((s, d) => {
       val terms = Seq("spark", "vector", "stream")
       val docs = t(s, d, "documents")
-      val tf = docs
+      val tf = mat(docs
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
         .where(col("w").isin(terms: _*))
-        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf")))
       val dfd = tf.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       tf.join(broadcast(dfd), Seq("w")).crossJoin(broadcast(n))
@@ -2903,11 +2869,14 @@ object SparkEntry {
       val dec = "decimal(38,0)"
       li.join(broadcast(rankDim("x")), Seq("x"))
         .join(broadcast(rankDim("y")), Seq("y"))
+        // operands cast to decimal BEFORE multiplying: a Long product of
+        // two ~2n ranks wraps past ~1.5e9 rows, silently, ahead of any
+        // outer cast (the oracle's HUGEINT product has no such cliff)
         .agg(count(lit(1)).cast(dec).as("n"),
           sum(col("r_x").cast(dec)).as("sx"), sum(col("r_y").cast(dec)).as("sy"),
-          sum((col("r_x") * col("r_x")).cast(dec)).as("sxx"),
-          sum((col("r_y") * col("r_y")).cast(dec)).as("syy"),
-          sum((col("r_x") * col("r_y")).cast(dec)).as("sxy"),
+          sum(col("r_x").cast(dec) * col("r_x").cast(dec)).as("sxx"),
+          sum(col("r_y").cast(dec) * col("r_y").cast(dec)).as("syy"),
+          sum(col("r_x").cast(dec) * col("r_y").cast(dec)).as("sxy"),
           round(corr(col("x"), col("y")), 6).as("pearson_raw"))
         .select(col("n").cast("long").as("n_rows"), col("pearson_raw"),
           round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
@@ -3148,11 +3117,11 @@ object SparkEntry {
     // cross-joins the ≤1001-row histogram — sweep cost is independent of
     // corpus size.
     "q186_quality_volume_curve" -> ((s, d) => {
-      val h = t(s, d, "documents")
+      val h = mat(t(s, d, "documents")
         .select(TextOps.qualityScoreMilli(col("text")).as("q"),
           TextOps.tokenCount(col("text")).cast("long").as("toks"))
         .groupBy(col("q"))
-        .agg(count(lit(1)).as("nd"), sum(col("toks")).as("nt"))
+        .agg(count(lit(1)).as("nd"), sum(col("toks")).as("nt")))
       val tot = h.agg(sum(col("nd")).as("td"), sum(col("nt")).as("tt"))
       val spine = s.range(0, 11).select((col("id") * 100).as("threshold"))
       spine.crossJoin(h).crossJoin(broadcast(tot))
@@ -3392,8 +3361,8 @@ object SparkEntry {
     // bit_count. Distinct (user, day) pairs, one keyed rejoin for the
     // per-user epoch, integer bit math end-to-end.
     "q196_retention_bitmap" -> ((s, d) => {
-      val pairs = t(s, d, "events")
-        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val pairs = mat(t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct())
       val d0 = pairs.groupBy(col("user_id")).agg(min(col("day")).as("d0"))
       val masks = pairs.join(d0, Seq("user_id"))
         .withColumn("off", datediff(col("day"), col("d0")))
@@ -3774,11 +3743,6 @@ object SparkEntry {
        ORDER BY query_id, "rank""""
   }
 
-  /** q89 oracle: recall@10 of the LSH retrieval (annLshSql's construction)
-    * vs the exact brute-force ranking (q46's construction) — both CTE
-    * chains inlined over ONE shared signature CTE, counts left-joined per
-    * query point. recall_milli uses floor integer division, mirroring the
-    * engine's floor(n_hit*1000/n_exact). */
   /** q191 oracle: the q89 exact/LSH rank CTEs, swept at k = 1/5/10 via
     * conditional sums over ONE rank join (same shape as the engine). */
   private def recallAtKSql: String = {
@@ -3820,6 +3784,11 @@ object SparkEntry {
        ORDER BY k"""
   }
 
+  /** q89 oracle: recall@10 of the LSH retrieval (annLshSql's construction)
+    * vs the exact brute-force ranking (q46's construction) — both CTE
+    * chains inlined over ONE shared signature CTE, counts left-joined per
+    * query point. recall_milli uses floor integer division, mirroring the
+    * engine's floor(n_hit*1000/n_exact). */
   private def annRecallSql: String = {
     val sigExpr = annSigExpr
     val probes = annProbes

@@ -814,15 +814,24 @@ object Dedup {
     * a bucket — the pair-LISTING shape; for duplicate-GROUP resolution use
     * [[minhashStarEdges]]. */
   def minhashLshCandidates(df: DataFrame, idCol: String, textCol: String, n: Int,
-                           numHashes: Int, bands: Int): DataFrame = {
-    val banded = minhashBandPostings(df, idCol, textCol, n, numHashes, bands)
+                           numHashes: Int, bands: Int): DataFrame =
+    candidatePairsFromBandPostings(
+      minhashBandPostings(df, idCol, textCol, n, numHashes, bands))
+
+  /** The bucket self-join of ANY (id, band_idx, band_val) posting frame →
+    * distinct ordered candidate pairs (id_a < id_b) — the one pair
+    * construction every banded consumer shares (the LSH candidates here,
+    * the recall/precision/leakage/agreement/PageRank queries in
+    * SparkEntry). Centralized so the ordering tiebreak and the distinct
+    * are fixed in ONE place; a diverging copy would silently desynchronize
+    * a query from its oracle mirror. */
+  def candidatePairsFromBandPostings(banded: DataFrame): DataFrame =
     banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_val") === col("b.band_val") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-  }
 
   /** MinHash STAR edges for component resolution: per (band, value) bucket,
     * one edge from the bucket's min id to every other member — linear in

@@ -43,8 +43,19 @@ object Coverage {
     import spark.implicits._
     val doMat = spark.conf.get("graft.materialize", "true") != "false"
     def mat(df: DataFrame): DataFrame = if (doMat) df.localCheckpoint() else df
+    // Null tripwire (the Splits.assignSplit convention): a null key never
+    // matches the covered set through the anti-join, so it would re-count
+    // toward its doc's gain EVERY round — and the oracle's NOT-IN mirror
+    // excludes it from round 2 on, silently desynchronizing the engines.
+    // A null id would NPE at the winner collect. Fail loudly instead.
     val p = mat(postings
-      .select(col(idCol).cast("long").as("id"), col(keyCol).as("sh"))
+      .select(
+        when(col(idCol).isNull, raise_error(
+          lit("greedyCover: null id in postings"))).otherwise(col(idCol))
+          .cast("long").as("id"),
+        when(col(keyCol).isNull, raise_error(
+          lit("greedyCover: null key in postings"))).otherwise(col(keyCol))
+          .as("sh"))
       .distinct())
     var covered: DataFrame = null
     val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)]()

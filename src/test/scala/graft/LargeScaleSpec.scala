@@ -394,16 +394,16 @@ class LargeScaleSpec extends AnyFunSuite {
       f"4× data cost $ratio%.1f× wall — super-linear; the hot n-gram pinned the join")
   }
 
-  /** Mega-hub graph: node 0 touches n/10 leaves (the giant duplicate
-    * cluster's root shape) plus a chain for diameter. The inflow aggregate
-    * keyed by dst must map-side-combine the hub's n/10 contributions —
-    * any shape that shuffles one row per hub edge to a single reducer
-    * degrades super-linearly here. */
   /** Mass scale for the big runs: per-node quantities stay ~10⁶ at n=10⁶,
     * far above the flooring loss (the 10⁶ ppm default would quantize to
     * zero here — the documented resolution contract). */
   private val PrMass = 1000000000000L
 
+  /** Mega-hub graph: node 0 touches n/10 leaves (the giant duplicate
+    * cluster's root shape) plus a chain for diameter. The inflow aggregate
+    * keyed by dst must map-side-combine the hub's n/10 contributions —
+    * any shape that shuffles one row per hub edge to a single reducer
+    * degrades super-linearly here. */
   private def pageRankPipeline(n: Long): (Long, Long) = {
     import spark.implicits._
     val nodes = spark.range(n).select(col("id"))
