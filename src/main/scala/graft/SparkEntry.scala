@@ -1475,11 +1475,19 @@ object SparkEntry {
       val docs = t(s, d, "documents")
         .withColumn("n_toks", TextOps.tokenCount(col("text")).cast("long"))
         .withColumn("quality_milli", TextOps.qualityScoreMilli(col("text")))
+      // Mean as exact integer micro-units (sum·1000 div n), never
+      // round(avg(...),6): a double mean on a half-ulp boundary flips the
+      // 6th decimal with Spark's partition-order summation (the q149/q108
+      // cross-engine hazard). sum ≤ 1e15 even at 1e12 docs, ·1000 fits long.
       docs.cube(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_toks")).as("n_toks"),
-          round(avg(col("quality_milli")), 6).as("avg_quality_milli"),
+          sum(col("quality_milli")).as("sum_quality_milli"),
           grouping_id().as("gid"))
+        .withColumn("avg_quality_micro",
+          expr("sum_quality_milli * 1000 div n_docs"))
+        .select(col("lang"), col("source"), col("n_docs"), col("n_toks"),
+          col("sum_quality_milli"), col("avg_quality_micro"), col("gid"))
         .orderBy(col("gid"), col("lang"), col("source"))
     }),
 
@@ -1602,7 +1610,9 @@ object SparkEntry {
         .where(col("__gap").isNotNull)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_gaps"),
-          round(avg(col("__gap")) / 1000000d, 6).as("avg_gap_s"),
+          // Exact integer mean in micros (gaps are nonneg longs): a double
+          // avg here is partition-order-sensitive — the q108/q149 class.
+          expr("sum(__gap) div count(*)").as("avg_gap_us"),
           expr("max(__gap) div 1000000").as("max_gap_s"),
           expr("count(CASE WHEN __gap < 60000000 THEN 1 END) * 1000 div count(*)")
             .as("burst_milli"))
@@ -1730,10 +1740,13 @@ object SparkEntry {
     // Per-label centroid shift between two corpus halves (vec_id parity) —
     // the embedding-space drift monitor complementing q94–q96's scalar
     // drift family. Per-dim means via posexplode + (label, dim, half)
-    // aggregate (map-side combined; never a whole-label array in one task);
-    // each mean is rounded to micro units and the squared L2 shift is then
-    // EXACT integer arithmetic — no order-dependent double sum survives to
-    // the compare.
+    // aggregate (map-side combined; never a whole-label array in one task).
+    // The mean is EXACT end-to-end: each float component is integerized as
+    // floor((x+1)·2²⁴) — x+1 > 0 keeps the later integer division out of
+    // the div-truncates vs //-floors divergence, and a float's 24-bit
+    // mantissa scales by 2²⁴ losslessly — so the per-cell micro mean and
+    // the squared L2 shift are order-independent integers (a double avg
+    // here is the q108/q149 partition-order class).
     "q125_centroid_shift" -> ((s, d) => {
       // Materialized: both half-branches read this (labels×dims×2)-row
       // frame; lazy it would re-run the corpus-sized explode+agg twice.
@@ -1741,7 +1754,8 @@ object SparkEntry {
         .select(col("vec_id"), col("label"),
           posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy(col("label"), col("dim"), (col("vec_id") % 2).as("half"))
-        .agg(round(avg(col("x").cast("double")) * 1000000d, 0).cast("long")
+        .agg(expr("sum(CAST(floor((CAST(x AS DOUBLE) + 1.0d) * 16777216.0d) AS BIGINT))" +
+            " * 1000000 div (count(*) * 16777216) - 1000000")
           .as("c_micro")))
       val a = cent.where(col("half") === 0)
         .select(col("label"), col("dim"), col("c_micro").as("__a"))
@@ -2325,23 +2339,29 @@ object SparkEntry {
 
     // Per-type daily trend via closed-form OLS over aggregate sums — the
     // regression a monitoring dashboard fits, with no per-group sort or
-    // collect: day indexes and their squares sum EXACTLY as longs, the
-    // daily means are rounded once before entering the sums, and the one
-    // float division lands under the terminal round(6).
+    // collect. Integer-exact end-to-end: daily means are milli-of-centi
+    // longs (the q149 fill-value fix — round(avg(),6) here flipped on a
+    // half-ulp boundary between engines), the OLS sums are exact long
+    // products, and the slope lands as a truncated e-5-units integer (the
+    // explicit sign split keeps Spark's div-truncates and DuckDB's
+    // //-floors on the same nonnegative operands).
     "q150_trend_slope" -> ((s, d) => {
       val daily = t(s, d, "events")
         .groupBy(col("event_type"),
           datediff(to_date(col("ts")), to_date(lit("1970-01-01"))).as("day"))
-        .agg(round(avg(col("value")), 6).as("y"))
+        .agg(expr("sum(floor(value * 100 + 0.5)) * 1000 div count(*)").as("y"))
       daily.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_days"),
           sum(col("day")).as("sx"), sum(expr("day * day")).as("sxx"),
           sum(col("y")).as("sy"), sum(col("day") * col("y")).as("sxy"))
+        .withColumn("__a",
+          col("n_days") * col("sxy") - col("sx") * col("sy"))
+        .withColumn("__b",
+          col("n_days") * col("sxx") - col("sx") * col("sx"))
         .select(col("event_type"), col("n_days"),
-          round((col("n_days") * col("sxy") - col("sx") * col("sy")) /
-            (col("n_days") * col("sxx") - col("sx") * col("sx")), 6)
-            .as("slope_per_day"),
-          round(col("sy") / col("n_days"), 6).as("mean_daily_value"))
+          expr("CASE WHEN __a >= 0 THEN __a div __b ELSE -((-__a) div __b) END")
+            .as("slope_e5_per_day"),
+          expr("sy div n_days").as("mean_daily_e5"))
         .orderBy(col("event_type"))
     }),
 
@@ -2784,6 +2804,11 @@ object SparkEntry {
     // burst periods. The lead window partitions by (type, day), so no
     // partition outgrows a day; durations are exact integer micros via
     // the NTZ-safe epoch helper.
+    // Integer-exact: values are centi-grid, so the time-weighted sum is an
+    // exact long (centi·µs ≤ 5.6e4·8.64e10 per day-group — no overflow),
+    // and the TWAP lands as centi + remainder-ppm integers instead of a
+    // round(float-sum / float-sum, 6) whose partition-order noise is the
+    // q108/q149 cross-engine class.
     "q172_twap" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("event_type"), col("day"))
@@ -2791,13 +2816,18 @@ object SparkEntry {
       t(s, d, "events")
         .withColumn("day", to_date(col("ts")))
         .withColumn("us", TimeOps.epochMicros(col("ts")))
+        .withColumn("vc", expr("floor(value * 100 + 0.5)"))
         .withColumn("dur_us", lead(col("us"), 1).over(w) - col("us"))
         .where(col("dur_us").isNotNull)
         .groupBy(col("event_type"), col("day"))
         .agg(count(lit(1)).as("n_intervals"),
-          round(sum(col("value") * col("dur_us")) / sum(col("dur_us")), 6)
-            .as("twap"),
-          round(avg(col("value")), 6).as("plain_mean"))
+          expr("sum(vc * dur_us)").as("__svd"),
+          sum(col("dur_us")).as("__sd"),
+          sum(col("vc")).as("__sv"))
+        .select(col("event_type"), col("day"), col("n_intervals"),
+          expr("__svd div __sd").as("twap_centi"),
+          expr("(__svd % __sd) * 1000000 div __sd").as("twap_frac_ppm"),
+          expr("__sv * 1000 div n_intervals").as("plain_centimilli"))
         .orderBy(col("event_type"), col("day"))
     }),
 
@@ -3061,24 +3091,38 @@ object SparkEntry {
     // the q05/q06 tables put to work), with residual vs raw variance —
     // the "how much of the signal is calendar" read. Three tiny profile
     // aggregates and one fact pass.
+    // Integer-exact throughout: centi values scale to milli-of-centi
+    // longs, the calendar profile means are truncated integer divisions,
+    // residuals stay integers, and both variances come out of the
+    // n·Σx²−(Σx)² identity in DECIMAL(38,0) — no order-dependent double
+    // mean or square reaches the compare (the q108/q149 class; the old
+    // round(avg(v²)−avg(v)², 6) chain carried four float accumulations).
     "q184_seasonal_decomposition" -> ((s, d) => {
-      val ev = t(s, d, "events").select(col("event_type"), col("value"),
+      val ev = t(s, d, "events").select(col("event_type"),
+        expr("floor(value * 100 + 0.5)").as("vc"),
         hour(col("ts")).as("hr"), dayofweek(col("ts")).as("dow"))
       val mh = ev.groupBy(col("event_type"), col("hr"))
-        .agg(avg(col("value")).as("m_hr"))
+        .agg(expr("sum(vc) * 1000 div count(*)").as("m_hr"))
       val md = ev.groupBy(col("event_type"), col("dow"))
-        .agg(avg(col("value")).as("m_dow"))
-      val g = ev.groupBy(col("event_type")).agg(avg(col("value")).as("m_all"))
+        .agg(expr("sum(vc) * 1000 div count(*)").as("m_dow"))
+      val g = ev.groupBy(col("event_type"))
+        .agg(expr("sum(vc) * 1000 div count(*)").as("m_all"))
       ev.join(broadcast(mh), Seq("event_type", "hr"))
         .join(broadcast(md), Seq("event_type", "dow"))
         .join(broadcast(g), Seq("event_type"))
-        .withColumn("res", col("value") - col("m_hr") - col("m_dow") + col("m_all"))
+        .withColumn("x", expr("vc * 1000"))
+        .withColumn("res", expr("x - m_hr - m_dow + m_all"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          round(avg(col("value") * col("value"))
-            - avg(col("value")) * avg(col("value")), 6).as("raw_var"),
-          round(avg(col("res") * col("res"))
-            - avg(col("res")) * avg(col("res")), 6).as("resid_var"))
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("__sxx"),
+          sum(col("x").cast("decimal(38,0)")).as("__sx"),
+          sum(expr("CAST(res AS DECIMAL(38,0)) * res")).as("__srr"),
+          sum(col("res").cast("decimal(38,0)")).as("__sr"))
+        .select(col("event_type"), col("n"),
+          expr("(n * __sxx - __sx * __sx) div (n * n * 10000)")
+            .as("raw_var_micro"),
+          expr("(n * __srr - __sr * __sr) div (n * n * 10000)")
+            .as("resid_var_micro"))
         .orderBy(col("event_type"))
     }),
 
@@ -5001,8 +5045,11 @@ object SparkEntry {
                  CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS n_toks,
                  q.quality_milli
                FROM documents d JOIN q USING (doc_id))
-         SELECT lang, source, count(*) AS n_docs, sum(n_toks) AS n_toks,
-           round(avg(quality_milli), 6) AS avg_quality_milli,
+         SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS n_toks,
+           CAST(sum(quality_milli) AS BIGINT) AS sum_quality_milli,
+           CAST(sum(quality_milli) * 1000 // count(*) AS BIGINT)
+             AS avg_quality_micro,
            CAST(GROUPING(lang, source) AS BIGINT) AS gid
          FROM j GROUP BY CUBE(lang, source)
          ORDER BY gid, lang NULLS FIRST, source NULLS FIRST"""
@@ -5129,7 +5176,7 @@ object SparkEntry {
                PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
            FROM events)
          SELECT event_type, count(*) AS n_gaps,
-           round(avg(gap) / 1000000, 6) AS avg_gap_s,
+           CAST(sum(gap) // count(*) AS BIGINT) AS avg_gap_us,
            CAST(max(gap) // 1000000 AS BIGINT) AS max_gap_s,
            CAST((count(CASE WHEN gap < 60000000 THEN 1 END) * 1000) // count(*)
              AS BIGINT) AS burst_milli
@@ -5235,16 +5282,18 @@ object SparkEntry {
          JOIN sz zb ON zb.suite = p.suite_b
          ORDER BY suite_a, suite_b""",
 
-    // Per-dim means round to micro BEFORE the shift — the squared-L2 sum
-    // is exact BIGINT arithmetic, so no order-dependent double reaches the
-    // compare.
+    // Per-dim means are EXACT integer micro (floor((v+1)·2²⁴) lossless on
+    // float components, offset keeps the // dividend positive) — no
+    // order-dependent double sum reaches the compare.
     "q125_centroid_shift" ->
       """WITH x AS (SELECT vec_id, label, vec_id % 2 AS half,
              generate_subscripts(embedding, 1) - 1 AS dim,
              unnest(CAST(embedding AS DOUBLE[])) AS v
            FROM embeddings),
          cent AS (SELECT label, dim, half,
-             CAST(round(avg(v) * 1000000, 0) AS BIGINT) AS c_micro
+             CAST(sum(CAST(floor((v + 1.0) * 16777216.0) AS BIGINT))
+               * 1000000 // (count(*) * 16777216) - 1000000 AS BIGINT)
+               AS c_micro
            FROM x GROUP BY 1, 2, 3),
          j AS (SELECT a.label, a.dim, a.c_micro AS ca, b.c_micro AS cb
                FROM cent a JOIN cent b
@@ -5637,24 +5686,28 @@ object SparkEntry {
            is_gap, filled_value
          FROM j ORDER BY event_type, hour""",
 
-    // Day indexes and squares sum exactly as integers; daily means are
-    // rounded before entering the sums; one float division under the
-    // terminal round.
+    // Integer-exact mirror: milli-of-centi daily means, exact long OLS
+    // sums, sign-split truncated division (matches Spark's div).
     "q150_trend_slope" ->
       """WITH daily AS (SELECT event_type,
              date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
-             round(avg(value), 6) AS y
+             CAST(CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) * 1000
+               // count(*) AS BIGINT) AS y
            FROM events GROUP BY 1, 2),
          s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
              CAST(sum(day) AS BIGINT) AS sx,
              CAST(sum(day * day) AS BIGINT) AS sxx,
-             sum(y) AS sy, sum(day * y) AS sxy
-           FROM daily GROUP BY 1)
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(day * y) AS BIGINT) AS sxy
+           FROM daily GROUP BY 1),
+         ab AS (SELECT event_type, n_days, sy,
+             n_days * sxy - sx * sy AS a, n_days * sxx - sx * sx AS b
+           FROM s)
          SELECT event_type, n_days,
-           round((n_days * sxy - sx * sy) / (n_days * sxx - sx * sx), 6)
-             AS slope_per_day,
-           round(sy / n_days, 6) AS mean_daily_value
-         FROM s ORDER BY event_type""",
+           CAST(CASE WHEN a >= 0 THEN a // b ELSE -((-a) // b) END AS BIGINT)
+             AS slope_e5_per_day,
+           CAST(sy // n_days AS BIGINT) AS mean_daily_e5
+         FROM ab ORDER BY event_type""",
 
     // Same nearest-rank cut definition as q142 over the centi-scaled
     // price histogram (floor(x*100+0.5) = HALF_UP on the identical
@@ -6028,14 +6081,18 @@ object SparkEntry {
 
     "q172_twap" ->
       """WITH e2 AS (SELECT event_type, CAST(ts AS DATE) AS day, ts,
-             event_id, value, epoch_us(ts) AS us FROM events),
-         l AS (SELECT event_type, day, value,
+             event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+             epoch_us(ts) AS us FROM events),
+         l AS (SELECT event_type, day, vc,
              lead(us) OVER (PARTITION BY event_type, day
                ORDER BY ts, event_id) - us AS dur_us
            FROM e2)
          SELECT event_type, day, count(*) AS n_intervals,
-           round(sum(value * dur_us) / sum(dur_us), 6) AS twap,
-           round(avg(value), 6) AS plain_mean
+           CAST(sum(vc * dur_us) // sum(dur_us) AS BIGINT) AS twap_centi,
+           CAST((sum(vc * dur_us) % sum(dur_us)) * 1000000 // sum(dur_us)
+             AS BIGINT) AS twap_frac_ppm,
+           CAST(CAST(sum(vc) AS BIGINT) * 1000 // count(*) AS BIGINT)
+             AS plain_centimilli
          FROM l WHERE dur_us IS NOT NULL
          GROUP BY 1, 2 ORDER BY event_type, day""",
 
@@ -6250,24 +6307,33 @@ object SparkEntry {
          FROM v JOIN f USING (l_returnflag)
          GROUP BY 1 ORDER BY 1""",
 
+    // Integer-exact mirror of the milli-of-centi profile means and the
+    // n·Σx²−(Σx)² variance identity (HUGEINT sums, // division).
     "q184_seasonal_decomposition" ->
-      """WITH e2 AS (SELECT event_type, value,
+      """WITH e2 AS (SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
              CAST(hour(ts) AS INTEGER) AS hr,
              CAST(dayofweek(ts) + 1 AS INTEGER) AS dow
            FROM events),
-         mh AS (SELECT event_type, hr, avg(value) AS m_hr
-                FROM e2 GROUP BY 1, 2),
-         md AS (SELECT event_type, dow, avg(value) AS m_dow
-                FROM e2 GROUP BY 1, 2),
-         g AS (SELECT event_type, avg(value) AS m_all FROM e2 GROUP BY 1),
-         r AS (SELECT e2.event_type, e2.value,
-                 e2.value - mh.m_hr - md.m_dow + g.m_all AS res
+         mh AS (SELECT event_type, hr,
+             CAST(sum(vc) * 1000 // count(*) AS BIGINT) AS m_hr
+           FROM e2 GROUP BY 1, 2),
+         md AS (SELECT event_type, dow,
+             CAST(sum(vc) * 1000 // count(*) AS BIGINT) AS m_dow
+           FROM e2 GROUP BY 1, 2),
+         g AS (SELECT event_type,
+             CAST(sum(vc) * 1000 // count(*) AS BIGINT) AS m_all
+           FROM e2 GROUP BY 1),
+         r AS (SELECT e2.event_type, e2.vc * 1000 AS x,
+                 e2.vc * 1000 - mh.m_hr - md.m_dow + g.m_all AS res
                FROM e2 JOIN mh USING (event_type, hr)
                        JOIN md USING (event_type, dow)
                        JOIN g USING (event_type))
          SELECT event_type, count(*) AS n,
-           round(avg(value * value) - avg(value) * avg(value), 6) AS raw_var,
-           round(avg(res * res) - avg(res) * avg(res), 6) AS resid_var
+           CAST((count(*) * sum(x * x) - sum(x) * sum(x))
+             // (count(*) * count(*) * 10000) AS BIGINT) AS raw_var_micro,
+           CAST((count(*) * sum(res * res) - sum(res) * sum(res))
+             // (count(*) * count(*) * 10000) AS BIGINT) AS resid_var_micro
          FROM r GROUP BY 1 ORDER BY 1""",
 
     "q185_gini" -> {
