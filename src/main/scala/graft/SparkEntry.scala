@@ -86,28 +86,49 @@ object SparkEntry {
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // A1 + P3/P19 (metrics.py:15-24): per-group metrics, sample stddev.
+    // A1 + P3/P19 (metrics.py:15-24): per-group metrics. Integer-exact:
+    // quantity is integral and price/discount/tax sit on the centi grid,
+    // so every sum is an exact long (the disc/charge products live on the
+    // 1e-4/1e-6 grids — ≤1.1e11 per row, ≤2e16 per group at sf0.1, long
+    // headroom to ~100× that; DECIMAL(38,0) is the petabyte upgrade) and
+    // every mean is a truncated integer division. The old
+    // round(sum/avg(double)) forms are the q108/q149 partition-order
+    // hazard; k/10^s presentation divisions are one IEEE op on an exact
+    // long — identical in every engine.
     "q01_pricing_summary" -> ((s, d) => {
       t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          floor(col("l_quantity") + 0.5).as("q"),
+          floor(col("l_extendedprice") * 100 + 0.5).as("ep"),
+          floor(col("l_discount") * 100 + 0.5).as("dc"),
+          floor(col("l_tax") * 100 + 0.5).as("tc"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
-             round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-             round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-             round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-             round(avg(col("l_quantity")), 6).as("avg_qty"),
-             round(avg(col("l_extendedprice")), 6).as("avg_price"),
-             round(avg(col("l_discount")), 6).as("avg_disc"),
+        .agg(sum(col("q")).as("sum_qty"),
+             sum(col("ep")).as("__sbp"),
+             sum(expr("ep * (100 - dc)")).as("__sdp"),
+             sum(expr("ep * (100 - dc) * (100 + tc)")).as("__sch"),
+             sum(col("dc")).as("__sdc"),
              count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+          expr("__sbp / 100.0d").as("sum_base_price"),
+          expr("__sdp / 10000.0d").as("sum_disc_price"),
+          expr("__sch / 1000000.0d").as("sum_charge"),
+          expr("(sum_qty * 1000000 div count_order) / 1000000.0d").as("avg_qty"),
+          expr("(__sbp * 1000 div count_order) / 100000.0d").as("avg_price"),
+          expr("(__sdc * 10000 div count_order) / 1000000.0d").as("avg_disc"),
+          col("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
     // A1 exact shape (metrics.py): avg price / stddev / total volume.
     "q02_market_metrics" -> ((s, d) =>
-      AggOps.marketMetrics(t(s, d, "events"), "event_type", col("value"), col("value"))),
+      AggOps.marketMetrics(t(s, d, "events"), "event_type", col("value"), col("value"),
+        exactCenti = true)),
 
     // A2 + P12: daily summary.
     "q03_daily_summary" -> ((s, d) =>
-      AggOps.dailySummary(t(s, d, "events"), col("ts"), col("value"))),
+      AggOps.dailySummary(t(s, d, "events"), col("ts"), col("value"),
+        exactCenti = true)),
 
     // A3 + P13: monthly rollup.
     "q04_monthly_rollup" -> ((s, d) =>
@@ -115,25 +136,59 @@ object SparkEntry {
 
     // A4 + P10: hour-of-day profile.
     "q05_hour_profile" -> ((s, d) =>
-      AggOps.hourProfile(t(s, d, "events"), col("ts"), col("value"))),
+      AggOps.hourProfile(t(s, d, "events"), col("ts"), col("value"),
+        exactCenti = true)),
 
     // A5 + P11: day-of-week profile in calendar order.
     "q06_dow_profile" -> ((s, d) =>
-      AggOps.dowProfile(t(s, d, "events"), col("ts"), col("value"))),
+      AggOps.dowProfile(t(s, d, "events"), col("ts"), col("value"),
+        exactCenti = true)),
 
     // A6: weekday × hour heat matrix (pivot).
     "q07_heatmap_pivot" -> ((s, d) =>
-      AggOps.weekdayHourHeatmap(t(s, d, "events"), col("ts"), col("value"))),
+      AggOps.weekdayHourHeatmap(t(s, d, "events"), col("ts"), col("value"),
+        exactCenti = true)),
 
-    // A7/A8: correlation scalars.
-    "q08_corr" -> ((s, d) =>
-      t(s, d, "lineitem").agg(
-        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
-        round(corr(col("l_discount"), col("l_tax")), 6).as("corr_disc_tax"))),
+    // A7/A8: correlation scalars. Built from exact integer sums (grid
+    // inputs: quantity integral, price/disc/tax centi) via the
+    // n·Σxy−ΣxΣy identity in DECIMAL(38,0); only the terminal
+    // divide-and-sqrt is float — the same IEEE ops on the same exact
+    // integers in both engines — where corr() itself accumulates doubles
+    // in partition order (the q108/q149 cross-engine class). corr is
+    // scale-invariant, so the centi scales cancel.
+    "q08_corr" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(floor(col("l_quantity") + 0.5).as("q"),
+          floor(col("l_extendedprice") * 100 + 0.5).as("ep"),
+          floor(col("l_discount") * 100 + 0.5).as("dc"),
+          floor(col("l_tax") * 100 + 0.5).as("tc"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("q")).as("sq"),
+          sum(expr("CAST(q AS DECIMAL(38,0)) * q")).as("sqq"),
+          sum(col("ep")).as("sp"),
+          sum(expr("CAST(ep AS DECIMAL(38,0)) * ep")).as("spp"),
+          sum(expr("CAST(q AS DECIMAL(38,0)) * ep")).as("sqp"),
+          sum(col("dc")).as("sd"),
+          sum(expr("CAST(dc AS DECIMAL(38,0)) * dc")).as("sdd"),
+          sum(col("tc")).as("st"),
+          sum(expr("CAST(tc AS DECIMAL(38,0)) * tc")).as("stt"),
+          sum(expr("CAST(dc AS DECIMAL(38,0)) * tc")).as("sdt"))
+        .select(
+          round(
+            expr("CAST(n * sqp - CAST(sq AS DECIMAL(38,0)) * sp AS DOUBLE)") /
+            sqrt(expr("CAST(n * sqq - CAST(sq AS DECIMAL(38,0)) * sq AS DOUBLE)") *
+                 expr("CAST(n * spp - CAST(sp AS DECIMAL(38,0)) * sp AS DOUBLE)")), 6)
+            .as("corr_qty_price"),
+          round(
+            expr("CAST(n * sdt - CAST(sd AS DECIMAL(38,0)) * st AS DOUBLE)") /
+            sqrt(expr("CAST(n * sdd - CAST(sd AS DECIMAL(38,0)) * sd AS DOUBLE)") *
+                 expr("CAST(n * stt - CAST(st AS DECIMAL(38,0)) * st AS DOUBLE)")), 6)
+            .as("corr_disc_tax"))
+    }),
 
     // A9/A10: overall summary with exact percentiles/median.
     "q09_overall_summary" -> ((s, d) =>
-      AggOps.overallSummary(t(s, d, "events"), col("value"))),
+      AggOps.overallSummary(t(s, d, "events"), col("value"), exactCenti = true)),
 
     // A11/S10: distinct + sort.
     "q10_distinct_types" -> ((s, d) =>
@@ -231,7 +286,7 @@ object SparkEntry {
     // J2: cross-group time alignment (pivot + fill 0).
     "q23_pivot_align" -> ((s, d) =>
       JoinOps.pivotAlign(t(s, d, "events"), TimeOps.minuteFloor(col("ts")),
-        "event_type", eventTypes, col("value"))),
+        "event_type", eventTypes, col("value"), exactCenti = true)),
 
     // J3/K4-K7: idempotent last-write-wins upsert.
     "q24_upsert" -> ((s, d) => {
@@ -447,12 +502,30 @@ object SparkEntry {
 
     // A7/J2: correlation matrix over the pivot-aligned series, preserving
     // the reference's fillna(0)-before-corr quirk (binance_analysis.py:539-543).
+    // The pivot cells are exact e-5-grid doubles (pivotAlign exactCenti), so
+    // floor(x·1e5+0.5) recovers exact longs and each corr comes out of the
+    // n·Σxy−ΣxΣy identity in DECIMAL(38,0) with one terminal
+    // divide-and-sqrt — corr()'s own double accumulation is the q108/q149
+    // partition-order class over a 43k-minute series.
     "q50_corr_matrix" -> ((s, d) => {
       val p = JoinOps.pivotAlign(t(s, d, "events"), TimeOps.minuteFloor(col("ts")),
-        "event_type", eventTypes, col("value"))
+        "event_type", eventTypes, col("value"), exactCenti = true)
+      val xi = p.select(eventTypes.map(e =>
+        floor(col(e) * 100000 + 0.5).as(e)): _*)
+      val sums =
+        Seq(count(lit(1)).as("n")) ++
+        eventTypes.flatMap(e => Seq(sum(col(e)).as(s"s_$e"),
+          sum(expr(s"CAST($e AS DECIMAL(38,0)) * $e")).as(s"ss_$e"))) ++
+        (for { a <- eventTypes; b <- eventTypes if a < b } yield
+          sum(expr(s"CAST($a AS DECIMAL(38,0)) * $b")).as(s"sp_${a}_$b"))
+      val agged = xi.agg(sums.head, sums.tail: _*)
       val pairs = for { a <- eventTypes; b <- eventTypes if a < b } yield
-        round(corr(col(a), col(b)), 6).as(s"corr_${a}_$b")
-      p.agg(pairs.head, pairs.tail: _*)
+        round(
+          expr(s"CAST(n * sp_${a}_$b - CAST(s_$a AS DECIMAL(38,0)) * s_$b AS DOUBLE)") /
+          sqrt(expr(s"CAST(n * ss_$a - CAST(s_$a AS DECIMAL(38,0)) * s_$a AS DOUBLE)") *
+               expr(s"CAST(n * ss_$b - CAST(s_$b AS DECIMAL(38,0)) * s_$b AS DOUBLE)")), 6)
+          .as(s"corr_${a}_$b")
+      agged.select(pairs: _*)
     }),
 
     // A12 extension: explicit gap listing — expected minute sequence minus
@@ -1085,7 +1158,7 @@ object SparkEntry {
     "q92_rolling_corr" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val p = JoinOps.pivotAlign(t(s, d, "events"), TimeOps.minuteFloor(col("ts")),
-        "event_type", eventTypes, col("value"))
+        "event_type", eventTypes, col("value"), exactCenti = true)
       val w = Window.partitionBy(date_trunc("day", col("bucket")))
         .orderBy(col("bucket")).rowsBetween(-59, 0)
       def gated(a: String, b: String): Column = {
@@ -3425,8 +3498,13 @@ object SparkEntry {
   // ------------------------------------------------------------- oracle SQL
 
   private def heatmapSql: String = {
+    // Exact integer cell means (mirrors AggOps.weekdayHourHeatmap
+    // exactCenti): centi-grid sum · 1000 // cell count, presented /1e5.
     val cols = (0 to 23).map(h =>
-      s"round(avg(CASE WHEN CAST(hour(ts) AS INTEGER) = $h THEN value END), 6) AS h$h").mkString(", ")
+      s"""CAST(CAST(sum(CASE WHEN CAST(hour(ts) AS INTEGER) = $h
+            THEN floor(value * 100 + 0.5) END) AS BIGINT) * 1000
+          // NULLIF(count(CASE WHEN CAST(hour(ts) AS INTEGER) = $h THEN 1 END), 0)
+          AS BIGINT) / 100000.0 AS h$h""").mkString(", ")
     s"SELECT CAST(isodow(ts) - 1 AS INTEGER) AS weekday, $cols FROM events " +
       "GROUP BY 1 ORDER BY weekday"
   }
@@ -3943,30 +4021,57 @@ object SparkEntry {
 
   private def pivotAlignSql: String = {
     val cols = eventTypes.map(e =>
-      s"coalesce(round(avg(CASE WHEN event_type = '$e' THEN value END), 6), 0.0) AS $e").mkString(", ")
+      s"""coalesce(CAST(CAST(sum(CASE WHEN event_type = '$e'
+            THEN floor(value * 100 + 0.5) END) AS BIGINT) * 1000
+          // NULLIF(count(CASE WHEN event_type = '$e' THEN 1 END), 0)
+          AS BIGINT) / 100000.0, 0.0) AS $e""").mkString(", ")
     s"SELECT date_trunc('minute', ts) AS bucket, $cols FROM events GROUP BY 1 ORDER BY bucket"
   }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-         round(sum(l_quantity), 2) AS sum_qty,
-         round(sum(l_extendedprice), 2) AS sum_base_price,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-         round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-         round(avg(l_quantity), 6) AS avg_qty,
-         round(avg(l_extendedprice), 6) AS avg_price,
-         round(avg(l_discount), 6) AS avg_disc,
-         count(*) AS count_order
-         FROM lineitem GROUP BY l_returnflag, l_linestatus
-         ORDER BY l_returnflag, l_linestatus""",
+      """WITH v AS (SELECT l_returnflag, l_linestatus,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS ep,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dc,
+             CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tc
+           FROM lineitem),
+         a AS (SELECT l_returnflag, l_linestatus,
+             CAST(sum(q) AS BIGINT) AS sum_qty,
+             CAST(sum(ep) AS BIGINT) AS sbp,
+             CAST(sum(ep * (100 - dc)) AS BIGINT) AS sdp,
+             CAST(sum(ep * (100 - dc) * (100 + tc)) AS BIGINT) AS sch,
+             CAST(sum(dc) AS BIGINT) AS sdc,
+             count(*) AS count_order
+           FROM v GROUP BY 1, 2)
+         SELECT l_returnflag, l_linestatus, sum_qty,
+           sbp / 100.0 AS sum_base_price,
+           sdp / 10000.0 AS sum_disc_price,
+           sch / 1000000.0 AS sum_charge,
+           CAST(sum_qty * 1000000 // count_order AS BIGINT) / 1000000.0 AS avg_qty,
+           CAST(sbp * 1000 // count_order AS BIGINT) / 100000.0 AS avg_price,
+           CAST(sdc * 10000 // count_order AS BIGINT) / 1000000.0 AS avg_disc,
+           count_order
+         FROM a ORDER BY l_returnflag, l_linestatus""",
     "q02_market_metrics" ->
-      """SELECT event_type, round(avg(value), 6) AS avg_price,
-         round(stddev_samp(value), 6) AS stddev_price,
-         round(sum(value), 2) AS total_volume, count(*) AS n_rows
-         FROM events GROUP BY event_type ORDER BY event_type""",
+      """WITH a AS (SELECT event_type,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sv,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+               * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sv2,
+             round(sum(value), 2) AS total_volume, count(*) AS n_rows
+           FROM events GROUP BY 1)
+         SELECT event_type,
+           CAST(sv * 1000 // n_rows AS BIGINT) / 100000.0 AS avg_price,
+           CASE WHEN n_rows > 1 THEN
+             round(sqrt(CAST(n_rows * sv2 - sv * sv AS DOUBLE)
+               / CAST(n_rows * (n_rows - 1) AS DOUBLE)) / 100, 6) END
+             AS stddev_price,
+           total_volume, n_rows
+         FROM a ORDER BY event_type""",
     "q03_daily_summary" ->
-      """SELECT CAST(ts AS DATE) AS date, round(avg(value), 6) AS avg_value,
+      """SELECT CAST(ts AS DATE) AS date,
+         CAST(CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) * 1000
+           // count(*) AS BIGINT) / 100000.0 AS avg_value,
          round(sum(value), 2) AS sum_value, round(max(value), 6) AS max_value,
          count(*) AS n
          FROM events GROUP BY 1 ORDER BY date""",
@@ -3974,18 +4079,43 @@ object SparkEntry {
       """SELECT strftime(ts, '%Y-%m') AS month, round(sum(value), 2) AS sum_value,
          count(*) AS n FROM events GROUP BY 1 ORDER BY month""",
     "q05_hour_profile" ->
-      """SELECT CAST(hour(ts) AS INTEGER) AS hour, round(avg(value), 6) AS avg_value,
+      """SELECT CAST(hour(ts) AS INTEGER) AS hour,
+         CAST(CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) * 1000
+           // count(*) AS BIGINT) / 100000.0 AS avg_value,
          count(*) AS n FROM events GROUP BY 1 ORDER BY hour""",
     "q06_dow_profile" ->
       """SELECT CAST(isodow(ts) - 1 AS INTEGER) AS weekday, dayname(ts) AS weekday_name,
-         round(avg(value), 6) AS avg_value, count(*) AS n
+         CAST(CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) * 1000
+           // count(*) AS BIGINT) / 100000.0 AS avg_value,
+         count(*) AS n
          FROM events GROUP BY 1, 2 ORDER BY weekday""",
     "q07_heatmap_pivot" -> heatmapSql,
+    // Exact integer sums + terminal divide-and-sqrt (mirrors the engine's
+    // DECIMAL identity; corr() accumulates doubles in engine-specific order).
     "q08_corr" ->
-      """SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-         round(corr(l_discount, l_tax), 6) AS corr_disc_tax FROM lineitem""",
+      """WITH v AS (SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS ep,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dc,
+             CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tc
+           FROM lineitem),
+         a AS (SELECT count(*) AS n,
+             sum(q) AS sq, sum(q * q) AS sqq,
+             sum(ep) AS sp, sum(ep * ep) AS spp, sum(q * ep) AS sqp,
+             sum(dc) AS sd, sum(dc * dc) AS sdd,
+             sum(tc) AS st, sum(tc * tc) AS stt, sum(dc * tc) AS sdt
+           FROM v)
+         SELECT
+           round(CAST(n * sqp - sq * sp AS DOUBLE)
+             / sqrt(CAST(n * sqq - sq * sq AS DOUBLE)
+                  * CAST(n * spp - sp * sp AS DOUBLE)), 6) AS corr_qty_price,
+           round(CAST(n * sdt - sd * st AS DOUBLE)
+             / sqrt(CAST(n * sdd - sd * sd AS DOUBLE)
+                  * CAST(n * stt - st * st AS DOUBLE)), 6) AS corr_disc_tax
+         FROM a""",
     "q09_overall_summary" ->
-      """SELECT round(avg(value), 6) AS avg_value, round(median(value), 6) AS median_value,
+      """SELECT CAST(CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) * 1000
+           // count(*) AS BIGINT) / 100000.0 AS avg_value,
+         round(median(value), 6) AS median_value,
          round(sum(value), 2) AS sum_value, count(*) AS n,
          round(quantile_cont(value, 0.95), 6) AS p95,
          round(quantile_cont(value, 0.99), 6) AS p99
@@ -4235,12 +4365,28 @@ object SparkEntry {
     "q50_corr_matrix" -> {
       val types = eventTypes
       val pivotCols = types.map(e =>
-        s"coalesce(round(avg(CASE WHEN event_type = '$e' THEN value END), 6), 0.0) AS $e").mkString(", ")
+        s"""coalesce(CAST(CAST(sum(CASE WHEN event_type = '$e'
+            THEN floor(value * 100 + 0.5) END) AS BIGINT) * 1000
+          // NULLIF(count(CASE WHEN event_type = '$e' THEN 1 END), 0)
+          AS BIGINT) / 100000.0, 0.0) AS $e""").mkString(", ")
+      // e-5-grid cells recover exact BIGINTs; n·Σxy−ΣxΣy in HUGEINT with
+      // one terminal divide-and-sqrt (mirrors the engine's DECIMAL form).
+      val xCols = types.map(e =>
+        s"CAST(floor($e * 100000 + 0.5) AS BIGINT) AS $e").mkString(", ")
+      val sumCols = (types.map(e =>
+          s"sum($e) AS s_$e, sum($e * $e) AS ss_$e") ++
+        (for { a <- types; b <- types if a < b } yield
+          s"sum($a * $b) AS sp_${a}_$b")).mkString(", ")
       val pairs = (for { a <- types; b <- types if a < b } yield
-        s"round(corr($a, $b), 6) AS corr_${a}_$b").mkString(", ")
+        s"""round(CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE)
+             / sqrt(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE)
+                  * CAST(n * ss_$b - s_$b * s_$b AS DOUBLE)), 6)
+           AS corr_${a}_$b""").mkString(", ")
       s"""WITH p AS (SELECT date_trunc('minute', ts) AS bucket, $pivotCols
-          FROM events GROUP BY 1)
-          SELECT $pairs FROM p"""
+          FROM events GROUP BY 1),
+          x AS (SELECT $xCols FROM p),
+          a AS (SELECT count(*) AS n, $sumCols FROM x)
+          SELECT $pairs FROM a"""
     },
     "q51_gap_listing" ->
       """WITH mm AS (SELECT date_trunc('minute', min(ts)) AS mn,
@@ -4696,7 +4842,10 @@ object SparkEntry {
          FROM c ORDER BY doc_id, chunk_idx""",
     "q92_rolling_corr" -> {
       val piv = eventTypes.map(e =>
-        s"coalesce(round(avg(CASE WHEN event_type = '$e' THEN value END), 6), 0.0) AS $e").mkString(", ")
+        s"""coalesce(CAST(CAST(sum(CASE WHEN event_type = '$e'
+            THEN floor(value * 100 + 0.5) END) AS BIGINT) * 1000
+          // NULLIF(count(CASE WHEN event_type = '$e' THEN 1 END), 0)
+          AS BIGINT) / 100000.0, 0.0) AS $e""").mkString(", ")
       def gated(a: String, b: String, out: String) =
         s"""CASE WHEN count(*) OVER w >= 60
               AND var_samp($a) OVER w > 0 AND var_samp($b) OVER w > 0

@@ -14,24 +14,74 @@ import graft.functions.TimeOps
   */
 object AggOps {
 
-  /** A1 (`src/analytics/metrics.py:15-24`): per-group market metrics.
-    * Postgres STDDEV = sample stddev = Spark `stddev_samp`. */
-  def marketMetrics(df: DataFrame, key: String, price: Column, volume: Column): DataFrame =
-    df.groupBy(col(key))
-      .agg(round(avg(price), 6).as("avg_price"),
-           round(stddev_samp(price), 6).as("stddev_price"),
-           round(sum(volume), 2).as("total_volume"),
-           count(lit(1)).as("n_rows"))
-      .orderBy(col(key))
+  /** Exact lossless integerization of a value on a 1/100 grid:
+    * floor(v·100+0.5) = HALF_UP on the identical double in every IEEE
+    * engine, and the long sums that follow are partition-order-free. A
+    * rounded double mean here is the q108/q149 hazard: Spark sums group
+    * doubles in partition order, so a mean on a half-ulp boundary flips
+    * its 6th decimal between engines and between partition layouts. */
+  private def centi(value: Column): Column = floor(value * 100 + lit(0.5))
 
-  /** A2 (`binance_analysis.py:655-667`): daily summary. */
-  def dailySummary(df: DataFrame, ts: Column, value: Column): DataFrame =
-    df.groupBy(to_date(ts).as("date"))
-      .agg(round(avg(value), 6).as("avg_value"),
-           round(sum(value), 2).as("sum_value"),
-           round(max(value), 6).as("max_value"),
-           count(lit(1)).as("n"))
-      .orderBy(col("date"))
+  /** Presents the exact milli-of-centi integer mean `sv·1000 div n` as a
+    * 5-decimal double (one IEEE division of an exact long — identical in
+    * every engine). `sv`/`n` are column NAMES produced by a prior agg. */
+  private def exactMean(sv: String, n: String): Column =
+    expr(s"($sv * 1000 div $n) / 100000.0d")
+
+  /** A1 (`src/analytics/metrics.py:15-24`): per-group market metrics.
+    * Postgres STDDEV = sample stddev = Spark `stddev_samp`.
+    * `exactCenti=true` (values on a 1/100 grid, e.g. prices) computes the
+    * mean and stddev from exact integer sums — the n·Σx²−(Σx)² identity in
+    * DECIMAL(38,0) with one terminal sqrt — so no order-dependent double
+    * accumulation reaches a cross-engine compare. */
+  def marketMetrics(df: DataFrame, key: String, price: Column, volume: Column,
+                    exactCenti: Boolean = false): DataFrame =
+    if (!exactCenti)
+      df.groupBy(col(key))
+        .agg(round(avg(price), 6).as("avg_price"),
+             round(stddev_samp(price), 6).as("stddev_price"),
+             round(sum(volume), 2).as("total_volume"),
+             count(lit(1)).as("n_rows"))
+        .orderBy(col(key))
+    else
+      df.groupBy(col(key))
+        .agg(sum(centi(price)).as("__sv"),
+             sum(centi(price).cast("decimal(38,0)") * centi(price)).as("__sv2"),
+             round(sum(volume), 2).as("total_volume"),
+             count(lit(1)).as("n_rows"))
+        .withColumn("avg_price", exactMean("__sv", "n_rows"))
+        .withColumn("stddev_price", when(col("n_rows") > 1,
+          round(sqrt(
+            expr("CAST(CAST(n_rows AS DECIMAL(38,0)) * __sv2" +
+              " - CAST(__sv AS DECIMAL(38,0)) * __sv AS DOUBLE)") /
+            expr("CAST(n_rows * (n_rows - 1) AS DOUBLE)")) / 100, 6)))
+        .select(col(key), col("avg_price"), col("stddev_price"),
+          col("total_volume"), col("n_rows"))
+        .orderBy(col(key))
+
+  /** A2 (`binance_analysis.py:655-667`): daily summary. The 2-dp sum stays
+    * a float round even on the exact path: the true sum of centi-grid
+    * values is ON the 2-dp grid, so order noise (≪ the 0.005 half-width)
+    * cannot flip it. */
+  def dailySummary(df: DataFrame, ts: Column, value: Column,
+                   exactCenti: Boolean = false): DataFrame = {
+    val base = df.groupBy(to_date(ts).as("date"))
+    val agged =
+      if (!exactCenti)
+        base.agg(round(avg(value), 6).as("avg_value"),
+             round(sum(value), 2).as("sum_value"),
+             round(max(value), 6).as("max_value"),
+             count(lit(1)).as("n"))
+      else
+        base.agg(sum(centi(value)).as("__sv"),
+             round(sum(value), 2).as("sum_value"),
+             round(max(value), 6).as("max_value"),
+             count(lit(1)).as("n"))
+          .withColumn("avg_value", exactMean("__sv", "n"))
+          .select(col("date"), col("avg_value"), col("sum_value"),
+            col("max_value"), col("n"))
+    agged.orderBy(col("date"))
+  }
 
   /** A3 (`binance_analysis.py:669-672`): monthly rollup. */
   def monthlyRollup(df: DataFrame, ts: Column, value: Column): DataFrame =
@@ -40,41 +90,85 @@ object AggOps {
       .orderBy(col("month"))
 
   /** A4 (`binance_analysis.py:676-684`): hour-of-day profile. */
-  def hourProfile(df: DataFrame, ts: Column, value: Column): DataFrame =
-    df.groupBy(hour(ts).as("hour"))
-      .agg(round(avg(value), 6).as("avg_value"), count(lit(1)).as("n"))
-      .orderBy(col("hour"))
+  def hourProfile(df: DataFrame, ts: Column, value: Column,
+                  exactCenti: Boolean = false): DataFrame = {
+    val base = df.groupBy(hour(ts).as("hour"))
+    val agged =
+      if (!exactCenti)
+        base.agg(round(avg(value), 6).as("avg_value"), count(lit(1)).as("n"))
+      else
+        base.agg(sum(centi(value)).as("__sv"), count(lit(1)).as("n"))
+          .withColumn("avg_value", exactMean("__sv", "n"))
+          .select(col("hour"), col("avg_value"), col("n"))
+    agged.orderBy(col("hour"))
+  }
 
   /** A5 (`binance_analysis.py:686-687`): day-of-week profile in CALENDAR
     * order (Monday first) via the int sort key — the ordered-categorical
     * trap called out in SURVEY §7.5. */
-  def dowProfile(df: DataFrame, ts: Column, value: Column): DataFrame =
-    df.groupBy(TimeOps.weekdayNum(ts).as("weekday"),
+  def dowProfile(df: DataFrame, ts: Column, value: Column,
+                 exactCenti: Boolean = false): DataFrame = {
+    val base = df.groupBy(TimeOps.weekdayNum(ts).as("weekday"),
                TimeOps.weekdayName(ts).as("weekday_name"))
-      .agg(round(avg(value), 6).as("avg_value"), count(lit(1)).as("n"))
-      .orderBy(col("weekday"))
+    val agged =
+      if (!exactCenti)
+        base.agg(round(avg(value), 6).as("avg_value"), count(lit(1)).as("n"))
+      else
+        base.agg(sum(centi(value)).as("__sv"), count(lit(1)).as("n"))
+          .withColumn("avg_value", exactMean("__sv", "n"))
+          .select(col("weekday"), col("weekday_name"), col("avg_value"),
+            col("n"))
+    agged.orderBy(col("weekday"))
+  }
 
   /** A6 (`binance_analysis.py:689-690`): weekday × hour heat matrix as a
     * pivot. `pivot` with explicit values list ⇒ single aggregation pass, no
-    * second job to discover the pivot domain. */
-  def weekdayHourHeatmap(df: DataFrame, ts: Column, value: Column): DataFrame = {
-    val p = df.groupBy(TimeOps.weekdayNum(ts).as("weekday"))
-      .pivot(hour(ts).cast("int"), 0 to 23)
-      .agg(round(avg(value), 6))
+    * second job to discover the pivot domain. The exact path aggregates the
+    * (weekday, hour) cells first — integer-exact means — then pivots the
+    * 7×24 frame with `first` (one row per cell, deterministic). */
+  def weekdayHourHeatmap(df: DataFrame, ts: Column, value: Column,
+                         exactCenti: Boolean = false): DataFrame = {
+    val p =
+      if (!exactCenti)
+        df.groupBy(TimeOps.weekdayNum(ts).as("weekday"))
+          .pivot(hour(ts).cast("int"), 0 to 23)
+          .agg(round(avg(value), 6))
+      else
+        df.groupBy(TimeOps.weekdayNum(ts).as("weekday"),
+            hour(ts).cast("int").as("__h"))
+          .agg(sum(centi(value)).as("__sv"), count(lit(1)).as("__n"))
+          .withColumn("__m", exactMean("__sv", "__n"))
+          .groupBy(col("weekday"))
+          .pivot(col("__h"), 0 to 23)
+          .agg(first(col("__m")))
     p.select(col("weekday") +: (0 to 23).map(h => col(s"$h").as(s"h$h")): _*)
       .orderBy(col("weekday"))
   }
 
   /** A9/A10 (`binance_analysis.py:638-651`): one-row overall summary with
     * EXACT percentiles (linear interpolation — matches pandas/DuckDB;
-    * `percentile_approx` would drift, SURVEY §7.5). */
-  def overallSummary(df: DataFrame, value: Column): DataFrame =
-    df.agg(round(avg(value), 6).as("avg_value"),
+    * `percentile_approx` would drift, SURVEY §7.5). Percentiles/median are
+    * order statistics over identical per-row doubles — order-independent —
+    * so only the mean needs the exact-integer path. */
+  def overallSummary(df: DataFrame, value: Column,
+                     exactCenti: Boolean = false): DataFrame =
+    if (!exactCenti)
+      df.agg(round(avg(value), 6).as("avg_value"),
            round(median(value), 6).as("median_value"),
            round(sum(value), 2).as("sum_value"),
            count(lit(1)).as("n"),
            round(percentile(value, lit(0.95)), 6).as("p95"),
            round(percentile(value, lit(0.99)), 6).as("p99"))
+    else
+      df.agg(sum(centi(value)).as("__sv"),
+           round(median(value), 6).as("median_value"),
+           round(sum(value), 2).as("sum_value"),
+           count(lit(1)).as("n"),
+           round(percentile(value, lit(0.95)), 6).as("p95"),
+           round(percentile(value, lit(0.99)), 6).as("p99"))
+        .withColumn("avg_value", exactMean("__sv", "n"))
+        .select(col("avg_value"), col("median_value"), col("sum_value"),
+          col("n"), col("p95"), col("p99"))
 
   /** Approximate distinct counts per group — the scale path for A11/q55's
     * exact `count_distinct`. Spark's `approx_count_distinct` is

@@ -57,12 +57,28 @@ object JoinOps {
 
   /** J2 (`binance_analysis.py:539-541`): cross-group time alignment — the
     * pandas pivot_table(index=time, columns=group, values=v) with fillna(0).
-    * One hash aggregate; explicit `values` avoids the domain-discovery job. */
+    * One hash aggregate; explicit `values` avoids the domain-discovery job.
+    * `exactCenti=true` (centi-grid values) computes each cell mean from
+    * exact long sums — floor(v·100+0.5) is lossless on the grid and the
+    * milli-of-centi integer mean is partition-order-free (the q108/q149
+    * cross-engine hazard of round(avg(double), 6)) — then pivots the small
+    * (bucket, group) cell frame with a deterministic `first`. */
   def pivotAlign(df: DataFrame, timeKey: Column, group: String,
-                 groupValues: Seq[String], value: Column): DataFrame = {
-    val p = df.groupBy(timeKey.as("bucket"))
-      .pivot(group, groupValues)
-      .agg(round(avg(value), 6))
+                 groupValues: Seq[String], value: Column,
+                 exactCenti: Boolean = false): DataFrame = {
+    val p =
+      if (!exactCenti)
+        df.groupBy(timeKey.as("bucket"))
+          .pivot(group, groupValues)
+          .agg(round(avg(value), 6))
+      else
+        df.groupBy(timeKey.as("bucket"), col(group).as("__g"))
+          .agg(sum(floor(value * 100 + lit(0.5))).as("__sv"),
+            count(lit(1)).as("__n"))
+          .withColumn("__m", expr("(__sv * 1000 div __n) / 100000.0d"))
+          .groupBy(col("bucket"))
+          .pivot(col("__g"), groupValues)
+          .agg(first(col("__m")))
     p.na.fill(0.0, groupValues).orderBy(col("bucket"))
   }
 }
