@@ -1913,8 +1913,13 @@ object SparkEntry {
         .agg(sum(col("c_ab")).as("n_bigrams"),
           count_distinct(col("a")).as("n_contexts"),
           count(lit(1)).as("n_distinct_bigrams"),
-          round(sum(col("c_ab") * log(col("c_a").cast("double") / col("c_ab")))
-            / sum(col("c_ab")), 6).as("cond_entropy_nats"))
+          // Per-bigram term floored to exact micro-nats BEFORE the
+          // corpus-sized sum: a float sum over distinct bigrams is the
+          // q108/q149 partition-order class. Terms are nonneg (c_a ≥ c_ab).
+          sum(floor(col("c_ab") * log(col("c_a").cast("double") / col("c_ab"))
+            * lit(1000000d)).cast("decimal(38,0)")).as("__se"))
+        .select(col("n_bigrams"), col("n_contexts"), col("n_distinct_bigrams"),
+          expr("__se div n_bigrams").as("cond_entropy_micronats"))
     }),
 
     // Windowed heavy-hitter estimation as an ORACLED query: per event-hour,
@@ -2342,7 +2347,10 @@ object SparkEntry {
                END), 0D, (a, b) -> a + b)"""))
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_vecs"),
-          round(sum(col("sse")), 6).as("total_sse"),
+          // Exact: per-vector SSE (a deterministic in-row fold) floors to
+          // nano units before the per-label sum — the float sum is the
+          // q108/q149 partition-order class. max is an order statistic.
+          sum(floor(col("sse") * lit(1000000000d))).as("total_sse_nano"),
           round(max(col("sse")), 6).as("max_sse"))
         .orderBy(col("label"))
     }),
@@ -2919,11 +2927,12 @@ object SparkEntry {
       val dfd = tf.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))
       tf.join(broadcast(dfd), Seq("w")).crossJoin(broadcast(n))
-        .withColumn("contrib", col("tf") * log(col("n_docs") / col("df")))
+        .withColumn("contrib_micro",
+          floor(col("tf") * log(col("n_docs") / col("df")) * lit(1000000d)))
         .groupBy(col("doc_id"))
-        .agg(round(sum(col("contrib")), 6).as("score"),
+        .agg(sum(col("contrib_micro")).as("score_micro"),
           count(lit(1)).as("n_terms_hit"), sum(col("tf")).as("total_tf"))
-        .orderBy(col("score").desc, col("doc_id"))
+        .orderBy(col("score_micro").desc, col("doc_id"))
         .limit(10)
     }),
 
@@ -3281,17 +3290,27 @@ object SparkEntry {
     // dim. Revenue and quantity pre-aggregate per part BEFORE the
     // broadcast dim join; one fact pass.
     "q188_brand_margin" -> ((s, d) => {
+      // Integer-exact on the centi/e-4 grids (the q01 pattern): per-part
+      // revenue sums as exact longs, the brand ratio lands as integer ppm
+      // via one DECIMAL division — the float-sum/ratio forms are the
+      // q108/q149 partition-order class.
       val per = t(s, d, "lineitem").groupBy(col("l_partkey"))
-        .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .as("rev"), sum(col("l_quantity")).as("qty"))
+        .agg(sum(expr("floor(l_extendedprice * 100 + 0.5)" +
+            " * (100 - floor(l_discount * 100 + 0.5))")).as("rev_e4"),
+          sum(floor(col("l_quantity") + 0.5)).as("qty"))
       per.join(broadcast(t(s, d, "part")),
           col("l_partkey") === col("p_partkey"))
+        .withColumn("rp_centi", floor(col("p_retailprice") * 100 + 0.5))
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_parts"),
-          round(sum(col("rev")), 2).as("revenue"),
-          round(sum(col("qty")), 2).as("units"),
-          round(sum(col("rev")) / sum(col("qty") * col("p_retailprice")), 6)
-            .as("realization_ratio"))
+          sum(col("rev_e4")).as("__rev_e4"),
+          sum(col("qty")).as("units"),
+          sum(expr("qty * rp_centi")).as("__den_centi"))
+        .select(col("p_brand"), col("n_parts"),
+          expr("__rev_e4 / 10000.0d").as("revenue"),
+          col("units"),
+          expr("CAST(__rev_e4 AS DECIMAL(38,0)) * 10000 div __den_centi")
+            .as("realization_ppm"))
         .orderBy(col("p_brand"))
     }),
 
@@ -4757,7 +4776,8 @@ object SparkEntry {
          c1 AS (SELECT w1, count(*) AS c FROM big GROUP BY 1),
          v AS (SELECT count(DISTINCT tok) AS v FROM tkf)
          SELECT g.doc_id, count(*) AS n_bigrams,
-           round(avg(-ln((c12.c + 1.0) / (c1.c + v.v))), 6) AS avg_nll
+           CAST(sum(CAST(floor(-ln((c12.c + 1.0) / (c1.c + v.v)) * 1000000)
+             AS BIGINT)) // count(*) AS BIGINT) AS avg_nll_micro
          FROM big g JOIN c12 ON g.w1 = c12.w1 AND g.w2 = c12.w2
          JOIN c1 ON g.w1 = c1.w1 CROSS JOIN v
          GROUP BY g.doc_id ORDER BY g.doc_id""",
@@ -5501,8 +5521,9 @@ object SparkEntry {
          SELECT CAST(sum(c_ab) AS BIGINT) AS n_bigrams,
            CAST(count(DISTINCT cab.a) AS BIGINT) AS n_contexts,
            count(*) AS n_distinct_bigrams,
-           round(sum(c_ab * ln(CAST(c_a AS DOUBLE) / c_ab)) / sum(c_ab), 6)
-             AS cond_entropy_nats
+           CAST(sum(CAST(floor(c_ab * ln(CAST(c_a AS DOUBLE) / c_ab)
+               * 1000000) AS BIGINT)) // sum(c_ab) AS BIGINT)
+             AS cond_entropy_micronats
          FROM cab JOIN ca USING (a)""",
 
     // q117's CMS construction per event-hour window; the cells=4 guard is
@@ -5791,7 +5812,9 @@ object SparkEntry {
                  ELSE pow(e.v - (d.mn + floor((e.v - d.mn) * 255 / (d.mx - d.mn) + 0.5)
                    * (d.mx - d.mn) / 255), 2) END) AS sse
            FROM ex e JOIN dims d USING (i) GROUP BY 1, 2)
-         SELECT label, count(*) AS n_vecs, round(sum(sse), 6) AS total_sse,
+         SELECT label, count(*) AS n_vecs,
+           CAST(sum(CAST(floor(sse * 1000000000) AS BIGINT)) AS BIGINT)
+             AS total_sse_nano,
            round(max(sse), 6) AS max_sse
          FROM er GROUP BY 1 ORDER BY label""",
 
@@ -6254,12 +6277,12 @@ object SparkEntry {
          df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
          n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
          sc AS (SELECT tf.doc_id,
-             round(sum(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)), 6)
-               AS score,
+             CAST(sum(CAST(floor(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)
+               * 1000000) AS BIGINT)) AS BIGINT) AS score_micro,
              count(*) AS n_terms_hit, CAST(sum(tf.tf) AS BIGINT) AS total_tf
            FROM tf JOIN df USING (w) CROSS JOIN n GROUP BY 1)
-         SELECT doc_id, score, n_terms_hit, total_tf FROM sc
-         ORDER BY score DESC, doc_id LIMIT 10""",
+         SELECT doc_id, score_micro, n_terms_hit, total_tf FROM sc
+         ORDER BY score_micro DESC, doc_id LIMIT 10""",
 
     "q174_lang_margin" -> {
       val scoreDefs = TextOps.LangMarkers.map { case (l, ws) =>
@@ -6558,12 +6581,18 @@ object SparkEntry {
 
     "q188_brand_margin" ->
       """WITH per AS (SELECT l_partkey,
-             sum(l_extendedprice * (1.0 - l_discount)) AS rev,
-             sum(l_quantity) AS qty
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+               AS BIGINT) AS rev_e4,
+             CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+               AS qty
            FROM lineitem GROUP BY 1)
-         SELECT p_brand, count(*) AS n_parts, round(sum(rev), 2) AS revenue,
-           round(sum(qty), 2) AS units,
-           round(sum(rev) / sum(qty * p_retailprice), 6) AS realization_ratio
+         SELECT p_brand, count(*) AS n_parts,
+           CAST(sum(rev_e4) AS BIGINT) / 10000.0 AS revenue,
+           CAST(sum(qty) AS BIGINT) AS units,
+           CAST(sum(rev_e4) * 10000
+             // sum(qty * CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS realization_ppm
          FROM per JOIN part ON l_partkey = p_partkey
          GROUP BY 1 ORDER BY 1""",
 

@@ -51,10 +51,16 @@ object LmScore {
     val v = toks.select(countDistinct(col("__tok")).as("__v"))
     big.join(c12, Seq("__w1", "__w2")).join(c1, Seq("__w1"))
       .crossJoin(broadcast(v))
-      .withColumn("__nll",
-        -log((col("__c12") + 1.0) / (col("__c1") + col("__v"))))
+      // Per-bigram NLL floored to exact micro-nats BEFORE the per-doc
+      // mean: round(avg(double), 6) sums in partition order — the
+      // q108/q149 cross-engine hazard. -ln((c12+1)/(c1+V)) ≥ 0 because
+      // c12 ≤ c1 and V ≥ 1, so the truncating div matches DuckDB's //.
+      .withColumn("__nllq",
+        floor(-log((col("__c12") + 1.0) / (col("__c1") + col("__v")))
+          * lit(1000000d)))
       .groupBy(col("__id"))
-      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("__nll")), 6).as("avg_nll"))
-      .select(col("__id").as(idCol), col("n_bigrams"), col("avg_nll"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(__nllq) div count(*)").as("avg_nll_micro"))
+      .select(col("__id").as(idCol), col("n_bigrams"), col("avg_nll_micro"))
   }
 }

@@ -10,14 +10,14 @@ class LmScoreSpec extends AnyFunSuite {
   test("hand-computed tiny model: smoothed probabilities exact") {
     // Corpus "x y x": bigrams (x,y), (y,x); c12 = 1 each; history counts
     // c(x·)=1, c(y·)=1; V=2. P = (1+1)/(1+2) = 2/3 for both bigrams, so
-    // avg_nll = -ln(2/3).
+    // avg_nll_micro = floor(-ln(2/3)·1e6) (both per-bigram terms equal).
     val docs = Seq((0L, "x y x")).toDF("doc_id", "text")
     val out = LmScore.bigramNll(docs, "doc_id", "text")
-      .as[(Long, Long, Double)].collect()
+      .as[(Long, Long, Long)].collect()
     assert(out.length == 1)
     val (_, n, nll) = out.head
     assert(n == 2)
-    assert(math.abs(nll - (-math.log(2.0 / 3.0))) < 1e-6, nll)
+    assert(nll == math.floor(-math.log(2.0 / 3.0) * 1e6).toLong, nll)
   }
 
   test("fluent repetition scores lower NLL than unique-bigram gibberish") {
@@ -26,7 +26,7 @@ class LmScoreSpec extends AnyFunSuite {
       (1L, "q w e r t y u i o p z x c v m n")
     ).toDF("doc_id", "text")
     val nll = LmScore.bigramNll(docs, "doc_id", "text")
-      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
     assert(nll(0L) < nll(1L), nll)
   }
 
