@@ -49,14 +49,26 @@ object Sketches {
   /** Point estimates for `probes(keyCol)`: min over the depth counters each
     * key hashes into. The sketch side is broadcast (≤ depth×width rows);
     * the probe side explodes ×depth then re-groups by key — both shuffles
-    * are keyed by the probe key, never by anything corpus-sized. */
+    * are keyed by the probe key, never by anything corpus-sized.
+    *
+    * A probe key absent from the corpus can hash into buckets no corpus key
+    * touched; those counter cells simply don't exist in the sketch table.
+    * The CMS estimate is min over ALL depth cells, and an untouched cell is
+    * an implicit 0 — so any probe matching fewer than `depth` present cells
+    * estimates 0 (the same `count == depth` guard
+    * [[graft.streaming.StreamSketch.windowedEstimates]] applies). Without
+    * the guard, min-over-present-only silently inflates absent probes. */
   def cmsEstimate(cms: DataFrame, probes: DataFrame, keyCol: String,
                   depth: Int, width: Int): DataFrame = {
     val pb = probes.select(col(keyCol),
       posexplode(array((0 until depth).map(s =>
         cmsBucket(col(keyCol), s, width)): _*)).as(Seq("seed", "bucket")))
-    pb.join(broadcast(cms), Seq("seed", "bucket"))
+    pb.join(broadcast(cms), Seq("seed", "bucket"), "left")
       .groupBy(col(keyCol))
-      .agg(min(col("total")).as("est"))
+      .agg(min(col("total")).as("__minPresent"),
+        count(col("total")).as("__cells"))
+      .select(col(keyCol),
+        when(col("__cells") === depth, col("__minPresent")).otherwise(lit(0L))
+          .as("est"))
   }
 }

@@ -41,6 +41,15 @@ object StreamJoin {
                    joinType: String = "inner"): DataFrame = {
     require(joinType == "inner" || joinType == "left_outer",
       s"unsupported interval-join type '$joinType'")
+    // Fail fast on the outer stream-stream contract documented above:
+    // without watermarks Spark cannot ever prove "no match will arrive",
+    // and the analysis error it raises at start() names neither this
+    // operator nor the missing knob.
+    require(joinType == "inner" || watermark.nonEmpty ||
+        !(left.isStreaming || right.isStreaming),
+      "streaming left_outer interval join requires a watermark on both " +
+        "sides (pass watermark=Some(...)): unmatched rows can only emit " +
+        "once the watermark proves no in-range match can still arrive")
     require(leftTs != rightTs,
       s"leftTs and rightTs must be distinct column names, both are '$leftTs'")
     // The join condition references columns unqualified, so any cross-side

@@ -69,6 +69,22 @@ class SketchesSpec extends AnyFunSuite {
     assert(b.toSeq == again.toSeq)
   }
 
+  test("probe key absent from the corpus estimates 0, not min-over-present") {
+    val c = counts(vocab: _*)
+    val cms = Sketches.cmsTable(c, "k", "cnt", depth = 4, width = 1 << 20)
+    // At width 2^20 with 200 keys, an absent probe's 4 cells are untouched
+    // with overwhelming probability — the estimate must be the implicit-0
+    // cells' 0, not the min over whatever cells happen to exist.
+    val absent = counts("never-seen-token" -> 0L).select($"k")
+    val est = Sketches.cmsEstimate(cms, absent, "k", depth = 4, width = 1 << 20)
+      .select($"est").as[Long].collect()
+    assert(est.toSeq == Seq(0L), s"absent probe estimated ${est.toSeq}")
+    // Present keys are unaffected by the guard (all depth cells exist).
+    val present = Sketches.cmsEstimate(cms, c, "k", 4, 1 << 20)
+      .join(c, Seq("k")).where($"est" =!= $"cnt").count()
+    assert(present == 0)
+  }
+
   test("degenerate dimensions are rejected") {
     val c = counts("a" -> 1L)
     intercept[IllegalArgumentException] {

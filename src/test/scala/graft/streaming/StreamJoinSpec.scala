@@ -95,6 +95,27 @@ class StreamJoinSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming left_outer without a watermark fails fast with the contract message") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val pMem = MemoryStream[(Long, Long, String)]
+    val cMem = MemoryStream[(Long, String, Double)]
+    val purchases = pMem.toDF().toDF("purchase_id", "user_id", "p")
+      .withColumn("p_ts", to_timestamp(col("p"))).drop("p")
+    val clicks = cMem.toDF().toDF("user_id", "c", "c_value")
+      .withColumn("c_ts", to_timestamp(col("c"))).drop("c")
+    val err = intercept[IllegalArgumentException] {
+      StreamJoin.intervalJoin(purchases, clicks, "user_id",
+        "p_ts", "c_ts", "10 minutes", joinType = "left_outer")
+    }
+    assert(err.getMessage.contains("requires a watermark"),
+      s"wrong failure: ${err.getMessage}")
+    // Batch left_outer without a watermark stays legal (previous test), and
+    // streaming INNER without a watermark is still constructible.
+    StreamJoin.intervalJoin(purchases, clicks, "user_id",
+      "p_ts", "c_ts", "10 minutes")
+  }
+
   test("left-outer batch parity: unmatched left rows carry nulls") {
     val purchases = Seq((100L, 1L, "2024-01-01 10:00:00"),
         (200L, 2L, "2024-01-01 10:00:00"))
