@@ -3994,8 +3994,10 @@ object SparkEntry {
     * Each pass re-assigns every vector to its nearest current centroid
     * (same dot/cnorm DESC, cid DESC ranking as the final assignment), then
     * recomputes per-cell per-dimension means — unnest zipped with a 1-based
-    * index list, round(avg, 6) mirroring Ann.refineCentroids — and falls
-    * back to the previous centroid for cells that went empty. */
+    * index list, and the EXACT integerized mean floor(sum(floor(x·2²⁴))/n)
+    * / 2²⁴ mirroring Ann.refineCentroids bit-for-bit (BIGINT sum is
+    * order-free; the single IEEE division + floor is engine-identical) —
+    * and falls back to the previous centroid for cells that went empty. */
   private def annIvfLloydSql(iters: Int): String = {
     val iterCtes = (0 until iters).map { k =>
       s"""asg$k AS (SELECT v.vec_id, v.vec, c.cid,
@@ -4005,7 +4007,10 @@ object SparkEntry {
        ex$k AS (SELECT cid, unnest(vec) AS x, unnest(range(1, len(vec) + 1)) AS i
                 FROM asg$k WHERE cr = 1),
        mv$k AS (SELECT cid, list(m ORDER BY i) AS mv FROM
-                  (SELECT cid, i, round(avg(x), 6) AS m FROM ex$k GROUP BY cid, i)
+                  (SELECT cid, i,
+                     floor(CAST(sum(CAST(floor(x * 16777216.0) AS BIGINT)) AS DOUBLE)
+                       / count(*)) / 16777216.0 AS m
+                   FROM ex$k GROUP BY cid, i)
                 GROUP BY cid),
        cent${k + 1} AS (SELECT c.cid, coalesce(m.mv, c.cvec) AS cvec,
            CASE WHEN m.mv IS NULL THEN c.cnorm

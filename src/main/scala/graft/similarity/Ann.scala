@@ -234,10 +234,17 @@ object Ann {
     * corpus vector to its nearest current centroid (one distributed pass),
     * recompute each cell's mean vector, renormalize. Only the ≤nlist mean
     * rows are collected per iteration; cells that go empty keep their old
-    * centroid. Deterministic: seeds are the stride sample, assignment ties
-    * break by centroid id, and each mean is ROUNDED to 6 dp — a distributed
-    * avg partial-aggregates in partition order, so unrounded means would
-    * carry engine-dependent ulp noise into the next assignment pass. */
+    * centroid. Deterministic and EXACT across engines: each component is
+    * integerized as floor(x·2²⁴) and summed as a BIGINT (order-free), and
+    * the mean comes back as floor(s/n)/2²⁴ — s fits a double exactly
+    * (< 2⁵³), s/n is one IEEE division, and floor-after-divide is
+    * sign-safe on both engines (no truncating-div vs flooring-div split).
+    * A double `avg` here would partial-aggregate in partition order and
+    * carry engine-dependent ulp noise into the next assignment pass — the
+    * q108/q149 failure class. The 2⁻²⁴ quantization of the mean is a
+    * deterministic truncation, identical on engine and oracle. */
+  private[similarity] val MeanScale = 16777216.0 // 2^24
+
   private def refineCentroids(prep: DataFrame,
                               init: Array[(Int, Array[Double], Double)],
                               iters: Int): Array[(Int, Array[Double], Double)] = {
@@ -247,11 +254,17 @@ object Ann {
     try {
       for (_ <- 0 until iters) {
         val aggs = (0 until dim).map(i =>
-          round(avg(element_at(col("cv"), i + 1)), 6).as(s"m$i"))
+          sum(floor(element_at(col("cv"), i + 1) * MeanScale)).as(s"s$i"))
         val means = assignCells(prep, "cv", cents, 1)
-          .groupBy(col("cell_1")).agg(aggs.head, aggs.tail: _*)
+          .groupBy(col("cell_1"))
+          .agg(count(lit(1)).as("__n"), aggs: _*)
           .collect()
-          .map(r => r.getInt(0) -> (1 to dim).map(r.getDouble).toArray).toMap
+          .map { r =>
+            val n = r.getLong(1).toDouble
+            r.getInt(0) -> (2 to dim + 1)
+              .map(j => math.floor(r.getLong(j).toDouble / n) / MeanScale)
+              .toArray
+          }.toMap
         cents = cents.map { case (cid, oldVec, oldNorm) =>
           means.get(cid) match {
             case Some(v) => (cid, v, math.sqrt(v.map(x => x * x).sum))
