@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * extraction for PNG (IHDR, big-endian), GIF (logical screen, little-
   * endian) and WAV (RIFF fmt chunk, little-endian).
   *
-  * This replaces the "opaque blob" part of the multimodal story with
-  * genuine decoding for the header fields — the full pixel/sample decode
-  * remains [[Multimodal.StubCodec]]'s swap point (needs real codec libs).
+  * This is the codegen-friendly fast path for the header fields; the full
+  * pixel/sample decode lives at [[Multimodal.JvmCodec]]'s partition
+  * boundary (pure-JDK javax.imageio / javax.sound.sampled), and the two
+  * cross-check each other in MultimodalSpec.
   * Parsing the fixed-offset header fields is exact byte arithmetic, which
   * is precisely what a Column expression does best: it runs inside
   * whole-stage codegen and never leaves the scan's projection.

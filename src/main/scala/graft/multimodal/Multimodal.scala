@@ -6,13 +6,18 @@ import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: opaque `binary` payloads + typed metadata.
   *
-  * The Spark-side architecture is real and tested — schema, partition-wise
-  * batch decode via `mapPartitions`, stable UDF signature — while the codec
-  * itself is STUBBED with a deterministic fake (this container has no
-  * image/audio libraries). Swap [[StubCodec.decode]] for a real decoder
-  * (JNI/FFI or subprocess) without touching the pipeline shape: decode runs
-  * once per partition iterator, so codec init cost amortizes across the
-  * partition exactly like an Arrow-batched UDF would.
+  * The Spark-side architecture — schema, partition-wise batch decode via
+  * `mapPartitions`, stable UDF signature — is real and tested, and so is
+  * the default codec: [[JvmCodec]] decodes image payloads (PNG/GIF/JPEG/
+  * BMP) through `javax.imageio` and audio payloads (WAV/AIFF/AU) through
+  * `javax.sound.sampled`, both pure-JDK, no native libraries. Payloads no
+  * JDK reader understands (including the synthetic text blobs the test
+  * tables carry) fall back to [[StubCodec]]'s deterministic fake, so the
+  * pipeline degrades rather than fails on alien bytes. A heavier decoder
+  * (JNI/FFI or subprocess, e.g. for video) swaps in at the same boundary
+  * without touching the pipeline shape: decode runs once per partition
+  * iterator, so codec init cost amortizes across the partition exactly
+  * like an Arrow-batched UDF would.
   */
 object Multimodal {
 
@@ -29,11 +34,11 @@ object Multimodal {
     df.withColumn("payload", col(srcCol).cast("binary"))
       .withColumn("byte_len", octet_length(col(srcCol)))
 
-  /** Deterministic fake codec — replace with a real one. Derives plausible
-    * dimensions from the payload bytes so tests are reproducible. */
+  /** Deterministic fake codec — the fallback for payloads no real reader
+    * understands. Derives plausible dimensions from the payload bytes so
+    * pipelines over synthetic blobs stay reproducible. */
   object StubCodec {
     def decode(payload: Array[Byte]): Row = {
-      // ??? — real image/audio decode goes here (libs absent in container).
       val n = payload.length
       var h = 1469598103934665603L
       var i = 0
@@ -41,6 +46,76 @@ object Multimodal {
       val w = 64 + (Math.floorMod(h, 512L)).toInt
       Row(w, 64 + Math.floorMod(n, 512), 3, 1 + Math.floorMod(n, 16))
     }
+  }
+
+  /** Real pure-JDK codec: `javax.imageio` for images, `javax.sound.sampled`
+    * for audio. Image metadata comes from the format READER's header parse
+    * (`getWidth/getHeight/getImageTypes` — no pixel decode), so probing a
+    * multi-megabyte JPEG costs header bytes, not a full raster; only
+    * [[frame]] pays for pixels. Audio rows reuse the image-shaped meta
+    * schema as (sample_rate, 0, channels, n_audio_frames). */
+  object JvmCodec {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+    import scala.util.Try
+
+    /** Run `f` over an image reader positioned on the payload, if any JDK
+      * reader claims the format. */
+    private def withImageReader[A](payload: Array[Byte])
+                                  (f: javax.imageio.ImageReader => A): Option[A] = {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          r.setInput(iis)
+          try Some(f(r)) finally r.dispose()
+        }
+      } finally iis.close()
+    }
+
+    private def decodeImage(payload: Array[Byte]): Option[Row] =
+      Try(withImageReader(payload) { r =>
+        val channels = Try {
+          val types = r.getImageTypes(0)
+          if (types.hasNext) types.next().getColorModel.getNumComponents else 3
+        }.getOrElse(3)
+        // allowSearch=true walks the container index — how animated GIFs
+        // report their frame count; single-image formats report 1.
+        val frames = Try(r.getNumImages(true)).getOrElse(1)
+        Row(r.getWidth(0), r.getHeight(0), channels, math.max(frames, 1))
+      }).toOption.flatten
+
+    private def decodeAudio(payload: Array[Byte]): Option[Row] =
+      Try {
+        val aff = javax.sound.sampled.AudioSystem
+          .getAudioFileFormat(new ByteArrayInputStream(payload))
+        val fmt = aff.getFormat
+        val frames = if (aff.getFrameLength > 0) aff.getFrameLength else 1
+        Row(math.round(fmt.getSampleRate), 0, fmt.getChannels.toInt, frames)
+      }.toOption
+
+    /** Metadata row per [[mediaMetaSchema]]; real decode where a JDK
+      * reader exists, [[StubCodec]] fake otherwise, all-zero for
+      * null/empty payloads (degrade, never crash). */
+    def decode(payload: Array[Byte]): Row =
+      if (payload == null || payload.isEmpty) Row(0, 0, 0, 0)
+      else decodeImage(payload).orElse(decodeAudio(payload))
+        .getOrElse(StubCodec.decode(payload))
+
+    /** Real frame extraction for image containers: decode image index
+      * min(idx, n-1) (animated GIF = that animation frame) and re-encode
+      * as PNG bytes. None for non-image payloads. */
+    def frame(payload: Array[Byte], idx: Int): Option[Array[Byte]] =
+      if (payload == null || payload.isEmpty) None
+      else Try(withImageReader(payload) { r =>
+        val n = math.max(Try(r.getNumImages(true)).getOrElse(1), 1)
+        val img = r.read(math.min(math.max(idx, 0), n - 1))
+        val out = new ByteArrayOutputStream()
+        ImageIO.write(img, "png", out)
+        out.toByteArray
+      }).toOption.flatten
   }
 
   /** Partition-wise decode: one `mapPartitions` pass, preserving the input
@@ -56,7 +131,7 @@ object Multimodal {
       org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { it =>
       it.map { row =>
-        val meta = StubCodec.decode(row.getAs[Array[Byte]](payloadIdx))
+        val meta = JvmCodec.decode(row.getAs[Array[Byte]](payloadIdx))
         Row.fromSeq(row.toSeq ++ meta.toSeq)
       }
     }
@@ -93,8 +168,10 @@ object Multimodal {
   /** Partition-wise frame extraction over (payload, frame_idx) rows —
     * the decode boundary of a frame-sampling pipeline, same shape as
     * [[decodeMeta]]: one `mapPartitions` pass, codec init amortized per
-    * partition, no shuffle. The STUB slices a deterministic window of the
-    * payload per frame (real codecs decode-and-seek here); output schema =
+    * partition, no shuffle. Image containers decode for real through
+    * [[JvmCodec.frame]] (animated-GIF index → PNG bytes); anything else
+    * degrades to a deterministic stub slice of the payload (a real video
+    * codec swaps in at this same boundary). Output schema =
     * input ++ (frame_bytes BINARY). */
   def extractFrame(df: DataFrame): DataFrame = {
     val inSchema = df.schema
@@ -108,15 +185,14 @@ object Multimodal {
       it.map { row =>
         val payload = row.getAs[Array[Byte]](payloadIdx)
         val f = row.getInt(frameIdx)
-        // ??? — real frame decode goes here (codec libs absent in this
-        // container). Deterministic stand-in: a 16-byte rotating window.
-        // Null payload → null frame; empty payload → empty frame — a
-        // corrupt row degrades to a quarantineable value, never an
-        // ArrayIndexOutOfBounds/NPE that fails the whole job.
+        // Real image decode first; non-image payloads get the deterministic
+        // 16-byte rotating-window stand-in. Null payload → null frame;
+        // empty payload → empty frame — a corrupt row degrades to a
+        // quarantineable value, never an AIOOBE/NPE that fails the job.
         val frame =
           if (payload == null) null
           else if (payload.isEmpty) Array.empty[Byte]
-          else {
+          else JvmCodec.frame(payload, f).getOrElse {
             val n = payload.length
             val start = Math.floorMod(f * 16, n)
             Array.tabulate(math.min(16, n))(i => payload((start + i) % n))
