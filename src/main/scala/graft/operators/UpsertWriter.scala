@@ -21,6 +21,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object UpsertWriter {
 
+  /** One monitor per canonical table path: same-JVM writers serialize here
+    * (an OS FileLock alone cannot — overlapping locks within one JVM throw
+    * OverlappingFileLockException rather than block). */
+  private val monitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def monitorFor(dir: Path): Object =
+    monitors.computeIfAbsent(
+      dir.toAbsolutePath.normalize.toString, _ => new Object)
+
+  /** Serializes the read→merge→write→flip critical section against other
+    * writers of the SAME table: JVM monitor for in-process threads, then an
+    * OS-level advisory `FileLock` on the table's LOCK file for other
+    * processes. FileLock is released by the OS when a holder dies, so a
+    * crashed writer cannot wedge the table (no stale-lock sweeper needed).
+    * Cross-table writers share nothing and proceed in parallel. */
+  private def withWriterLock[A](dir: Path)(body: => A): A =
+    monitorFor(dir).synchronized {
+      val ch = java.nio.channels.FileChannel.open(dir.resolve("LOCK"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val fl = ch.lock() // blocks until any other process's writer exits
+        try body finally fl.release()
+      } finally ch.close()
+    }
+
   private def gen(dir: Path): Option[Path] = {
     val ptr = dir.resolve("CURRENT")
     if (Files.exists(ptr)) Some(dir.resolve(Files.readString(ptr).trim)) else None
@@ -41,29 +68,36 @@ object UpsertWriter {
              keys: Seq[String], retainMillis: Long = 60000L): Unit = {
     val dir = Paths.get(tableDir)
     Files.createDirectories(dir)
-    val merged = read(spark, tableDir) match {
-      case Some(base) => SetOps.upsert(base, updates, keys)
-      case None => SetOps.upsert(updates.limit(0), updates, keys)
-    }
-    val now = System.currentTimeMillis()
-    val next = s"gen-$now-${scala.util.Random.nextInt(100000)}"
-    merged.write.mode("overwrite").parquet(dir.resolve(next).toString)
-    val tmp = dir.resolve("CURRENT.tmp")
-    Files.writeString(tmp, next)
-    val prev = gen(dir)
-    Files.move(tmp, dir.resolve("CURRENT"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    // GC superseded generations (a streaming sink upserting every trigger
-    // would otherwise leak one full table copy per micro-batch). Deletion
-    // requires BOTH superseded (not next/prev) and aged out of the
-    // retention window; unparseable gen timestamps are never deleted.
-    val keep = Set(Some(dir.resolve(next)), prev).flatten.map(_.getFileName.toString)
-    listDir(dir).foreach { p =>
-      val n = p.getFileName.toString
-      val bornAt = genMillis(n)
-      if (n.startsWith("gen-") && !keep(n) &&
-          bornAt.exists(now - _ >= retainMillis)) deleteRecursively(p)
+    // The whole read→merge→write→flip sequence is one critical section:
+    // without it, two interleaved writers both merge against the same base
+    // generation and the second pointer flip silently discards the first
+    // writer's rows (lost update). Readers need no lock — they resolve
+    // CURRENT once and scan an immutable generation.
+    withWriterLock(dir) {
+      val merged = read(spark, tableDir) match {
+        case Some(base) => SetOps.upsert(base, updates, keys)
+        case None => SetOps.upsert(updates.limit(0), updates, keys)
+      }
+      val now = System.currentTimeMillis()
+      val next = s"gen-$now-${scala.util.Random.nextInt(100000)}"
+      merged.write.mode("overwrite").parquet(dir.resolve(next).toString)
+      val tmp = dir.resolve("CURRENT.tmp")
+      Files.writeString(tmp, next)
+      val prev = gen(dir)
+      Files.move(tmp, dir.resolve("CURRENT"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // GC superseded generations (a streaming sink upserting every trigger
+      // would otherwise leak one full table copy per micro-batch). Deletion
+      // requires BOTH superseded (not next/prev) and aged out of the
+      // retention window; unparseable gen timestamps are never deleted.
+      val keep = Set(Some(dir.resolve(next)), prev).flatten.map(_.getFileName.toString)
+      listDir(dir).foreach { p =>
+        val n = p.getFileName.toString
+        val bornAt = genMillis(n)
+        if (n.startsWith("gen-") && !keep(n) &&
+            bornAt.exists(now - _ >= retainMillis)) deleteRecursively(p)
+      }
     }
   }
 

@@ -107,6 +107,35 @@ class OperatorSpecs extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("concurrent upserts to one table cannot lose a generation") {
+    // Two writers interleaving on the SAME table: without the writer lock,
+    // both merge against the same base generation and the later pointer
+    // flip silently drops the earlier writer's keys (lost update). Run
+    // several rounds of simultaneous disjoint-key upserts from two threads
+    // and require every key to survive.
+    val dir = java.nio.file.Files.createTempDirectory("upsert-conc").toString
+    val rounds = 4
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until rounds).foreach { r =>
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val threads = Seq("a", "b").map { side =>
+        new Thread(() => {
+          try {
+            gate.await()
+            val df = Seq((s"$side$r", r.toDouble)).toDF("k", "v")
+            UpsertWriter.upsert(spark, df, dir, Seq("k"), retainMillis = 0L)
+          } catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+    }
+    assert(errs.isEmpty, s"writer threw: ${errs.peek()}")
+    val keys = UpsertWriter.read(spark, dir).get
+      .select("k").as[String].collect().toSet
+    val want = (0 until rounds).flatMap(r => Seq(s"a$r", s"b$r")).toSet
+    assert(keys == want, s"lost updates: missing ${want -- keys}")
+  }
+
   test("importanceSample draws match the scala md5 reference, 0 and 1000 are total") {
     val df = (0L until 200L).map(i => (i, (i * 5) % 1001)).toDF("id", "w")
     def draw(id: Long): Long = {
