@@ -574,8 +574,8 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
     // Exact distinct counts per group. The HLL++ scale path is
-    // AggOps.approxDistinctCounts (error-bound-tested in OperatorSpecs —
-    // approximate results can't hash-match an oracle).
+    // AggOps.approxDistinctCounts (error-bound-tested in OperatorSpecs and
+    // oracle-gated through its bound verdict in q197_hll_bound).
     "q55_distinct_counts" -> ((s, d) =>
       t(s, d, "orders")
         .groupBy(col("o_orderpriority"))
@@ -3511,6 +3511,31 @@ object SparkEntry {
         .withColumn("n_active_days", expr("CAST(bit_count(mask) AS INT)"))
         .select(col("mask"), col("n_active_days"), col("n_users"))
         .orderBy(col("mask"))
+    }),
+
+    // HLL++ error-bound gate for q55's scale path
+    // (AggOps.approxDistinctCounts): the approximate count rides next to
+    // the exact one and the oracle-compared output is the exact count plus
+    // the bound VERDICT (|approx − exact| ≤ 3·rsd·exact, as 0/1). The
+    // verdict is deterministic cross-run — HLL++ register merges are
+    // max(), so the estimate is partition-order-free — and the estimate
+    // itself stays out of the compare (DuckDB's approx sketch differs).
+    // The exact side is the real aggregation cost; the sketch side is the
+    // one-pass O(1/rsd²)-bytes-per-group scale path being certified.
+    "q197_hll_bound" -> ((s, d) => {
+      val rsd = 0.05
+      val ev = t(s, d, "events")
+      val approx = operators.AggOps.approxDistinctCounts(
+        ev, Seq(col("event_type")), col("user_id"), rsd)
+      val exact = ev.groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("n_exact"))
+      exact.join(broadcast(approx), Seq("event_type"))
+        .withColumn("within_3rsd",
+          (abs(col("approx_distinct") - col("n_exact")).cast("double") <=
+            lit(3 * rsd) * col("n_exact")).cast("bigint"))
+        .select(col("event_type"), col("n_exact"), col("n_rows"),
+          col("within_3rsd"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -6741,6 +6766,15 @@ object SparkEntry {
                    FROM b GROUP BY 1)
          SELECT mask, CAST(bit_count(mask) AS INTEGER) AS n_active_days,
            count(*) AS n_users
-         FROM masks GROUP BY 1 ORDER BY mask"""
+         FROM masks GROUP BY 1 ORDER BY mask""",
+
+    // The oracle asserts the HLL bound by CONSTRUCTION: the exact side is
+    // recomputed and hash-compared, and within_3rsd must come back 1 from
+    // the engine — a red cell here means Spark's sketch broke its ±3·rsd
+    // contract (the q42-family style of gating an approximate result).
+    "q197_hll_bound" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact,
+           count(*) AS n_rows, CAST(1 AS BIGINT) AS within_3rsd
+         FROM events GROUP BY 1 ORDER BY event_type"""
   )
 }
