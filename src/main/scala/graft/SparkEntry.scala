@@ -945,21 +945,30 @@ object SparkEntry {
     // mixture. Every stage deterministic, so the whole chain oracles.
     "q79_curation_pipeline" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val cleaned = Dedup.segmentDedup(docs, "doc_id",
-          Dedup.tokenBlocks(col("text"), 12), maxCount = 2L)
+      // `source` rides the segment pass as a carry column — the join back
+      // to documents it replaces shuffled the reassembled text a second
+      // time and re-scanned the table (the pipeline's one >2×-oracle
+      // stage in round 9's bench).
+      val scored = Dedup.segmentDedup(docs, "doc_id",
+          Dedup.tokenBlocks(col("text"), 12), maxCount = 2L,
+          carryCols = Seq("source"))
         .where(col("n_kept") >= 1)
-        .select(col("id").as("doc_id"), col("text_clean"))
-      val scored = cleaned
-        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("id").as("doc_id"), col("source"), col("text_clean"))
         .withColumn("quality_milli",
           TextOps.qualityScoreMilli(col("text_clean")))
       // Materialized: Mixture references its input three times (bucket
       // sums + kept-whole join + boundary join) — without the checkpoint
       // each reference re-derives the whole clean→score→sample chain.
+      // n_toks is computed BEFORE the materialization so the checkpoint
+      // holds four scalar columns, not the reassembled document text.
       val sampled = mat(operators.WindowOps.importanceSample(scored,
           col("doc_id"), col("quality_milli"))
-        .withColumn("n_toks", TextOps.tokenCount(col("text_clean")).cast("long")))
-      val budgets = docs.select(col("source")).distinct()
+        .withColumn("n_toks", TextOps.tokenCount(col("text_clean")).cast("long"))
+        .select(col("doc_id"), col("source"), col("quality_milli"),
+          col("n_toks")))
+      // Budgets from the (materialized, tiny) sample, not a fresh corpus
+      // scan: a source with zero sampled docs yields no rows either way.
+      val budgets = sampled.select(col("source")).distinct()
         .withColumn("budget", lit(800L))
       operators.Mixture.tokenBudgetSample(sampled, "source", col("n_toks"),
           col("doc_id"), budgets)

@@ -626,14 +626,21 @@ object Dedup {
     * membership trades a ~n²/2⁶⁴ false-collision (a unique line counted
     * into a hot line's tally) for string-free shuffles. */
   def segmentDedup(df: DataFrame, idCol: String, segsCol: Column,
-                   maxCount: Long, sep: String = "\n"): DataFrame = {
+                   maxCount: Long, sep: String = "\n",
+                   carryCols: Seq[String] = Nil): DataFrame = {
     // posexplode_outer keeps docs whose segment array is null/empty as one
     // (null idx, null seg) row — a plain posexplode would silently drop
     // them from the output, breaking the one-row-per-doc contract. Null
     // segs are excluded from the hot tally and from every count below.
+    //
+    // `carryCols` ride the explode and the re-group (joining the group key:
+    // id is unique per doc, so group cardinality is unchanged) — the way a
+    // caller keeps per-doc attributes like `source` WITHOUT a second
+    // corpus-sized join back to the input after reassembly.
+    val carry = carryCols.map(col)
     val segs = df
-      .select(col(idCol).as("id"),
-        posexplode_outer(segsCol).as(Seq("idx", "seg")))
+      .select(col(idCol).as("id") +: carry :+
+        posexplode_outer(segsCol).as(Seq("idx", "seg")): _*)
       .withColumn("segh", xxhash64(col("seg")))
     val hot = segs.where(col("seg").isNotNull)
       .groupBy(col("segh")).agg(count(lit(1)).as("n"))
@@ -641,7 +648,7 @@ object Dedup {
       .select(col("segh"), lit(true).as("__hot"))
     val live = col("__hot").isNull && col("seg").isNotNull
     segs.join(hot, Seq("segh"), "left")
-      .groupBy(col("id"))
+      .groupBy(col("id") +: carry: _*)
       .agg(
         count(col("seg")).as("n_total"),
         count(when(live, 1)).as("n_kept"),
@@ -651,7 +658,8 @@ object Dedup {
             x => x.getField("seg")),
           sep).as("text_clean"))
       .withColumn("n_removed", col("n_total") - col("n_kept"))
-      .select(col("id"), col("text_clean"), col("n_kept"), col("n_removed"))
+      .select(col("id") +: carry :+ col("text_clean") :+ col("n_kept") :+
+        col("n_removed"): _*)
   }
 
   /** [[segmentDedup]] splitting `textCol` on newlines — the literal C4
