@@ -132,7 +132,8 @@ object SparkEntry {
 
     // A3 + P13: monthly rollup.
     "q04_monthly_rollup" -> ((s, d) =>
-      AggOps.monthlyRollup(t(s, d, "events"), col("ts"), col("value"))),
+      AggOps.monthlyRollup(t(s, d, "events"), col("ts"), col("value"),
+        exactCenti = true)),
 
     // A4 + P10: hour-of-day profile.
     "q05_hour_profile" -> ((s, d) =>
@@ -200,7 +201,8 @@ object SparkEntry {
 
     // A13/A16: table stats.
     "q12_table_stats" -> ((s, d) =>
-      AggOps.tableStats(t(s, d, "orders"), col("o_orderdate"), col("o_totalprice"))),
+      AggOps.tableStats(t(s, d, "orders"), col("o_orderdate"),
+        col("o_totalprice"), exactCenti = true)),
 
     // A14: conditional aggregation (best bid/ask shape).
     "q13_best_bid_ask" -> ((s, d) =>
@@ -374,7 +376,8 @@ object SparkEntry {
     "q34_tumbling_window" -> ((s, d) =>
       t(s, d, "events")
         .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("value") * 100 + lit(0.5))) / lit(100.0)).as("sum_value"))
         .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("win_start"), col("event_type"))),
 
@@ -382,7 +385,8 @@ object SparkEntry {
     "q35_session_window" -> ((s, d) =>
       t(s, d, "events")
         .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .agg(count(lit(1)).as("n"),
+          (sum(floor(col("value") * 100 + lit(0.5))) / lit(100.0)).as("sum_value"))
         .select(col("user_id"), col("sw.start").as("session_start"), col("n"), col("sum_value"))
         .orderBy(col("user_id"), col("session_start"))),
 
@@ -1718,7 +1722,7 @@ object SparkEntry {
           count_distinct(col("event_type")).as("n_types"),
           count_distinct(to_date(col("ts"))).as("n_active_days"),
           expr("(max(__us) - min(__us)) div 1000000").as("span_s"),
-          round(sum(col("value")), 2).as("total_value"),
+          (sum(floor(col("value") * 100 + lit(0.5))) / lit(100.0)).as("total_value"),
           expr("""coalesce(count(CASE WHEN __gap < 1000000 THEN 1 END) * 1000
                   div nullif(count(__gap), 0), 0)""").as("rapid_milli"))
         .orderBy(col("user_id"))
@@ -1823,12 +1827,15 @@ object SparkEntry {
     // the embedding-space drift monitor complementing q94–q96's scalar
     // drift family. Per-dim means via posexplode + (label, dim, half)
     // aggregate (map-side combined; never a whole-label array in one task).
-    // The mean is EXACT end-to-end: each float component is integerized as
-    // floor((x+1)·2²⁴) — x+1 > 0 keeps the later integer division out of
-    // the div-truncates vs //-floors divergence, and a float's 24-bit
-    // mantissa scales by 2²⁴ losslessly — so the per-cell micro mean and
-    // the squared L2 shift are order-independent integers (a double avg
-    // here is the q108/q149 partition-order class).
+    // The mean is order-independent integer math end-to-end: each float
+    // component integerizes as floor(greatest(x+1, 0)·2²⁴). The clamp
+    // ENFORCES the non-negative dividend the later integer division needs
+    // (Spark `div` truncates, DuckDB `//` floors — they only agree for
+    // non-negative dividends; a hypothetical component < −1 would
+    // otherwise diverge silently). The 2⁻²⁴ quantization is DETERMINISTIC,
+    // not lossless — components with mantissa bits below 2⁻²⁴ truncate
+    // identically on both engines — which is all cross-engine exactness
+    // needs (a double avg here is the q108/q149 partition-order class).
     "q125_centroid_shift" -> ((s, d) => {
       // Materialized: both half-branches read this (labels×dims×2)-row
       // frame; lazy it would re-run the corpus-sized explode+agg twice.
@@ -1836,7 +1843,8 @@ object SparkEntry {
         .select(col("vec_id"), col("label"),
           posexplode(col("embedding")).as(Seq("dim", "x")))
         .groupBy(col("label"), col("dim"), (col("vec_id") % 2).as("half"))
-        .agg(expr("sum(CAST(floor((CAST(x AS DOUBLE) + 1.0d) * 16777216.0d) AS BIGINT))" +
+        .agg(expr("sum(CAST(floor(greatest(CAST(x AS DOUBLE) + 1.0d, 0.0d)" +
+            " * 16777216.0d) AS BIGINT))" +
             " * 1000000 div (count(*) * 16777216) - 1000000")
           .as("c_micro")))
       val a = cent.where(col("half") === 0)
@@ -2387,7 +2395,7 @@ object SparkEntry {
             col("prev_type")).otherwise(lit("none")))
         .groupBy(col("attributed"))
         .agg(count(lit(1)).as("n_purchases"),
-          round(sum(col("value")), 2).as("total_value"))
+          (sum(floor(col("value") * 100 + lit(0.5))) / lit(100.0)).as("total_value"))
         .orderBy(col("attributed"))
     }),
 
@@ -4116,7 +4124,7 @@ object SparkEntry {
              CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sv,
              sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
                * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sv2,
-             round(sum(value), 2) AS total_volume, count(*) AS n_rows
+             count(*) AS n_rows
            FROM events GROUP BY 1)
          SELECT event_type,
            CAST(sv * 1000 // n_rows AS BIGINT) / 100000.0 AS avg_price,
@@ -4124,17 +4132,21 @@ object SparkEntry {
              round(sqrt(CAST(n_rows * sv2 - sv * sv AS DOUBLE)
                / CAST(n_rows * (n_rows - 1) AS DOUBLE)) / 100, 6) END
              AS stddev_price,
-           total_volume, n_rows
+           sv / 100.0 AS total_volume, n_rows
          FROM a ORDER BY event_type""",
     "q03_daily_summary" ->
       """SELECT CAST(ts AS DATE) AS date,
          CAST(CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) * 1000
            // count(*) AS BIGINT) / 100000.0 AS avg_value,
-         round(sum(value), 2) AS sum_value, round(max(value), 6) AS max_value,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+           AS sum_value,
+         round(max(value), 6) AS max_value,
          count(*) AS n
          FROM events GROUP BY 1 ORDER BY date""",
     "q04_monthly_rollup" ->
-      """SELECT strftime(ts, '%Y-%m') AS month, round(sum(value), 2) AS sum_value,
+      """SELECT strftime(ts, '%Y-%m') AS month,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+           AS sum_value,
          count(*) AS n FROM events GROUP BY 1 ORDER BY month""",
     "q05_hour_profile" ->
       """SELECT CAST(hour(ts) AS INTEGER) AS hour,
@@ -4174,7 +4186,9 @@ object SparkEntry {
       """SELECT CAST(CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) * 1000
            // count(*) AS BIGINT) / 100000.0 AS avg_value,
          round(median(value), 6) AS median_value,
-         round(sum(value), 2) AS sum_value, count(*) AS n,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+           AS sum_value,
+         count(*) AS n,
          round(quantile_cont(value, 0.95), 6) AS p95,
          round(quantile_cont(value, 0.99), 6) AS p99
          FROM events""",
@@ -4189,7 +4203,9 @@ object SparkEntry {
          FROM events""",
     "q12_table_stats" ->
       """SELECT count(*) AS n, min(o_orderdate) AS min_ts, max(o_orderdate) AS max_ts,
-         round(sum(o_totalprice), 2) AS sum_value FROM orders""",
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           / 100.0 AS sum_value
+         FROM orders""",
     "q13_best_bid_ask" ->
       """SELECT max(CASE WHEN event_type = 'click' THEN value END) AS best_bid,
          min(CASE WHEN event_type = 'view' THEN value END) AS best_ask,
@@ -4331,7 +4347,9 @@ object SparkEntry {
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q34_tumbling_window" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, event_type,
-         count(*) AS n, round(sum(value), 2) AS sum_value
+         count(*) AS n,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+           AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
     "q35_session_window" ->
       """WITH flagged AS (
@@ -4345,7 +4363,8 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
            FROM flagged)
          SELECT user_id, min(ts) AS session_start, count(*) AS n,
-           round(sum(value), 2) AS sum_value
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+             AS sum_value
          FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "q36_text_stats" ->
       """SELECT doc_id,
@@ -4431,10 +4450,14 @@ object SparkEntry {
       // one terminal divide-and-sqrt (mirrors the engine's DECIMAL form).
       val xCols = types.map(e =>
         s"CAST(floor($e * 100000 + 0.5) AS BIGINT) AS $e").mkString(", ")
+      // One operand widens to HUGEINT per product: the e-5-grid cells are
+      // value·1e5, so a BIGINT×BIGINT per-row product would overflow (and
+      // DuckDB errors) for |value| beyond ~3e4 — mirror of the engine's
+      // DECIMAL(38,0) widening.
       val sumCols = (types.map(e =>
-          s"sum($e) AS s_$e, sum($e * $e) AS ss_$e") ++
+          s"sum(CAST($e AS HUGEINT) * $e) AS ss_$e, sum($e) AS s_$e") ++
         (for { a <- types; b <- types if a < b } yield
-          s"sum($a * $b) AS sp_${a}_$b")).mkString(", ")
+          s"sum(CAST($a AS HUGEINT) * $b) AS sp_${a}_$b")).mkString(", ")
       val pairs = (for { a <- types; b <- types if a < b } yield
         s"""round(CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE)
              / sqrt(CAST(n * ss_$a - s_$a * s_$a AS DOUBLE)
@@ -5401,7 +5424,8 @@ object SparkEntry {
            CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
            CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days,
            CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS span_s,
-           round(sum(value), 2) AS total_value,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+             AS total_value,
            CAST(coalesce((count(CASE WHEN gap < 1000000 THEN 1 END) * 1000)
              // nullif(count(gap), 0), 0) AS BIGINT) AS rapid_milli
          FROM g GROUP BY user_id ORDER BY user_id""",
@@ -5499,7 +5523,7 @@ object SparkEntry {
              unnest(CAST(embedding AS DOUBLE[])) AS v
            FROM embeddings),
          cent AS (SELECT label, dim, half,
-             CAST(sum(CAST(floor((v + 1.0) * 16777216.0) AS BIGINT))
+             CAST(sum(CAST(floor(greatest(v + 1.0, 0.0) * 16777216.0) AS BIGINT))
                * 1000000 // (count(*) * 16777216) - 1000000 AS BIGINT)
                AS c_micro
            FROM x GROUP BY 1, 2, 3),
@@ -5869,7 +5893,9 @@ object SparkEntry {
          SELECT CASE WHEN prev_ts IS NOT NULL
              AND prev_ts >= ts - INTERVAL 30 MINUTE
              THEN prev_type ELSE 'none' END AS attributed,
-           count(*) AS n_purchases, round(sum(value), 2) AS total_value
+           count(*) AS n_purchases,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+             AS total_value
          FROM p WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1""",
 
     // The carried value is exact integer milli-of-centi (see the engine

@@ -28,12 +28,23 @@ object AggOps {
   private def exactMean(sv: String, n: String): Column =
     expr(s"($sv * 1000 div $n) / 100000.0d")
 
+  /** Exact 2-dp sum of centi-grid values: the long centi sum presented
+    * /100 (one exact IEEE division — sums < 2^53 round-trip losslessly).
+    * `round(sum(double), 2)` only matches across engines while accumulated
+    * order noise stays under the 0.005 half-width; this never accumulates
+    * a double at all. */
+  private def centiSum(value: Column): Column =
+    sum(centi(value)) / lit(100.0)
+
   /** A1 (`src/analytics/metrics.py:15-24`): per-group market metrics.
     * Postgres STDDEV = sample stddev = Spark `stddev_samp`.
-    * `exactCenti=true` (values on a 1/100 grid, e.g. prices) computes the
+    * `exactCenti=true` (price AND volume on a 1/100 grid) computes the
     * mean and stddev from exact integer sums — the n·Σx²−(Σx)² identity in
-    * DECIMAL(38,0) with one terminal sqrt — so no order-dependent double
-    * accumulation reaches a cross-engine compare. */
+    * DECIMAL(38,0) with one terminal sqrt — and presents total_volume from
+    * its exact centi sum too: `round(sum(double), 2)` only matches across
+    * engines while accumulated order noise stays under the 0.005
+    * half-width, a margin that shrinks with row count — so no
+    * order-dependent double accumulation reaches a cross-engine compare. */
   def marketMetrics(df: DataFrame, key: String, price: Column, volume: Column,
                     exactCenti: Boolean = false): DataFrame =
     if (!exactCenti)
@@ -47,8 +58,9 @@ object AggOps {
       df.groupBy(col(key))
         .agg(sum(centi(price)).as("__sv"),
              sum(centi(price).cast("decimal(38,0)") * centi(price)).as("__sv2"),
-             round(sum(volume), 2).as("total_volume"),
+             sum(centi(volume)).as("__svol"),
              count(lit(1)).as("n_rows"))
+        .withColumn("total_volume", expr("__svol / 100.0d"))
         .withColumn("avg_price", exactMean("__sv", "n_rows"))
         .withColumn("stddev_price", when(col("n_rows") > 1,
           round(sqrt(
@@ -59,10 +71,10 @@ object AggOps {
           col("total_volume"), col("n_rows"))
         .orderBy(col(key))
 
-  /** A2 (`binance_analysis.py:655-667`): daily summary. The 2-dp sum stays
-    * a float round even on the exact path: the true sum of centi-grid
-    * values is ON the 2-dp grid, so order noise (≪ the 0.005 half-width)
-    * cannot flip it. */
+  /** A2 (`binance_analysis.py:655-667`): daily summary. On the exact path
+    * the 2-dp sum is the centi sum presented /100 — `round(sum(double),2)`
+    * only survives cross-engine while accumulated order noise stays under
+    * the 0.005 half-width, a margin that shrinks with row count. */
   def dailySummary(df: DataFrame, ts: Column, value: Column,
                    exactCenti: Boolean = false): DataFrame = {
     val base = df.groupBy(to_date(ts).as("date"))
@@ -74,9 +86,9 @@ object AggOps {
              count(lit(1)).as("n"))
       else
         base.agg(sum(centi(value)).as("__sv"),
-             round(sum(value), 2).as("sum_value"),
              round(max(value), 6).as("max_value"),
              count(lit(1)).as("n"))
+          .withColumn("sum_value", expr("__sv / 100.0d"))
           .withColumn("avg_value", exactMean("__sv", "n"))
           .select(col("date"), col("avg_value"), col("sum_value"),
             col("max_value"), col("n"))
@@ -84,9 +96,12 @@ object AggOps {
   }
 
   /** A3 (`binance_analysis.py:669-672`): monthly rollup. */
-  def monthlyRollup(df: DataFrame, ts: Column, value: Column): DataFrame =
+  def monthlyRollup(df: DataFrame, ts: Column, value: Column,
+                    exactCenti: Boolean = false): DataFrame =
     df.groupBy(TimeOps.monthStr(ts).as("month"))
-      .agg(round(sum(value), 2).as("sum_value"), count(lit(1)).as("n"))
+      .agg((if (exactCenti) centiSum(value) else round(sum(value), 2))
+          .as("sum_value"),
+        count(lit(1)).as("n"))
       .orderBy(col("month"))
 
   /** A4 (`binance_analysis.py:676-684`): hour-of-day profile. */
@@ -149,7 +164,7 @@ object AggOps {
     * EXACT percentiles (linear interpolation — matches pandas/DuckDB;
     * `percentile_approx` would drift, SURVEY §7.5). Percentiles/median are
     * order statistics over identical per-row doubles — order-independent —
-    * so only the mean needs the exact-integer path. */
+    * so only the mean and the 2-dp sum need the exact-integer path. */
   def overallSummary(df: DataFrame, value: Column,
                      exactCenti: Boolean = false): DataFrame =
     if (!exactCenti)
@@ -162,10 +177,10 @@ object AggOps {
     else
       df.agg(sum(centi(value)).as("__sv"),
            round(median(value), 6).as("median_value"),
-           round(sum(value), 2).as("sum_value"),
            count(lit(1)).as("n"),
            round(percentile(value, lit(0.95)), 6).as("p95"),
            round(percentile(value, lit(0.99)), 6).as("p99"))
+        .withColumn("sum_value", expr("__sv / 100.0d"))
         .withColumn("avg_value", exactMean("__sv", "n"))
         .select(col("avg_value"), col("median_value"), col("sum_value"),
           col("n"), col("p95"), col("p99"))
@@ -193,9 +208,11 @@ object AggOps {
       .withColumn("missing_minutes", col("expected_minutes") - col("n_minutes"))
 
   /** A13 (`src/dashboard/app.py:118`): table stats. */
-  def tableStats(df: DataFrame, ts: Column, value: Column): DataFrame =
+  def tableStats(df: DataFrame, ts: Column, value: Column,
+                 exactCenti: Boolean = false): DataFrame =
     df.agg(count(lit(1)).as("n"), min(ts).as("min_ts"), max(ts).as("max_ts"),
-           round(sum(value), 2).as("sum_value"))
+           (if (exactCenti) centiSum(value) else round(sum(value), 2))
+             .as("sum_value"))
 
   /** A14 (`binance_analysis.py:499-502`): best-bid/best-ask style
     * conditional aggregation — max over one side, min over the other,
