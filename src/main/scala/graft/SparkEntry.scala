@@ -212,7 +212,8 @@ object SparkEntry {
     "q14_depth_topn" -> ((s, d) =>
       AggOps.depthTopN(t(s, d, "lineitem"), "l_returnflag", col("l_extendedprice"),
         col("l_quantity"), 100,
-        Seq(col("l_orderkey"), col("l_linenumber"), col("l_quantity")))),
+        Seq(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+        exactGrids = true)),
 
     // W1: per-group lag difference.
     "q15_lag_diff" -> ((s, d) =>
@@ -280,7 +281,13 @@ object SparkEntry {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        // Exact e4-grid revenue: ep is centi, discount is centi, so each
+        // line's ep·(1−d) is an exact long on the 1e-4 grid — the double
+        // product-sum it replaces could land a rounding boundary (q149
+        // class).
+        .agg((sum(floor(col("l_extendedprice") * 100 + lit(0.5)) *
+              (lit(100) - floor(col("l_discount") * 100 + lit(0.5)))) /
+            lit(10000.0)).as("revenue"),
              count(lit(1)).as("n_items"))
         .orderBy(col("r_name"), col("n_name"))
     }),
@@ -585,7 +592,8 @@ object SparkEntry {
         .groupBy(col("o_orderpriority"))
         .agg(count_distinct(col("o_custkey")).as("n_custs"),
              count(lit(1)).as("n_orders"),
-             round(sum(col("o_totalprice")), 2).as("sum_price"))
+             (sum(floor(col("o_totalprice") * 100 + lit(0.5))) / lit(100.0))
+               .as("sum_price"))
         .orderBy(col("o_orderpriority"))),
 
     // Similarity search: IVF-cell ANN (oracled — the stride-sampled
@@ -724,7 +732,8 @@ object SparkEntry {
           lowerSec = -600, upperSec = 0, inclusiveUpper = true)
         .groupBy(col("purchase_id"))
         .agg(count(lit(1)).as("n_clicks"),
-             round(sum(col("c_value")), 2).as("click_value"))
+             (sum(floor(col("c_value") * 100 + lit(0.5))) / lit(100.0))
+               .as("click_value"))
         .orderBy(col("purchase_id"))
     }),
 
@@ -2055,11 +2064,15 @@ object SparkEntry {
       val li = t(s, d, "lineitem")
         .where(col("l_shipdate") > lit(cutoff))
         .select(col("l_orderkey"),
-          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("__rev"))
+          // Exact e4-grid per-line revenue: the float product-sum this
+          // replaces also RANKED the top-10 cut — a boundary flip there
+          // changes rows, not just a cell.
+          (floor(col("l_extendedprice") * 100 + lit(0.5)) *
+            (lit(100) - floor(col("l_discount") * 100 + lit(0.5)))).as("__rev_e4"))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(round(sum(col("__rev")), 2).as("revenue"))
+        .agg((sum(col("__rev_e4")) / lit(10000.0)).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
     }),
 
@@ -2153,7 +2166,8 @@ object SparkEntry {
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_small_lines"),
-          round(sum(col("l_extendedprice")), 2).as("small_revenue"))
+          (sum(floor(col("l_extendedprice") * 100 + lit(0.5))) / lit(100.0))
+            .as("small_revenue"))
         .orderBy(col("p_brand"))
     }),
 
@@ -2167,15 +2181,17 @@ object SparkEntry {
       val reg = t(s, d, "region")
       val rev = t(s, d, "lineitem")
         .select(col("l_suppkey"),
-          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("__rev"))
-        .groupBy(col("l_suppkey")).agg(sum(col("__rev")).as("__srev"))
+          (floor(col("l_extendedprice") * 100 + lit(0.5)) *
+            (lit(100) - floor(col("l_discount") * 100 + lit(0.5)))).as("__rev_e4"))
+        .groupBy(col("l_suppkey")).agg(sum(col("__rev_e4")).as("__srev_e4"))
       sup.join(rev, col("s_suppkey") === col("l_suppkey"), "left")
         .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_suppliers"),
-          round(sum(col("s_acctbal")), 2).as("total_acctbal"),
-          round(sum(coalesce(col("__srev"), lit(0.0))), 2).as("revenue"))
+          (sum(floor(col("s_acctbal") * 100 + lit(0.5))) / lit(100.0))
+            .as("total_acctbal"),
+          (sum(coalesce(col("__srev_e4"), lit(0L))) / lit(10000.0)).as("revenue"))
         .orderBy(col("r_name"), col("n_name"))
     }),
 
@@ -2756,7 +2772,8 @@ object SparkEntry {
           col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
           col("l_quantity") < 24)
         .agg(count(lit(1)).as("n_lines"),
-          round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          (sum(floor(col("l_extendedprice") * 100 + lit(0.5)) *
+              floor(col("l_discount") * 100 + lit(0.5))) / lit(10000.0))
             .as("revenue_increase"))),
 
     // Customer order-count distribution (TPC-H Q13 shape): the left join
@@ -2778,15 +2795,20 @@ object SparkEntry {
     "q166_promo_share" -> ((s, d) =>
       t(s, d, "lineitem")
         .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .withColumn("__rev_e4",
+          floor(col("l_extendedprice") * 100 + lit(0.5)) *
+            (lit(100) - floor(col("l_discount") * 100 + lit(0.5))))
         .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
-        .agg(round(
-            sum(when(col("p_type") === "PROMO",
-              col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-              .otherwise(lit(0.0))) /
-            sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 6)
-          .as("promo_share"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-            .as("total_revenue"))
+        // Both the share's numerator/denominator and the 2-dp total are
+        // exact e4-grid longs; the share's one division is the same IEEE
+        // op on the same integers in both engines.
+        .agg(sum(when(col("p_type") === "PROMO", col("__rev_e4"))
+            .otherwise(lit(0L))).as("__promo_e4"),
+          sum(col("__rev_e4")).as("__tot_e4"))
+        .select(col("ship_month"),
+          round(col("__promo_e4").cast("double") / col("__tot_e4"), 6)
+            .as("promo_share"),
+          (col("__tot_e4") / lit(10000.0)).as("total_revenue"))
         .orderBy(col("ship_month"))),
 
     // Dedup cost/benefit in TOKENS — the number that justifies (or
@@ -3424,8 +3446,8 @@ object SparkEntry {
           .otherwise("q4_high"))
         .groupBy(col("band"))
         .agg(count(lit(1)).as("n_rows"),
-          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-            .as("revenue"))
+          (sum(col("cp") * (lit(100) - floor(col("l_discount") * 100 + lit(0.5))))
+            / lit(10000.0)).as("revenue"))
         .orderBy(col("band"))
     }),
 
@@ -4220,8 +4242,12 @@ object SparkEntry {
              row_number() OVER (PARTITION BY l_returnflag
                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_quantity) AS rn
            FROM lineitem)
-         SELECT l_returnflag, round(sum(l_quantity), 2) AS depth_qty,
-           round(sum(l_quantity * l_extendedprice), 2) AS depth_notional,
+         SELECT l_returnflag,
+           CAST(CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+             AS DOUBLE) AS depth_qty,
+           CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)
+             * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             / 100.0 AS depth_notional,
            count(*) AS n_levels
          FROM ranked WHERE rn <= 100 GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q15_lag_diff" ->
@@ -4266,7 +4292,9 @@ object SparkEntry {
          ORDER BY l_orderkey, l_linenumber, l_extendedprice""",
     "q22_regional_revenue" ->
       """SELECT r_name, n_name,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
+           / 10000.0 AS revenue,
          count(*) AS n_items
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
@@ -4500,7 +4528,9 @@ object SparkEntry {
          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
     "q55_distinct_counts" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
-           count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             / 100.0 AS sum_price
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q56_ann_ivf" -> annIvfSql,
     "q57_tfidf" ->
@@ -4570,7 +4600,8 @@ object SparkEntry {
     "q63_ann_ivf_lloyd" -> annIvfLloydSql(2),
     "q64_interval_join" ->
       """SELECT p.event_id AS purchase_id, count(*) AS n_clicks,
-           round(sum(c.value), 2) AS click_value
+           CAST(sum(CAST(floor(c.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             / 100.0 AS click_value
          FROM events p JOIN events c
            ON c.user_id = p.user_id
           AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts <= p.ts
@@ -5679,7 +5710,9 @@ object SparkEntry {
 
     "q134_shipping_priority" ->
       """SELECT o_orderkey, o_orderdate, o_orderpriority,
-           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
+             / 10000.0 AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -5745,17 +5778,21 @@ object SparkEntry {
                FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
                WHERE l.l_quantity < 0.5 * a.avgq)
          SELECT p.p_brand, count(*) AS n_small_lines,
-           round(sum(f.l_extendedprice), 2) AS small_revenue
+           CAST(sum(CAST(floor(f.l_extendedprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) / 100.0 AS small_revenue
          FROM f JOIN part p ON f.l_partkey = p.p_partkey
          GROUP BY 1 ORDER BY 1""",
 
     "q139_supplier_nations" ->
       """WITH rev AS (SELECT l_suppkey,
-             sum(l_extendedprice * (1.0 - l_discount)) AS srev
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+               AS BIGINT) AS srev_e4
            FROM lineitem GROUP BY 1)
          SELECT r.r_name, n.n_name, count(*) AS n_suppliers,
-           round(sum(s.s_acctbal), 2) AS total_acctbal,
-           round(sum(coalesce(rev.srev, 0.0)), 2) AS revenue
+           CAST(sum(CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             / 100.0 AS total_acctbal,
+           CAST(sum(coalesce(rev.srev_e4, 0)) AS BIGINT) / 10000.0 AS revenue
          FROM supplier s
          LEFT JOIN rev ON s.s_suppkey = rev.l_suppkey
          JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -6199,7 +6236,9 @@ object SparkEntry {
 
     "q164_forecast_revenue" ->
       """SELECT count(*) AS n_lines,
-           round(sum(l_extendedprice * l_discount), 2) AS revenue_increase
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             / 10000.0 AS revenue_increase
          FROM lineitem
          WHERE year(l_shipdate) = 1996
            AND l_discount >= 0.05 AND l_discount <= 0.07
@@ -6213,14 +6252,16 @@ object SparkEntry {
          GROUP BY 1 ORDER BY custdist DESC, c_count DESC""",
 
     "q166_promo_share" ->
-      """SELECT date_trunc('month', l_shipdate) AS ship_month,
-           round(sum(CASE WHEN p_type = 'PROMO'
-               THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END)
-             / sum(l_extendedprice * (1.0 - l_discount)), 6) AS promo_share,
-           round(sum(l_extendedprice * (1.0 - l_discount)), 2)
-             AS total_revenue
-         FROM lineitem JOIN part ON l_partkey = p_partkey
-         GROUP BY 1 ORDER BY ship_month""",
+      """WITH e AS (SELECT l_shipdate, p_type,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev_e4
+           FROM lineitem JOIN part ON l_partkey = p_partkey)
+         SELECT date_trunc('month', l_shipdate) AS ship_month,
+           round(CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4
+               ELSE 0 END) AS BIGINT) AS DOUBLE)
+             / CAST(sum(rev_e4) AS BIGINT), 6) AS promo_share,
+           CAST(sum(rev_e4) AS BIGINT) / 10000.0 AS total_revenue
+         FROM e GROUP BY 1 ORDER BY ship_month""",
 
     // Fingerprint keepers × the recursive MinHash component keepers —
     // each doc lands in exactly one stage; token mass per stage.
@@ -6720,9 +6761,11 @@ object SparkEntry {
                  WHEN v.cp <= cuts.p50 THEN 'q2_mid_low'
                  WHEN v.cp <= cuts.p75 THEN 'q3_mid_high'
                  ELSE 'q4_high' END AS band,
-               v.l_extendedprice * (1.0 - v.l_discount) AS rev
+               v.cp * (100 - CAST(floor(v.l_discount * 100 + 0.5) AS BIGINT))
+                 AS rev_e4
              FROM v CROSS JOIN cuts)
-         SELECT band, count(*) AS n_rows, round(sum(rev), 2) AS revenue
+         SELECT band, count(*) AS n_rows,
+           CAST(sum(rev_e4) AS BIGINT) / 10000.0 AS revenue
          FROM b GROUP BY 1 ORDER BY 1""",
 
     "q193_feed_reconciliation" ->

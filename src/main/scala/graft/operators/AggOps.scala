@@ -228,16 +228,27 @@ object AggOps {
     * window limited to N, then per-side sums. `side` has a handful of
     * values, so the rank goes through [[WindowOps.topKPerGroupSalted]]:
     * identical output, but the sort parallelizes across sub-partitions
-    * instead of funneling each side through one reducer. */
+    * instead of funneling each side through one reducer.
+    * `exactGrids=true` (integral qty, centi price) derives both sums from
+    * exact long grids — no order-dependent double accumulation. */
   def depthTopN(df: DataFrame, side: String, price: Column, qty: Column, n: Int,
-                tiebreak: Seq[Column]): DataFrame =
-    WindowOps.topKPerGroupSalted(df, Seq(col(side)),
-        price.desc +: tiebreak, n, out = "__rn")
-      .groupBy(col(side))
-      .agg(round(sum(qty), 2).as("depth_qty"),
-           round(sum(qty * price), 2).as("depth_notional"),
-           count(lit(1)).as("n_levels"))
-      .orderBy(col(side))
+                tiebreak: Seq[Column], exactGrids: Boolean = false): DataFrame = {
+    val ranked = WindowOps.topKPerGroupSalted(df, Seq(col(side)),
+      price.desc +: tiebreak, n, out = "__rn")
+    val agged =
+      if (!exactGrids)
+        ranked.groupBy(col(side))
+          .agg(round(sum(qty), 2).as("depth_qty"),
+               round(sum(qty * price), 2).as("depth_notional"),
+               count(lit(1)).as("n_levels"))
+      else
+        ranked.groupBy(col(side))
+          .agg(sum(floor(qty + lit(0.5))).cast("double").as("depth_qty"),
+               (sum(floor(qty + lit(0.5)) * centi(price)) / lit(100.0))
+                 .as("depth_notional"),
+               count(lit(1)).as("n_levels"))
+    agged.orderBy(col(side))
+  }
 
   /** Cohort retention matrix: users bucketed by first-active day, distinct
     * active users per (cohort_day, day_offset) cell.
