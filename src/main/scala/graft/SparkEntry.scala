@@ -3575,6 +3575,55 @@ object SparkEntry {
         .select(col("event_type"), col("n_exact"), col("n_rows"),
           col("within_3rsd"))
         .orderBy(col("event_type"))
+    }),
+
+    // Oracle gate for the CMS absent-probe contract (the round-10
+    // Sketches.cmsEstimate fix): probes are the exact top-10 tokens plus
+    // five literal never-seen tokens, against a SPARSE sketch (width 2^17
+    // ≫ vocab) so an absent probe's cells are overwhelmingly untouched
+    // and the count==depth guard's 0 path actually executes. The oracle
+    // rebuilds the identical md5 sketch with the identical guard, so
+    // present-key estimates (≥ exact) and absent-key zeros compare
+    // cell-for-cell whatever the corpus density makes them.
+    "q198_cms_absent_probes" -> ((s, d) => {
+      val counts = mat(t(s, d, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt")))
+      val cms = Sketches.cmsTable(counts, "tok", "cnt",
+        depth = 4, width = 1 << 17)
+      val present = counts.orderBy(col("cnt").desc, col("tok")).limit(10)
+        .select(col("tok"))
+      val absent = counts.sparkSession.range(1, 6)
+        .select(concat(lit("__never_seen_token_"), col("id")).as("tok"))
+      Sketches.cmsEstimate(cms, present.unionByName(absent), "tok",
+          depth = 4, width = 1 << 17)
+        .orderBy(col("tok"))
+    }),
+
+    // Multimodal resize arithmetic oracled (previously spec-only): the
+    // q48 byte-length meta run through the exact integer aspect-fit —
+    // ceil-division scale factor, floor-divided dims — mirrored in SQL.
+    "q199_resize_meta" -> ((s, d) =>
+      Multimodal.resizeMetaTo(
+          Multimodal.fakeMetaColumns(
+            Multimodal.withPayload(t(s, d, "documents"), "text")), 256)
+        .select(col("doc_id"), col("width"), col("height"),
+          col("resized_width"), col("resized_height"))
+        .orderBy(col("doc_id"))),
+
+    // Frame-index sampling oracled (previously spec-only): stride-4
+    // indexes over a deterministic per-doc frame count, INCLUDING the
+    // zero-frame guard path (byte_len % 16 == 0 docs must vanish, not
+    // throw on sequence(0, -1)). Summarized per doc so the oracle checks
+    // both the explode fan-out and the index arithmetic.
+    "q200_frame_sample" -> ((s, d) => {
+      val clips = Multimodal.withPayload(t(s, d, "documents"), "text")
+        .withColumn("n_frames", (col("byte_len") % 16).cast("int"))
+      Multimodal.sampleFrameIndexes(clips, "n_frames", stride = 4)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sampled"),
+          max(col("frame_idx")).as("last_idx"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -6853,6 +6902,61 @@ object SparkEntry {
     "q197_hll_bound" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact,
            count(*) AS n_rows, CAST(1 AS BIGINT) AS within_3rsd
-         FROM events GROUP BY 1 ORDER BY event_type"""
+         FROM events GROUP BY 1 ORDER BY event_type""",
+
+    // The identical md5 sketch + the identical count==depth guard: a
+    // probe matching fewer than 4 present cells estimates 0.
+    "q198_cms_absent_probes" ->
+      """WITH w AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+           FROM documents),
+         c AS (SELECT tok, count(*) AS cnt FROM w GROUP BY 1),
+         sd AS (SELECT unnest(range(4)) AS seed),
+         sb AS (SELECT c.tok, c.cnt, sd.seed,
+             CAST('0x' || substring(md5(CAST(sd.seed AS VARCHAR) || ':' || c.tok), 1, 8)
+               AS BIGINT) % 131072 AS bucket
+           FROM c, sd),
+         cms AS (SELECT seed, bucket, sum(cnt) AS total FROM sb GROUP BY 1, 2),
+         probes AS (SELECT tok FROM
+                      (SELECT tok FROM c ORDER BY cnt DESC, tok LIMIT 10)
+                    UNION ALL
+                    SELECT '__never_seen_token_' || CAST(i AS VARCHAR)
+                    FROM (SELECT unnest(range(1, 6)) AS i)),
+         pb AS (SELECT p.tok, sd.seed,
+             CAST('0x' || substring(md5(CAST(sd.seed AS VARCHAR) || ':' || p.tok), 1, 8)
+               AS BIGINT) % 131072 AS bucket
+           FROM probes p, sd)
+         SELECT pb.tok,
+           CAST(CASE WHEN count(m.total) = 4 THEN min(m.total) ELSE 0 END
+             AS BIGINT) AS est
+         FROM pb LEFT JOIN cms m ON m.seed = pb.seed AND m.bucket = pb.bucket
+         GROUP BY pb.tok ORDER BY pb.tok""",
+
+    // q48's byte-length meta + the exact integer aspect-fit mirror:
+    // fit = 1 if max(w,h) <= 256 else ceil(max/256); dims floor-divide.
+    "q199_resize_meta" ->
+      """WITH m AS (SELECT doc_id,
+             CAST(64 + octet_length(encode(text)) % 512 AS INTEGER) AS width,
+             CAST(64 + (octet_length(encode(text)) * 7) % 512 AS INTEGER) AS height
+           FROM documents),
+         f AS (SELECT doc_id, width, height,
+             CASE WHEN greatest(width, height) <= 256 THEN 1
+                  ELSE CAST(floor((greatest(width, height) + 255) / 256.0)
+                    AS BIGINT) END AS fit
+           FROM m)
+         SELECT doc_id, width, height,
+           CAST(floor(width / fit) AS INTEGER) AS resized_width,
+           CAST(floor(height / fit) AS INTEGER) AS resized_height
+         FROM f ORDER BY doc_id""",
+
+    // Stride-4 frame indexes over n = byte_len % 16 frames; n = 0 docs
+    // contribute no rows (the sequence guard's degenerate path).
+    "q200_frame_sample" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) % 16 AS n
+           FROM documents),
+         f AS (SELECT doc_id, unnest(range(0, n, 4)) AS frame_idx
+               FROM d WHERE n >= 1)
+         SELECT doc_id, count(*) AS n_sampled,
+           CAST(max(frame_idx) AS INTEGER) AS last_idx
+         FROM f GROUP BY doc_id ORDER BY doc_id"""
   )
 }
