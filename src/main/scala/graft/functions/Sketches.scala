@@ -57,10 +57,15 @@ object Sketches {
     * an implicit 0 — so any probe matching fewer than `depth` present cells
     * estimates 0 (the same `count == depth` guard
     * [[graft.streaming.StreamSketch.windowedEstimates]] applies). Without
-    * the guard, min-over-present-only silently inflates absent probes. */
+    * the guard, min-over-present-only silently inflates absent probes.
+    *
+    * Probes are deduplicated up front: the cell-count guard counts joined
+    * rows per key, so a key appearing twice in `probes` would join
+    * 2×depth cells and trip the `=== depth` check into a spurious 0. One
+    * estimate per distinct key is also the only sensible contract. */
   def cmsEstimate(cms: DataFrame, probes: DataFrame, keyCol: String,
                   depth: Int, width: Int): DataFrame = {
-    val pb = probes.select(col(keyCol),
+    val pb = probes.select(col(keyCol)).distinct().select(col(keyCol),
       posexplode(array((0 until depth).map(s =>
         cmsBucket(col(keyCol), s, width)): _*)).as(Seq("seed", "bucket")))
     pb.join(broadcast(cms), Seq("seed", "bucket"), "left")

@@ -23,13 +23,22 @@ object UpsertWriter {
 
   /** One monitor per canonical table path: same-JVM writers serialize here
     * (an OS FileLock alone cannot — overlapping locks within one JVM throw
-    * OverlappingFileLockException rather than block). */
+    * OverlappingFileLockException rather than block). Keyed on the REAL
+    * path (symlinks resolved) so two writers reaching one table via
+    * aliased paths collapse to one monitor — a lexical normalize would
+    * hand them distinct monitors and the second in-JVM `FileChannel.lock`
+    * on the same underlying LOCK file would throw instead of block.
+    * Falls back to the lexical form only when the directory does not
+    * exist yet (first writer creates it before locking). */
   private val monitors =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
-  private def monitorFor(dir: Path): Object =
-    monitors.computeIfAbsent(
-      dir.toAbsolutePath.normalize.toString, _ => new Object)
+  private def monitorFor(dir: Path): Object = {
+    val canonical =
+      try dir.toRealPath().toString
+      catch { case _: java.io.IOException => dir.toAbsolutePath.normalize.toString }
+    monitors.computeIfAbsent(canonical, _ => new Object)
+  }
 
   /** Serializes the read→merge→write→flip critical section against other
     * writers of the SAME table: JVM monitor for in-process threads, then an

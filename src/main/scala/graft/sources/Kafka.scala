@@ -92,6 +92,11 @@ object Kafka {
         from_json(col("value").cast("string"), tradeValueSchema).as("t"))
       // from_json yields null on malformed JSON, and a JSON object missing
       // `time` yields a null field: both are poison pills, both drop here.
+      // NOTE the symbol filter also drops records with a NULL Kafka key —
+      // an unkeyed producer's trades are well-formed JSON but carry no
+      // symbol, so they vanish on the same dead-letter path as poison
+      // pills. Operators of unkeyed topics must either key the producer
+      // or fork this parse to derive symbol from a value field.
       .where(col("t").isNotNull && col("t.time").isNotNull &&
         col("symbol").isNotNull)
       .select(col("symbol"),

@@ -85,6 +85,18 @@ class SketchesSpec extends AnyFunSuite {
     assert(present == 0)
   }
 
+  test("duplicate probe keys are deduplicated, not poisoned to 0") {
+    val c = counts(vocab: _*)
+    val cms = Sketches.cmsTable(c, "k", "cnt", depth = 4, width = 1 << 20)
+    // A key probed twice used to join 2*depth cells and trip the
+    // cells==depth guard into a spurious 0 estimate. The estimate must be
+    // the key's true count, reported once.
+    val dup = counts("tok42" -> 0L, "tok42" -> 0L).select($"k")
+    val est = Sketches.cmsEstimate(cms, dup, "k", depth = 4, width = 1 << 20)
+      .select($"k", $"est").as[(String, Long)].collect()
+    assert(est.toSeq == Seq(("tok42", 42L)), s"got ${est.toSeq}")
+  }
+
   test("degenerate dimensions are rejected") {
     val c = counts("a" -> 1L)
     intercept[IllegalArgumentException] {

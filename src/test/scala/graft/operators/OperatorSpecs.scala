@@ -136,6 +136,35 @@ class OperatorSpecs extends AnyFunSuite {
     assert(keys == want, s"lost updates: missing ${want -- keys}")
   }
 
+  test("concurrent upserts via a symlink alias serialize instead of throwing") {
+    // Two same-JVM writers reaching one table via different lexical paths
+    // (real dir vs symlink) must collapse to one monitor: with the monitor
+    // keyed lexically, the second writer's FileChannel.lock() on the same
+    // underlying LOCK file threw OverlappingFileLockException.
+    val real = java.nio.file.Files.createTempDirectory("upsert-real")
+    val link = java.nio.file.Files.createSymbolicLink(
+      real.resolveSibling(real.getFileName.toString + "-alias"), real)
+    try {
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val threads = Seq(real.toString -> "r", link.toString -> "l").map {
+        case (path, side) =>
+          new Thread(() => {
+            try {
+              gate.await()
+              val df = Seq((side, 1.0)).toDF("k", "v")
+              UpsertWriter.upsert(spark, df, path, Seq("k"), retainMillis = 0L)
+            } catch { case t: Throwable => errs.add(t) }
+          })
+      }
+      threads.foreach(_.start()); gate.countDown(); threads.foreach(_.join())
+      assert(errs.isEmpty, s"aliased writer threw: ${errs.peek()}")
+      val keys = UpsertWriter.read(spark, real.toString).get
+        .select("k").as[String].collect().toSet
+      assert(keys == Set("r", "l"), s"lost updates through the alias: $keys")
+    } finally java.nio.file.Files.deleteIfExists(link)
+  }
+
   test("importanceSample draws match the scala md5 reference, 0 and 1000 are total") {
     val df = (0L until 200L).map(i => (i, (i * 5) % 1001)).toDF("id", "w")
     def draw(id: Long): Long = {
