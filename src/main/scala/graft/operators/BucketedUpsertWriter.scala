@@ -1,0 +1,154 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partition-pruned keyed upsert — the 100 TB path [[UpsertWriter]]'s
+  * scaladoc promises. Same last-write-wins-per-key semantics as the
+  * reference's `INSERT … ON CONFLICT DO UPDATE` protocol
+  * (`src/etl/load_postgres.py:63-103`), but the table is partitioned into
+  * `numBuckets` key-hash buckets and an upsert rewrites ONLY the buckets
+  * containing updated keys. A micro-batch touching k of N buckets costs
+  * O(k/N · table) read+write instead of O(table): the difference between a
+  * streaming sink that degrades linearly with table size and one whose
+  * per-trigger cost tracks the update's key spread.
+  *
+  * Layout: `tableDir/b=<bucket>/gen-<ts>-<rand>/` parquet generation dirs
+  * per bucket, with one top-level `CURRENT` file mapping every bucket to
+  * its live generation. A single atomic `CURRENT` flip publishes all
+  * touched buckets at once, so readers always resolve a consistent
+  * cross-bucket snapshot (per-bucket pointer files would let a reader see
+  * half an upsert). Untouched buckets keep their generation dirs
+  * byte-identical — the spec asserts this file-for-file.
+  *
+  * Bucket = `pmod(xxhash64(keys…), numBuckets)` computed from the key
+  * columns on demand — it is never stored, so files stay pure payload and
+  * the bucket count is a property of the table (pinned in `META`, validated
+  * on every upsert: rows hashed under a different N would land keys in the
+  * wrong bucket and silently duplicate them across buckets).
+  *
+  * Concurrency and GC reuse [[UpsertWriter]]'s machinery: same-JVM monitor
+  * + OS FileLock around the read→merge→write→flip critical section, and
+  * retention-windowed generation GC per touched bucket.
+  */
+object BucketedUpsertWriter {
+
+  /** The table's bucket assignment for a row, from its key columns. */
+  def bucketExpr(keys: Seq[String], numBuckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(keys.map(col): _*), lit(numBuckets.toLong)).cast("int")
+
+  private def bucketDir(dir: Path, b: Int): Path = dir.resolve(s"b=$b")
+
+  /** CURRENT maps bucket → live generation name, one `<bucket> <gen>` line
+    * per bucket that has ever received a row. */
+  private def currentMap(dir: Path): Map[Int, String] = {
+    val ptr = dir.resolve("CURRENT")
+    if (!Files.exists(ptr)) Map.empty
+    else Files.readAllLines(ptr).asScala.filter(_.nonEmpty).map { line =>
+      val Array(b, g) = line.split(' ')
+      b.toInt -> g
+    }.toMap
+  }
+
+  private def writeCurrent(dir: Path, m: Map[Int, String]): Unit = {
+    val tmp = dir.resolve("CURRENT.tmp")
+    Files.writeString(tmp,
+      m.toSeq.sortBy(_._1).map { case (b, g) => s"$b $g" }.mkString("\n"))
+    Files.move(tmp, dir.resolve("CURRENT"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** META pins (numBuckets, keys) at table creation; later upserts must
+    * agree or the key→bucket map would shift under existing data. */
+  private def checkMeta(dir: Path, keys: Seq[String], numBuckets: Int): Unit = {
+    val meta = dir.resolve("META")
+    val want = s"numBuckets=$numBuckets\nkeys=${keys.mkString(",")}"
+    if (Files.exists(meta)) {
+      val have = Files.readString(meta).trim
+      require(have == want,
+        s"bucketed table at $dir was created with [$have]; refusing upsert with [$want]")
+    } else Files.writeString(meta, want)
+  }
+
+  /** Reads the current snapshot (empty-safe): the union of every bucket's
+    * live generation, resolved from one read of CURRENT. */
+  def read(spark: SparkSession, tableDir: String): Option[DataFrame] = {
+    val dir = Paths.get(tableDir)
+    val m = currentMap(dir)
+    if (m.isEmpty) None
+    else Some(spark.read.parquet(m.toSeq.sortBy(_._1).map { case (b, g) =>
+      bucketDir(dir, b).resolve(g).toString }: _*))
+  }
+
+  /** Upserts `updates` into the bucketed table, rewriting only the buckets
+    * whose keys appear in `updates`. Last-write-wins per key; idempotent on
+    * replay. `retainMillis` as in [[UpsertWriter.upsert]]. */
+  def upsert(spark: SparkSession, updates: DataFrame, tableDir: String,
+             keys: Seq[String], numBuckets: Int = 32,
+             retainMillis: Long = 60000L): Unit = {
+    require(keys.nonEmpty, "bucketed upsert needs at least one key column")
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    require(!updates.columns.contains("__bucket"),
+      "updates may not carry a __bucket column (reserved)")
+    val dir = Paths.get(tableDir)
+    Files.createDirectories(dir)
+    UpsertWriter.withWriterLock(dir) {
+      checkMeta(dir, keys, numBuckets)
+      val bkt = bucketExpr(keys, numBuckets)
+      // Bounded driver read: ≤ numBuckets distinct ids, never row-scaled.
+      val touched = updates.select(bkt.as("__bucket")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      if (touched.nonEmpty) doUpsert(spark, updates, dir, keys, bkt, touched,
+        retainMillis)
+    }
+  }
+
+  private def doUpsert(spark: SparkSession, updates: DataFrame, dir: Path,
+                       keys: Seq[String], bkt: org.apache.spark.sql.Column,
+                       touched: Array[Int], retainMillis: Long): Unit = {
+    val cur = currentMap(dir)
+    val basePaths = touched.toSeq.flatMap(b =>
+      cur.get(b).map(g => bucketDir(dir, b).resolve(g).toString))
+    // Partition pruning by construction: only the touched buckets' live
+    // generation files are ever read — untouched buckets cost zero IO.
+    val base =
+      if (basePaths.isEmpty) updates.limit(0)
+      else spark.read.parquet(basePaths: _*)
+    val merged = SetOps.upsert(base, updates, keys)
+    val now = System.currentTimeMillis()
+    val genName = s"gen-$now-${scala.util.Random.nextInt(100000)}"
+    // One write job for all touched buckets: partitionBy splits the
+    // staging dir into __bucket=<b> subdirs which then move (same
+    // filesystem, cheap rename) into each bucket's generation slot.
+    val staging = dir.resolve(s".staging-$genName")
+    merged.withColumn("__bucket", bkt)
+      .write.partitionBy("__bucket").parquet(staging.toString)
+    try {
+      touched.foreach { b =>
+        val src = staging.resolve(s"__bucket=$b")
+        val dst = bucketDir(dir, b).resolve(genName)
+        Files.createDirectories(dst.getParent)
+        if (Files.exists(src)) Files.move(src, dst)
+        // A touched bucket always has ≥1 update row, so src exists; the
+        // guard only covers a staging layout change failing loudly below.
+        else require(Files.exists(dst), s"staged bucket $b missing at $src")
+      }
+    } finally UpsertWriter.deleteRecursively(staging)
+    writeCurrent(dir, cur ++ touched.map(_ -> genName))
+    // GC superseded generations per touched bucket (same policy as
+    // UpsertWriter: must be superseded AND aged out; the just-written and
+    // just-replaced generations always survive).
+    touched.foreach { b =>
+      val keep = Set(Some(genName), cur.get(b)).flatten
+      UpsertWriter.listDir(bucketDir(dir, b)).foreach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("gen-") && !keep(n) &&
+            UpsertWriter.genMillis(n).exists(now - _ >= retainMillis))
+          UpsertWriter.deleteRecursively(p)
+      }
+    }
+}
+}

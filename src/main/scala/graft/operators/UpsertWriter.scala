@@ -13,11 +13,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * key (SetOps.upsert) → write to a fresh generation dir → atomic pointer
   * flip. Readers always see a complete generation.
   *
-  * Scale: this local sink rewrites the table per batch; the 100 TB path is
-  * the same logical plan targeted at a MERGE-capable table format (Delta/
-  * Iceberg `MERGE INTO`) or partition-pruned dynamic overwrite so only the
-  * partitions containing updated keys rewrite. The operator API is the
-  * stable part; the sink strategy is pluggable.
+  * Scale: this local sink rewrites the table per batch — fine for small
+  * artifact tables; for anything that grows with the data, use
+  * [[BucketedUpsertWriter]], the partition-pruned variant that rewrites
+  * ONLY the key-hash buckets containing updated keys (the same protocol a
+  * MERGE-capable table format executes). The operator API is the stable
+  * part; the sink strategy is pluggable.
   */
 object UpsertWriter {
 
@@ -46,7 +47,7 @@ object UpsertWriter {
     * processes. FileLock is released by the OS when a holder dies, so a
     * crashed writer cannot wedge the table (no stale-lock sweeper needed).
     * Cross-table writers share nothing and proceed in parallel. */
-  private def withWriterLock[A](dir: Path)(body: => A): A =
+  private[operators] def withWriterLock[A](dir: Path)(body: => A): A =
     monitorFor(dir).synchronized {
       val ch = java.nio.channels.FileChannel.open(dir.resolve("LOCK"),
         java.nio.file.StandardOpenOption.CREATE,
@@ -110,7 +111,7 @@ object UpsertWriter {
     }
   }
 
-  private def genMillis(name: String): Option[Long] =
+  private[operators] def genMillis(name: String): Option[Long] =
     name.split('-') match {
       case Array("gen", ms, _) => ms.toLongOption
       case _ => None
@@ -118,7 +119,7 @@ object UpsertWriter {
 
   /** Files.list streams hold a directory FD until closed — the forEach
     * one-liner leaked one per micro-batch in the streaming upsert path. */
-  private def listDir(dir: Path): Seq[Path] = {
+  private[operators] def listDir(dir: Path): Seq[Path] = {
     val s = Files.list(dir)
     try {
       val it = s.iterator()
@@ -128,7 +129,7 @@ object UpsertWriter {
     } finally s.close()
   }
 
-  private def deleteRecursively(p: Path): Unit = {
+  private[operators] def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
 import org.apache.spark.sql.Row
-import graft.operators.UpsertWriter
+import graft.operators.{BucketedUpsertWriter, UpsertWriter}
 
 /** Structured Streaming layer (§2.9): supersedes the reference's polling
   * loops with a real micro-batch pipeline — trades stream → watermarked
@@ -51,5 +51,22 @@ object Bars {
         // 60 s default would accumulate ~12 at this cadence.
         UpsertWriter.upsert(batch.sparkSession, batch, tableDir,
           Seq("symbol", "tf", "open_time"), retainMillis = 5000L)
+      }
+
+  /** The scale variant of [[upsertingWriter]]: each micro-batch rewrites
+    * only the key-hash buckets its bars fall into, so the per-trigger sink
+    * cost tracks the batch's key spread instead of the table's size (the
+    * full-rewrite sink degrades linearly as the bar table grows). Same
+    * idempotent last-write-wins contract. */
+  def bucketedUpsertingWriter(bars: DataFrame, tableDir: String,
+                              checkpointDir: String,
+                              numBuckets: Int = 32): DataStreamWriter[Row] =
+    bars.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime("5 seconds"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        BucketedUpsertWriter.upsert(batch.sparkSession, batch, tableDir,
+          Seq("symbol", "tf", "open_time"), numBuckets, retainMillis = 5000L)
       }
 }

@@ -125,4 +125,28 @@ class BarsSpec extends AnyFunSuite {
       .as[(Double, Double, Double, Double, Double)].head()
     assert(g1 == e1)
   }
+
+  test("bucketed streaming sink matches the full-rewrite sink's table state") {
+    val src = Files.createTempDirectory("bstream-src")
+    val table = Files.createTempDirectory("bbar-table").toString
+    val ckpt = Files.createTempDirectory("bckpt").toString
+    val trades = Synthetic.syntheticTrades(spark, "AAA", 300, 1704067200L)
+    trades.write.mode("overwrite").parquet(src.toString + "/batch1")
+
+    val stream = spark.readStream.schema(trades.schema)
+      .parquet(src.toString + "/*")
+      .select("symbol", "trade_time", "price", "qty")
+    val q = Bars.bucketedUpsertingWriter(
+      Bars.oneMinuteBars(stream), table, ckpt, numBuckets = 8).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val got = graft.operators.BucketedUpsertWriter.read(spark, table).get
+    val expected = Bars.oneMinuteBars(trades.select("symbol", "trade_time", "price", "qty"))
+    assert(got.count() == expected.count())
+    val g1 = got.orderBy("open_time").select("open", "high", "low", "close", "volume")
+      .as[(Double, Double, Double, Double, Double)].head()
+    val e1 = expected.orderBy("open_time").select("open", "high", "low", "close", "volume")
+      .as[(Double, Double, Double, Double, Double)].head()
+    assert(g1 == e1)
+  }
 }
