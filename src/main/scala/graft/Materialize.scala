@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Pluggable materialization strategy for frames a downstream plan
+  * references more than once (self-join sides, iterative-loop state, the
+  * shared base of a composed pipeline). One conf, `graft.materialize`,
+  * selects the strategy everywhere — [[SparkEntry]]'s `mat`, ScanOps'
+  * EWMA two-pass sort, Coverage's greedy rounds, PageRank's degree frame,
+  * Ann's cell assignment — so the fault-tolerance/speed tradeoff is a
+  * deployment decision, not a code change:
+  *
+  *  - `"true"` (default) — `localCheckpoint()`: fastest (executor-local
+  *    blocks, lineage truncated), but NOT fault-tolerant: localCheckpoint
+  *    discards the recompute path, so an executor loss mid-query fails the
+  *    job. The right default for local[] and short interactive runs.
+  *  - `"disk"` — `persist(DISK_ONLY)`: compute-once sharing with the FULL
+  *    lineage retained, so a lost partition recomputes instead of killing
+  *    the job — the multi-hour-cluster-job setting. Lineage is NOT
+  *    truncated: per-round plans in iterative loops keep growing, so loops
+  *    that iterate many times should (and do — see Graph.connectedComponents)
+  *    manage their own round persistence.
+  *  - `"reliable"` — `checkpoint()` to the SparkContext's checkpoint dir
+  *    (HDFS/object store on a cluster): lineage truncated AND recoverable
+  *    from storage — survives executor loss at the cost of a durable write
+  *    per materialization. The checkpoint dir comes from an existing
+  *    `sc.setCheckpointDir`, else `graft.checkpointDir`, else a local temp
+  *    dir (test convenience; set a durable dir in production).
+  *  - `"false"` — no-op: fully lazy, inspectable plans (Explain).
+  *
+  * Duplicate-work note: `disk` populates its cache lazily on first action,
+  * `true`/`reliable` run one eager job — all three guarantee the shared
+  * stage computes once across consumers.
+  */
+object Materialize {
+
+  def apply(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption("graft.materialize").getOrElse("true") match {
+      case "false"   => df
+      case "disk"    => df.persist(StorageLevel.DISK_ONLY)
+      case "reliable" =>
+        val sc = spark.sparkContext
+        if (sc.getCheckpointDir.isEmpty)
+          sc.setCheckpointDir(spark.conf.getOption("graft.checkpointDir")
+            .getOrElse(java.nio.file.Files
+              .createTempDirectory("graft-ckpt").toString))
+        df.checkpoint()
+      case _ => df.localCheckpoint()
+    }
+  }
+
+  /** True unless the session asked for fully-lazy plans — the guard loop
+    * operators use to decide whether to materialize round state at all. */
+  def enabled(spark: org.apache.spark.sql.SparkSession): Boolean =
+    !spark.conf.getOption("graft.materialize").contains("false")
+}

@@ -33,14 +33,14 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Materialize a frame that the downstream plan references more than once
-    * (localCheckpoint) — unless `graft.materialize=false` in the session
-    * conf, which keeps the plan fully lazy and inspectable: `Explain`
-    * without `--run` sets it so the shared stage shows as its real operator
-    * tree instead of an ExistingRDD scan (and no job runs at plan time). */
-  private def mat(df: DataFrame): DataFrame =
-    if (df.sparkSession.conf.getOption("graft.materialize").contains("false")) df
-    else df.localCheckpoint()
+  /** Materialize a frame that the downstream plan references more than once.
+    * Strategy is the session-wide `graft.materialize` conf (see
+    * [[Materialize]]): localCheckpoint by default, persist(DISK)/reliable
+    * checkpoint for fault-tolerant cluster runs, or `false` to keep plans
+    * fully lazy and inspectable: `Explain` without `--run` sets it so the
+    * shared stage shows as its real operator tree instead of an
+    * ExistingRDD scan (and no job runs at plan time). */
+  private def mat(df: DataFrame): DataFrame = Materialize(df)
 
   /** The numeric suffix of `source` ("srcN" → N) — UNBOUNDED suffix, like
     * the oracle-side `CAST(substring(source, 4) AS BIGINT)`; a fixed-width
@@ -917,7 +917,7 @@ object SparkEntry {
       // inspection (graft.materialize=false) degrade to the plain exact
       // join — same semantics by the operator's bit-identity contract, and
       // no job may run before Explain prints a plan.
-      if (s.conf.getOption("graft.materialize").contains("false"))
+      if (!Materialize.enabled(s))
         Dedup.contaminationFromPostings(tr, te, minShared = 2L)
           .orderBy(col("doc_id"))
       else

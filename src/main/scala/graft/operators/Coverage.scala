@@ -41,8 +41,7 @@ object Coverage {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = postings.sparkSession
     import spark.implicits._
-    val doMat = spark.conf.get("graft.materialize", "true") != "false"
-    def mat(df: DataFrame): DataFrame = if (doMat) df.localCheckpoint() else df
+    def mat(df: DataFrame): DataFrame = graft.Materialize(df)
     // Null tripwire (the Splits.assignSplit convention): a null key never
     // matches the covered set through the anti-join, so it would re-count
     // toward its doc's gain EVERY round — and the oracle's NOT-IN mirror

@@ -329,9 +329,7 @@ object Graph {
       .where(col("src") =!= col("dst")).distinct()
     val withDeg = {
       val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      val j = sym.join(deg, "src")
-      if (spark.conf.get("graft.materialize", "true") != "false")
-        j.localCheckpoint() else j
+      graft.Materialize(sym.join(deg, "src"))
     }
     val n = math.max(ids.count(), 1L)
     val teleport = scale * (100L - dampingPct) / 100L / n

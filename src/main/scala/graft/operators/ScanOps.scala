@@ -115,10 +115,9 @@ object ScanOps {
     // SAME materialized sorted partitions — without it the replay would
     // re-shuffle and could land rows in different partitions than the ones
     // the summaries were computed from.
-    val sorted = slim
+    val sorted = graft.Materialize(slim
       .repartitionByRange(parts, order.map(col): _*)
-      .sortWithinPartitions(order.map(col): _*)
-      .localCheckpoint()
+      .sortWithinPartitions(order.map(col): _*))
     val vIdx = order.length
 
     // Pass 1 — per-partition affine summary (n, A = c^n, B = fold from 0,

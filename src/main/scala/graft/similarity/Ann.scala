@@ -204,12 +204,9 @@ object Ann {
       .select(col("corpus_id").as("id"), col("cv").as("vec"),
         col("cn").as("norm"), col("cell_1").as("block"))
     // Referenced three times (both pair-join sides + the anti-join probe):
-    // materialize the scan+cast+assignment once, unless the session asks
-    // for lazy, inspectable plans (graft.materialize=false — Explain).
-    val asg =
-      if (asgRaw.sparkSession.conf.getOption("graft.materialize").contains("false"))
-        asgRaw
-      else asgRaw.localCheckpoint()
+    // materialize the scan+cast+assignment once, per the session-wide
+    // graft.materialize strategy (lazy under `false` — Explain).
+    val asg = graft.Materialize(asgRaw)
     val dropped = blockedCosinePairs(asg, minCosine)
       .select(col("id_b").as("id")).distinct()
     asg.join(dropped, Seq("id"), "left_anti")
