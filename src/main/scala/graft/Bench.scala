@@ -103,6 +103,14 @@ object Bench {
       // floor, not an exact figure.
       val jobs = try spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
       catch { case _: Throwable => -1 }
+      // Bench hygiene, OUTSIDE the timed window: queries that lazy-persist
+      // a shared frame (Materialize.lazyCache) would otherwise leave it in
+      // the cache manager, and the NEXT rep's identical canonicalized plan
+      // would silently read it instead of recomputing — reps 2..N measure a
+      // cache hit, not the query. Dropping the cache between reps keeps
+      // every rep a cold, honest end-to-end run (and keeps cached blocks
+      // from accumulating across the 200-query registry).
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
       (sec, gcSec, jobs, ok)
     }
 

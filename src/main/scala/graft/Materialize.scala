@@ -51,6 +51,20 @@ object Materialize {
     }
   }
 
+  /** Lazy compute-once sharing for SMALL frames on a query's hot path:
+    * `persist(MEMORY_AND_DISK)` — no eager materialization job (the cache
+    * populates during the first downstream stage that needs it), full
+    * lineage retained (fault-tolerant: a lost block recomputes), and every
+    * plan branch referencing the frame reads the one cached copy via the
+    * cache manager. Prefer this over [[apply]] when the shared frame is a
+    * few scalar columns (its memory footprint is trivial) and the consumer
+    * is a single query — the eager checkpoint job [[apply]] runs is pure
+    * scheduling overhead there. Honors `graft.materialize=false` (identity)
+    * so Explain-mode plans stay fully lazy and inspectable. */
+  def lazyCache(df: DataFrame): DataFrame =
+    if (enabled(df.sparkSession)) df.persist(StorageLevel.MEMORY_AND_DISK)
+    else df
+
   /** True unless the session asked for fully-lazy plans — the guard loop
     * operators use to decide whether to materialize round state at all. */
   def enabled(spark: org.apache.spark.sql.SparkSession): Boolean =

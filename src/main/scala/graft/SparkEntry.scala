@@ -42,6 +42,13 @@ object SparkEntry {
     * ExistingRDD scan (and no job runs at plan time). */
   private def mat(df: DataFrame): DataFrame = Materialize(df)
 
+  /** Lazy compute-once sharing ([[Materialize.lazyCache]]) for a SMALL
+    * multiply-referenced frame inside one query: no eager checkpoint job,
+    * lineage retained (fault-tolerant), branches read the one cached copy.
+    * Use where the shared frame is a few scalar columns and the eager job
+    * [[mat]] schedules is pure overhead. */
+  private def matLazy(df: DataFrame): DataFrame = Materialize.lazyCache(df)
+
   /** The numeric suffix of `source` ("srcN" → N) — UNBOUNDED suffix, like
     * the oracle-side `CAST(substring(source, 4) AS BIGINT)`; a fixed-width
     * substring would silently diverge from the oracle past 10 digits.
@@ -969,22 +976,24 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("source"), col("text_clean"))
         .withColumn("quality_milli",
           TextOps.qualityScoreMilli(col("text_clean")))
-      // Materialized: Mixture references its input three times (bucket
-      // sums + kept-whole join + boundary join) — without the checkpoint
-      // each reference re-derives the whole clean→score→sample chain.
-      // n_toks is computed BEFORE the materialization so the checkpoint
-      // holds four scalar columns, not the reassembled document text.
-      val sampled = mat(operators.WindowOps.importanceSample(scored,
+      // Cached (lazily): Mixture references its input twice (bucket sums +
+      // the classification join) — uncached, each reference re-derives the
+      // whole clean→score→sample chain (per-branch column pruning makes
+      // the subtrees non-identical, so ReusedExchange does NOT collapse
+      // them — measured 3.3 s vs 1.9 s floor). Lazy persist, not an eager
+      // checkpoint: the cache fills during the bucket-sum stage, so the
+      // pipeline runs one job fewer. n_toks is computed BEFORE the cache
+      // boundary so it holds four scalar columns, not the document text.
+      val sampled = matLazy(operators.WindowOps.importanceSample(scored,
           col("doc_id"), col("quality_milli"))
         .withColumn("n_toks", TextOps.tokenCount(col("text_clean")).cast("long"))
         .select(col("doc_id"), col("source"), col("quality_milli"),
           col("n_toks")))
-      // Budgets from the (materialized, tiny) sample, not a fresh corpus
-      // scan: a source with zero sampled docs yields no rows either way.
-      val budgets = sampled.select(col("source")).distinct()
-        .withColumn("budget", lit(800L))
+      // Uniform 800-token budget: the constant-budget overload skips the
+      // per-source budgets frame (a distinct shuffle + broadcast the
+      // oracle's WHERE-budget mirror never needed).
       operators.Mixture.tokenBudgetSample(sampled, "source", col("n_toks"),
-          col("doc_id"), budgets)
+          col("doc_id"), lit(800L))
         .select(col("doc_id"), col("source"), col("quality_milli"), col("n_toks"))
         .orderBy(col("doc_id"))
     }),
@@ -1080,10 +1089,16 @@ object SparkEntry {
       val scored = keepers
         .withColumn("quality_milli", TextOps.qualityScoreMilli(col("text")))
         .where(col("quality_milli") >= 600)
-      val train = operators.Splits.assignSplit(scored, col("doc_id"),
+      // Cached SLIM (three scalar columns, no text, lazy persist): packBins
+      // references its input twice (bucket-sum pass + the broadcast-seeded
+      // join pass) — uncached, the whole dedup→score→split→tokenize chain
+      // re-derives for each reference; an eager checkpoint would pay an
+      // extra scheduling job for no added sharing.
+      val train = matLazy(operators.Splits.assignSplit(scored, col("doc_id"),
           Seq(("train", 90), ("holdout", 100)))
         .where(col("split") === "train")
         .withColumn("n_toks", TextOps.tokenCount(col("text")).cast("long"))
+        .select(col("doc_id"), col("quality_milli"), col("n_toks")))
       operators.Packing.packBins(train, col("n_toks"), col("doc_id"), 1024L)
         .select(col("doc_id"), col("quality_milli"), col("bin"),
           col("bin_offset"), col("n_toks"))
@@ -1096,15 +1111,14 @@ object SparkEntry {
     // selections — catches partial/quoted overlap that doc-level
     // fingerprints and MinHash signatures miss.
     "q88_winnowed_overlap" -> ((s, d) => {
-      val fps = mat(Dedup.winnowedFingerprints(t(s, d, "documents"),
-        "doc_id", "text", k = 4, w = 4))
-      val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
-        .where(col("__df") > 50).select(col("fp"))
-      val pruned = fps.join(hot, Seq("fp"), "left_anti")
-      val a = pruned.select(col("fp"), col("id").as("id_a"))
-      val b = pruned.select(col("fp"), col("id").as("id_b"))
-      a.join(b, Seq("fp")).where(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+      // The hot-fingerprint prune (df > 50) folds INTO the posting-list
+      // aggregate (Dedup.boundedPairCounts): the fingerprints shuffle once
+      // and are consumed once — no materialization, no anti-join, no
+      // inverted-index self-join. Identical pairs/counts by construction
+      // (winnowedFingerprints output is distinct (id, fp)).
+      val fps = Dedup.winnowedFingerprints(t(s, d, "documents"),
+        "doc_id", "text", k = 4, w = 4)
+      Dedup.boundedPairCounts(fps, "fp", "id", maxDocFreq = 50L)
         .where(col("n_shared") >= 2)
         .orderBy(col("id_a"), col("id_b"))
     }),

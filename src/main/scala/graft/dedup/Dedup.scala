@@ -328,6 +328,32 @@ object Dedup {
     pairOverlaps(postings, maxDocFreq).where(col("inter") >= minShared)
       .select(col("id_a"), col("id_b"), col("inter"))
 
+  /** Pair overlap counts via BOUNDED posting lists — the one-shuffle
+    * alternative to [[pairOverlapCounts]]'s inverted-index self-join when a
+    * doc-frequency cap is in force anyway. One hash aggregate groups the
+    * postings by key and drops keys with df outside [2, maxDocFreq] BEFORE
+    * any pair exists; each surviving key then emits its ≤ C(cap, 2)
+    * ordered pairs in place (array combinatorics over a ≤cap-element
+    * sorted list — no second shuffle of the postings, no anti-join, no
+    * self-join). Output: (id_a < id_b, n_shared). Identical to the
+    * self-join + df-prune composition for distinct (id, key) postings;
+    * preferred at scale because the per-key work is capped by construction
+    * and the postings shuffle once instead of three times. */
+  def boundedPairCounts(postings: DataFrame, keyCol: String, idCol: String,
+                        maxDocFreq: Long): DataFrame = {
+    require(maxDocFreq >= 2, s"maxDocFreq must be >= 2, got $maxDocFreq")
+    val lists = postings
+      .groupBy(col(keyCol))
+      .agg(array_sort(collect_list(col(idCol))).as("__ids"))
+      .where(size(col("__ids")).between(2, maxDocFreq))
+    lists
+      .select(explode(flatten(transform(col("__ids"), (x, i) =>
+        transform(slice(col("__ids"), i + lit(2), size(col("__ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("__p"))
+      .groupBy(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Public view of the raw pair core — (id_a, id_b, inter, n_a, n_b) —
     * for consumers that derive their own metric (integer-milli Jaccard,
     * the q137 recall curve) instead of the prepackaged
@@ -698,27 +724,45 @@ object Dedup {
     * detection — partial plagiarism/quotation that whole-doc fingerprints
     * and MinHash doc signatures structurally miss.
     *
-    * Scale shape: grams explode once (narrow); the neighborhood min is a
-    * bounded sliding frame (≤ 2w−1 rows) over per-doc partitions — bounded
-    * by document length, not corpus size; output is distinct (id, fp). */
+    * Scale shape: winnowing is a PER-DOCUMENT local algorithm, so it runs
+    * entirely inside one codegen'd projection — gram hashes and the
+    * ±(w−1) neighborhood min are array transforms over each row's token
+    * list (per-element work O(w), w tiny), and within-doc dedup is
+    * `array_distinct` on the selected set. No gram explode, no window
+    * exchange, no global distinct: the operator contributes ZERO shuffles;
+    * only the selected ~2/(w+1) density of fingerprints ever leaves the
+    * row. Output is distinct (id, fp) — ids are unique per input row, and
+    * per-doc fps are deduped in-array. */
   def winnowedFingerprints(df: DataFrame, idCol: String, textCol: String,
                            k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
-    val grams = df
+    df
       .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__tk"))
       .where(size(col("__tk")) >= k)
-      .select(col("id"), posexplode(
+      .withColumn("__fps",
         transform(sequence(lit(1), size(col("__tk")) - (k - 1)),
-          i => array_join(slice(col("__tk"), i, lit(k)), " ")))
-        .as(Seq("__pos", "__gram")))
-    val nbr = Window.partitionBy(col("id")).orderBy(col("__pos"))
-      .rowsBetween(-(w - 1), w - 1)
-    grams
-      .withColumn("fp",
-        conv(substring(md5(col("__gram")), 1, 15), 16, 10).cast("long"))
-      .withColumn("__nmin", min(col("fp")).over(nbr))
-      .where(col("fp") === col("__nmin"))
-      .select(col("id"), col("fp")).distinct()
+          i => conv(substring(
+            md5(array_join(slice(col("__tk"), i, lit(k)), " ")),
+            1, 15), 16, 10).cast("long")))
+      // select fps that are the min of their ±(w−1) neighborhood: the
+      // two-arg filter gives each element its 0-based index; the
+      // neighborhood is a bounded slice [max(1, p−w+1), min(n, p+w−1)]
+      // around 1-based position p = i+1.
+      .withColumn("__sel", array_distinct(filter(col("__fps"), (x, i) => {
+        val n = size(col("__fps"))
+        val lo = greatest(i + lit(2) - w, lit(1))
+        val hi = least(i + lit(w), n)
+        x === array_min(slice(col("__fps"), lo, hi - lo + lit(1)))
+      })))
+      // explode_OUTER + null filter, not plain explode: Catalyst infers
+      // `size(__sel) > 0 AND isnotnull(__sel)` from a non-outer explode
+      // and pushes it below the projections, INLINING the whole gram-hash
+      // transform into the filter's array_min lambda — which re-evaluates
+      // the O(n) md5 transform per element, i.e. O(n²) per document. The
+      // outer variant infers nothing; empty docs surface one null fp row
+      // dropped by a cheap attribute filter.
+      .select(col("id"), explode_outer(col("__sel")).as("fp"))
+      .where(col("fp").isNotNull)
   }
 
   /** Benchmark decontamination: for each training doc, the number of

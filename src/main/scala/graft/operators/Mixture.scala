@@ -68,38 +68,56 @@ object Mixture {
                         idExpr: Column, budgets: DataFrame): DataFrame = {
     require(budgets.columns.contains(stratumCol) && budgets.columns.contains("budget"),
       s"budgets frame needs ($stratumCol, budget) columns, has ${budgets.columns.mkString(", ")}")
-
-    val keyed = md5Bucketed(df, idExpr, reserved, "tokenBudgetSample")
     val bs = broadcast(budgets.select(col(stratumCol), col("budget").as("__budget")))
+    budgetCore(df, stratumCol, weight, idExpr, _.join(bs, Seq(stratumCol)))
+  }
+
+  /** Uniform-budget overload: every stratum present in `df` gets the same
+    * `budget` (an expression over the bucket rows — usually a literal).
+    * Skips the budgets frame entirely: no distinct() to derive strata, no
+    * broadcast join — the budget is a projected column on the ≤4096
+    * bucket rows per stratum. Semantically identical to passing a budgets
+    * frame listing every stratum of `df` with that constant. */
+  def tokenBudgetSample(df: DataFrame, stratumCol: String, weight: Column,
+                        idExpr: Column, budget: Column): DataFrame =
+    budgetCore(df, stratumCol, weight, idExpr, _.withColumn("__budget", budget))
+
+  private def budgetCore(df: DataFrame, stratumCol: String, weight: Column,
+                         idExpr: Column,
+                         attachBudget: DataFrame => DataFrame): DataFrame = {
+    val keyed = md5Bucketed(df, idExpr, reserved, "tokenBudgetSample")
 
     // Phase 1+2: bucket sums, tiny per-stratum cumulative, classification.
     val bucketW = Window.partitionBy(stratumCol).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val buckets = keyed.groupBy(col(stratumCol), col("__b"))
-      .agg(sum(weight).as("__bw"))
-      .withColumn("__cum", sum(col("__bw")).over(bucketW))
-      .withColumn("__before", col("__cum") - col("__bw"))
-      .join(bs, Seq(stratumCol))
-    val keepWhole = buckets.where(col("__cum") <= col("__budget"))
-      .select(col(stratumCol), col("__b"))
     // A zero-weight row keeps its running total flat, so __before == budget
     // is still (barely) alive — only __before > budget is surely dead.
-    val boundary = buckets
-      .where(col("__cum") > col("__budget") && col("__before") <= col("__budget"))
-      .select(col(stratumCol), col("__b"), col("__before"), col("__budget"))
+    // Live buckets carry a kept-whole/boundary flag so the corpus joins the
+    // classification ONCE: one broadcast exchange feeds both branches
+    // (ReusedExchange), where separate keepWhole/boundary frames would
+    // compute the bucket-sum subtree twice and broadcast twice.
+    val live = attachBudget(keyed.groupBy(col(stratumCol), col("__b"))
+      .agg(sum(weight).as("__bw"))
+      .withColumn("__cum", sum(col("__bw")).over(bucketW))
+      .withColumn("__before", col("__cum") - col("__bw")))
+      .where(col("__before") <= col("__budget"))
+      .select(col(stratumCol), col("__b"),
+        (col("__cum") <= col("__budget")).as("__whole"),
+        col("__before"), col("__budget"))
+    val joined = keyed.join(broadcast(live), Seq(stratumCol, "__b"))
 
     // Phase 3: per-row window ONLY inside boundary buckets.
     val inBucketW = Window.partitionBy(col(stratumCol), col("__b"))
       .orderBy(col("__k"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val keptBoundary = keyed.join(broadcast(boundary), Seq(stratumCol, "__b"))
+    val keptBoundary = joined.where(!col("__whole"))
       .withColumn("__run", col("__before") + sum(weight).over(inBucketW))
       .where(col("__run") <= col("__budget"))
-      .drop("__before", "__budget", "__run")
+      .drop("__run")
 
-    keyed.join(broadcast(keepWhole), Seq(stratumCol, "__b"))
+    joined.where(col("__whole"))
       .unionByName(keptBoundary)
-      .drop("__k", "__b")
+      .drop("__k", "__b", "__whole", "__before", "__budget")
   }
 
   /** Temperature-scaled mixture sampling at T = 2 — the data-mixing rule

@@ -52,6 +52,26 @@ class MaterializeSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.materialize")
   }
 
+  test("lazyCache persists lazily, keeps lineage, and is identity under false") {
+    import spark.implicits._
+    try {
+      // Default mode: persisted at MEMORY_AND_DISK, no lineage truncation,
+      // and NO eager job — laziness shows as storageLevel set before any
+      // action ran while the cache is still unmaterialized.
+      val df = Seq(1, 2, 3).toDF("x")
+      val out = Materialize.lazyCache(df)
+      assert(out.storageLevel == org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      assert(!out.queryExecution.optimizedPlan.toString.contains("LogicalRDD"))
+      assert(out.count() == 3)
+      out.unpersist()
+      // Fully-lazy mode: identity (plans stay inspectable, nothing cached).
+      spark.conf.set("graft.materialize", "false")
+      val lazyOut = Materialize.lazyCache(Seq(1, 2).toDF("x"))
+      assert(lazyOut.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      assert(lazyOut.count() == 2)
+    } finally spark.conf.unset("graft.materialize")
+  }
+
   test("disk mode keeps the recompute path (plan is not truncated to an RDD scan)") {
     import spark.implicits._
     spark.conf.set("graft.materialize", "disk")

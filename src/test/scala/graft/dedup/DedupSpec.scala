@@ -58,6 +58,65 @@ class DedupSpec extends AnyFunSuite {
     assert(!byDoc.contains(4L))
   }
 
+  test("winnowed fingerprints match the windowed-neighborhood-min reference") {
+    // Pseudo-random corpus with repeated template blocks so neighborhoods
+    // contain ties and duplicate grams; reference = the pre-rework
+    // explode + sliding-window-min formulation, computed in Scala.
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "tmpl1", "tmpl2")
+    val docs = (0L until 40L).map { i =>
+      val n = 5 + (i * 7 % 30).toInt
+      val toks = (0 until n).map(j => vocab(((i * 31 + j * 17) % vocab.size).toInt))
+      (i, toks.mkString(" "))
+    }
+    val (k, w) = (3, 4)
+    def md5fp(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val want: Map[Long, Set[Long]] = docs.flatMap { case (id, text) =>
+      val toks = text.split("\\s+").toVector
+      if (toks.size < k) Nil
+      else {
+        val fps = toks.sliding(k).map(g => md5fp(g.mkString(" "))).toVector
+        fps.indices.collect {
+          case p if fps(p) == fps.slice(math.max(0, p - (w - 1)),
+            math.min(fps.size, p + w)).min => (id, fps(p))
+        }
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Dedup.winnowedFingerprints(docs.toDF("doc_id", "text"),
+        "doc_id", "text", k, w)
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(got == want)
+  }
+
+  test("boundedPairCounts equals the self-join + df-prune composition") {
+    // Random postings with a hot key above the cap (must vanish), singleton
+    // keys (no pairs), and shared keys driving multi-key pair counts.
+    val postings = ((0L until 200L).map(i => (s"k${i % 23}", i % 40)) ++
+      (0L until 80L).map(i => ("hot", i % 60))).distinct
+      .toDF("fp", "id")
+    val cap = 15L
+    val want = postings.as[(String, Long)].collect().toSeq
+      .groupBy(_._1).values
+      .filter(g => g.size >= 2 && g.size <= cap)
+      .flatMap(g => g.map(_._2).sorted.combinations(2))
+      .map { case Seq(a, b) => (a, b) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Dedup.boundedPairCounts(postings, "fp", "id", cap)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, n) => ((a, b), n) }.toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+    // The hot key (60 distinct ids > cap) contributed nothing: no pair can
+    // exceed the count achievable through the 23 cold keys alone.
+    intercept[IllegalArgumentException] {
+      Dedup.boundedPairCounts(postings, "fp", "id", maxDocFreq = 1L)
+    }
+  }
+
   test("keepBestPerGroup picks max-priority (ties lowest id) per group") {
     val grouped = Seq(
       (0L, 10L, 1L), (1L, 10L, 5L), (2L, 10L, 5L), // grp 10: 1 wins (5, tie -> low id)

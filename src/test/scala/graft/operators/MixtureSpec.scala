@@ -77,6 +77,21 @@ class MixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("constant-budget overload equals a budgets frame listing every stratum") {
+    val rows = (0L until 1500L).map { i =>
+      (i, s"s${i % 4}", (i * 2654435761L % 50).toInt)
+    }
+    val df = rows.toDF("id", "stratum", "w")
+    for (budget <- Seq(0L, 300L, 5000L)) {
+      val budgets = (0 until 4).map(k => (s"s$k", budget)).toDF("stratum", "budget")
+      val uniform = keptIds(Mixture.tokenBudgetSample(df, "stratum", col("w"),
+        col("id"), lit(budget)))
+      val framed = keptIds(Mixture.tokenBudgetSample(df, "stratum", col("w"),
+        col("id"), budgets))
+      assert(uniform == framed, s"budget=$budget: uniform=${uniform.size} framed=${framed.size}")
+    }
+  }
+
   test("strata without a budget row contribute nothing") {
     val df = Seq((1L, "a", 5), (2L, "b", 5)).toDF("id", "stratum", "w")
     val budgets = Seq(("a", 100L)).toDF("stratum", "budget")
