@@ -65,4 +65,33 @@ class BenchRenderSpec extends AnyFunSuite {
     val j = check(Bench.renderLine(Nil, 0, "/sf", "out.json"))
     assert((j \ "value") == JDouble(0.0))
   }
+
+  test("calibration inflation: geomean of the pair, sf0.1-only, self-flagging") {
+    // Exactly the reference values -> 1.0.
+    val at = Bench.calibrationInflation(
+      Bench.calibrationRefs.toSeq, "/root/testdata/sf0.1")
+    assert(at.exists(c => math.abs(c - 1.0) < 1e-9))
+    // A 2.5x-degraded environment (the BENCH_r9/r10 driver-run shape)
+    // flags itself.
+    val hot = Bench.calibrationInflation(
+      Bench.calibrationRefs.view.mapValues(_ * 2.5).toSeq, "/root/testdata/sf0.1/")
+    assert(hot.exists(c => math.abs(c - 2.5) < 1e-6))
+    // One query of the pair is enough; a foreign SF or no calibration query
+    // yields no field rather than a misleading number.
+    assert(Bench.calibrationInflation(
+      Seq("q76_line_dedup" -> 0.56), "/root/testdata/sf0.1").exists(c => math.abs(c - 2.0) < 1e-6))
+    assert(Bench.calibrationInflation(
+      Bench.calibrationRefs.toSeq, "/root/testdata/sf0.01").isEmpty)
+    assert(Bench.calibrationInflation(
+      Seq("q02_market_metrics" -> 0.2), "/root/testdata/sf0.1").isEmpty)
+  }
+
+  test("calibration field lands in the line and the line still fits") {
+    val j = check(Bench.renderLine(mk(300), 0, "/root/testdata/sf0.1",
+      "out.json", Some(2.47)))
+    assert((j \ "calibration_inflation") == JDouble(2.47))
+    // Omitted when None (the historical line shape is unchanged).
+    val j2 = check(Bench.renderLine(mk(3), 0, "/sf", "out.json"))
+    assert((j2 \ "calibration_inflation") == JNothing)
+  }
 }
