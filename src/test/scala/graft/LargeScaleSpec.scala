@@ -394,6 +394,62 @@ class LargeScaleSpec extends AnyFunSuite {
       f"4× data cost $ratio%.1f× wall — super-linear; the hot n-gram pinned the join")
   }
 
+  /** Self-repetition (q114's operator) under the degeneracy its
+    * `maxOccurrences` cap exists for: every 10th doc is a pathological
+    * single-token loop ("rep" × 80 — its one 3-gram occurs 78 times, so
+    * uncapped it alone contributes C(78,2) ≈ 3k self-pairs PER DOC,
+    * ~0.3 G rows at n = 10⁶); the rest carry a doc-unique 5-token motif
+    * repeated 4 times behind a unique 3-token prefix. The cap must drop
+    * the degenerate grams entirely (rep_run 0 — exactly what q67's
+    * repetition FRACTION flags instead), while the motif docs report the
+    * exact displacement-5 run: positions 4..16 align, 13 k-grams,
+    * 15 tokens. */
+  private def selfRepetitionPipeline(n: Long): (Long, Long, Long) = {
+    import spark.implicits._
+    val id = col("doc_id").cast("string")
+    val motif = transform(sequence(lit(1), lit(5)),
+      i => concat(lit("m"), id, lit("v"), i.cast("string")))
+    val docs = spark.range(n).select(col("id").as("doc_id")).select(
+      col("doc_id"),
+      when(col("doc_id") % 10 === 0,
+          array_join(array_repeat(lit("rep"), 80), " "))
+        .otherwise(concat_ws(" ",
+          concat(lit("u"), id, lit("a")), concat(lit("u"), id, lit("b")),
+          concat(lit("u"), id, lit("c")),
+          array_join(flatten(array(motif, motif, motif, motif)), " ")))
+        .as("text"))
+    val postings = Dedup.positionalShinglePostings(docs, "doc_id", "text", 3)
+      .localCheckpoint()
+    val out = Dedup.selfAlignedRunsFromPostings(
+      docs.select(col("doc_id").as("id")), postings, n = 3, maxOccurrences = 50)
+    out.agg(
+        count(lit(1)),
+        sum(when(col("rep_run_kgrams") === 0, 1L).otherwise(0L)),
+        sum(when(col("rep_run_kgrams") === 13, 1L).otherwise(0L)))
+      .as[(Long, Long, Long)].head()
+  }
+
+  test("self-repetition detection scales ~linearly under degenerate repeat docs",
+      LargeScale) {
+    val small = 250000L
+    val large = 1000000L
+    selfRepetitionPipeline(10000L)
+    val ((rowsS, zeroS, runS), tSmall) = timed(selfRepetitionPipeline(small))
+    val ((rowsL, zeroL, runL), tLarge) = timed(selfRepetitionPipeline(large))
+    // One row per doc; every degenerate doc capped to 0 (the occurrence cap
+    // bound), every motif doc at EXACTLY its 13-kgram run (signal intact).
+    assert(rowsS == small && zeroS == small / 10 && runS == small - small / 10,
+      s"small: rows=$rowsS zero=$zeroS run13=$runS")
+    assert(rowsL == large && zeroL == large / 10 && runL == large - large / 10,
+      s"large: rows=$rowsL zero=$zeroL run13=$runL")
+    val ratio = tLarge / tSmall
+    info(f"selfRepetition: $small%,d docs in $tSmall%.1f s; $large%,d docs in " +
+      f"$tLarge%.1f s (ratio $ratio%.1f× for 4× data)")
+    assert(ratio < 10.0,
+      f"4× data cost $ratio%.1f× wall — super-linear; the degenerate docs " +
+        "squared their own length past the occurrence cap")
+  }
+
   /** Mass scale for the big runs: per-node quantities stay ~10⁶ at n=10⁶,
     * far above the flooring loss (the 10⁶ ppm default would quantize to
     * zero here — the documented resolution contract). */
