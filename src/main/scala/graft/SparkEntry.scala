@@ -3638,6 +3638,62 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_sampled"),
           max(col("frame_idx")).as("last_idx"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Cross-SOURCE contamination matrix: distinct shared 3-gram shingles
+    // per source pair — the corpus-level reading of the doc-level overlap
+    // family (which feeds copy from each other / share boilerplate).
+    // Shingles present in more than 15 sources are ubiquitous stop-grams,
+    // dropped BEFORE any pair forms by Dedup.boundedPairCounts' df cap —
+    // this query is also that one-shuffle pair core's oracle gate: each
+    // surviving shingle emits its ≤ C(15,2) source pairs in place (no
+    // inverted-index self-join, no anti-join). Counts compare
+    // hash-agnostic (the q42-family tolerance: xxhash64 postings
+    // engine-side, raw shingle strings oracle-side).
+    "q201_source_overlap" -> ((s, d) => {
+      val p = Dedup.shinglePostings(t(s, d, "documents"), "source", "text", 3)
+        .distinct()
+      Dedup.boundedPairCounts(p, "shh", "id", maxDocFreq = 15L)
+        .select(col("id_a").as("source_a"), col("id_b").as("source_b"),
+          col("n_shared"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // Boilerplate-prefix clusters: docs grouped by their EXACT first-8-token
+    // prefix (scraped nav headers, template openers) — the cheap high-
+    // precision sibling of winnowed overlap for leading boilerplate. One
+    // map-side-combined aggregate over a scan-local prefix projection; the
+    // prefix string never leaves the aggregate (clusters report min doc_id
+    // as representative), so the shuffle rows stay small.
+    "q202_prefix_clusters" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
+        .where(size(col("__tk")) >= 8)
+        .select(col("doc_id"), array_join(slice(col("__tk"), 1, 8), " ").as("pfx"))
+        .groupBy(col("pfx"))
+        .agg(min(col("doc_id")).as("rep_doc"), count(lit(1)).as("n_docs"))
+        .where(col("n_docs") >= 2)
+        .select(col("rep_doc"), col("n_docs"))
+        .orderBy(col("rep_doc"))),
+
+    // Quality-calibration divergence: the (global decile × within-source
+    // decile) contingency matrix — the Simpson's-paradox reading of the
+    // quality score (a source whose docs are globally weak but locally
+    // top-decile is mis-calibrated, not good). Both decile passes run on
+    // the bounded value histogram (Calibrate.histogramBuckets), so neither
+    // is a corpus-sized sort; ties share a bucket, so the assignment is
+    // value-deterministic cross-engine.
+    "q203_decile_divergence" -> ((s, d) => {
+      val scored = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          TextOps.qualityScoreMilli(col("text")).as("quality_milli"))
+      val g = Calibrate.histogramBuckets(scored, Seq.empty, "quality_milli",
+        buckets = 10, bucketOut = "g_decile")
+      val both = Calibrate.histogramBuckets(g, Seq("source"), "quality_milli",
+        buckets = 10, bucketOut = "s_decile")
+      both.groupBy(col("g_decile"), col("s_decile"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("g_decile"), col("s_decile"))
     })
   )
 
@@ -6971,6 +7027,55 @@ object SparkEntry {
                FROM d WHERE n >= 1)
          SELECT doc_id, count(*) AS n_sampled,
            CAST(max(frame_idx) AS INTEGER) AS last_idx
-         FROM f GROUP BY doc_id ORDER BY doc_id"""
+         FROM f GROUP BY doc_id ORDER BY doc_id""",
+
+    // Raw-shingle mirror of the bounded pair core over SOURCE postings:
+    // distinct (source, shingle), the [2, 15] source-frequency band, then
+    // the self-join pair count the engine folds into one aggregate.
+    "q201_source_overlap" ->
+      """WITH tk AS (SELECT source, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         sa AS (SELECT source,
+             list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+               i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh_arr
+           FROM tk),
+         e AS (SELECT DISTINCT source, sh FROM
+                 (SELECT source, unnest(sh_arr) AS sh FROM sa)),
+         g AS (SELECT sh FROM e GROUP BY sh HAVING count(*) BETWEEN 2 AND 15),
+         f AS (SELECT e.source, e.sh FROM e JOIN g USING (sh)),
+         p AS (SELECT a.source AS source_a, b.source AS source_b,
+                 count(*) AS n_shared
+               FROM f a JOIN f b ON a.sh = b.sh AND a.source < b.source
+               GROUP BY 1, 2)
+         SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared
+         FROM p ORDER BY source_a, source_b""",
+
+    "q202_prefix_clusters" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         p AS (SELECT doc_id, array_to_string(list_slice(toks, 1, 8), ' ') AS pfx
+               FROM tk WHERE len(toks) >= 8),
+         g AS (SELECT pfx, min(doc_id) AS rep_doc, count(*) AS n_docs
+               FROM p GROUP BY pfx)
+         SELECT rep_doc, CAST(n_docs AS BIGINT) AS n_docs
+         FROM g WHERE n_docs >= 2 ORDER BY rep_doc""",
+
+    // rank()-1 = rows strictly below (ties share a bucket) — the same
+    // value-deterministic decile formula as q100, applied twice: once
+    // globally, once within source.
+    "q203_decile_divergence" ->
+      s"""WITH $qualityMilliCte,
+         r AS (SELECT q.doc_id, d.source, q.quality_milli,
+             rank() OVER (ORDER BY quality_milli) - 1 AS g_lt,
+             count(*) OVER () AS n_all,
+             rank() OVER (PARTITION BY d.source ORDER BY quality_milli) - 1 AS s_lt,
+             count(*) OVER (PARTITION BY d.source) AS n_src
+           FROM q JOIN documents d USING (doc_id)),
+         b AS (SELECT least(9, (10 * g_lt) // n_all) AS g_decile,
+                 least(9, (10 * s_lt) // n_src) AS s_decile
+               FROM r)
+         SELECT CAST(g_decile AS BIGINT) AS g_decile,
+           CAST(s_decile AS BIGINT) AS s_decile, count(*) AS n_docs
+         FROM b GROUP BY 1, 2 ORDER BY g_decile, s_decile"""
   )
 }
