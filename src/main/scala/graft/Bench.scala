@@ -127,7 +127,12 @@ object Bench {
     val json = renderLine(
       results.map { case (k, v, g, j, ok, _) => (k, v, g, j, ok) },
       warmFailed.length, sfDir, outFile,
-      calibrationInflation(results.map { case (k, v, _, _, _, _) => (k, v) }, sfDir))
+      // Failed reps are excluded: a throwing calibration query records its
+      // tiny time-to-throw, which would read as a BETTER-than-judge-grade
+      // environment — the exact misleading adjudication the field exists
+      // to prevent.
+      calibrationInflation(results.collect {
+        case (k, v, _, _, ok, _) if ok => (k, v) }, sfDir))
     // The JSON goes BOTH to stdout (last line, machine-clean — sbt is
     // configured with StdoutOutput so no [info] prefix) and to a known
     // file, so a parser that sees interleaved launcher noise still has an

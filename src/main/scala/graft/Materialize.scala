@@ -47,7 +47,14 @@ object Materialize {
             .getOrElse(java.nio.file.Files
               .createTempDirectory("graft-ckpt").toString))
         df.checkpoint()
-      case _ => df.localCheckpoint()
+      case "true" => df.localCheckpoint()
+      // Fail LOUDLY on an unrecognized mode: the wildcard used to fall
+      // through to localCheckpoint — the one NON-fault-tolerant strategy —
+      // so a typo ("disc", "DISK") on a multi-hour cluster job silently
+      // re-enabled exactly the failure mode the knob exists to avoid.
+      case other => throw new IllegalArgumentException(
+        s"unknown graft.materialize mode '$other' " +
+          "(expected true | disk | reliable | false)")
     }
   }
 

@@ -3651,8 +3651,9 @@ object SparkEntry {
     // hash-agnostic (the q42-family tolerance: xxhash64 postings
     // engine-side, raw shingle strings oracle-side).
     "q201_source_overlap" -> ((s, d) => {
+      // No upstream .distinct(): boundedPairCounts dedupes (id, key) inside
+      // its one aggregate, so per-source repeated shingles cost nothing.
       val p = Dedup.shinglePostings(t(s, d, "documents"), "source", "text", 3)
-        .distinct()
       Dedup.boundedPairCounts(p, "shh", "id", maxDocFreq = 15L)
         .select(col("id_a").as("source_a"), col("id_b").as("source_b"),
           col("n_shared"))

@@ -336,15 +336,22 @@ object Dedup {
     * ordered pairs in place (array combinatorics over a ≤cap-element
     * sorted list — no second shuffle of the postings, no anti-join, no
     * self-join). Output: (id_a < id_b, n_shared). Identical to the
-    * self-join + df-prune composition for distinct (id, key) postings;
-    * preferred at scale because the per-key work is capped by construction
-    * and the postings shuffle once instead of three times. */
+    * DISTINCT + self-join + df-prune composition; preferred at scale
+    * because the per-key work is capped by construction and the postings
+    * shuffle once instead of three times.
+    *
+    * Duplicate (id, key) postings are deduped INSIDE the aggregate
+    * (`array_distinct` before the combinatorics), so the df band counts
+    * DISTINCT ids and a repeated posting can never fabricate a (x, x)
+    * self-pair or double-count a pair — callers need no upstream
+    * `.distinct()` (its shuffle is exactly what this operator exists to
+    * avoid). */
   def boundedPairCounts(postings: DataFrame, keyCol: String, idCol: String,
                         maxDocFreq: Long): DataFrame = {
     require(maxDocFreq >= 2, s"maxDocFreq must be >= 2, got $maxDocFreq")
     val lists = postings
       .groupBy(col(keyCol))
-      .agg(array_sort(collect_list(col(idCol))).as("__ids"))
+      .agg(array_sort(array_distinct(collect_list(col(idCol)))).as("__ids"))
       .where(size(col("__ids")).between(2, maxDocFreq))
     lists
       .select(explode(flatten(transform(col("__ids"), (x, i) =>
@@ -731,8 +738,11 @@ object Dedup {
     * `array_distinct` on the selected set. No gram explode, no window
     * exchange, no global distinct: the operator contributes ZERO shuffles;
     * only the selected ~2/(w+1) density of fingerprints ever leaves the
-    * row. Output is distinct (id, fp) — ids are unique per input row, and
-    * per-doc fps are deduped in-array. */
+    * row. Output is distinct (id, fp) PER INPUT ROW (fps deduped
+    * in-array); an input with duplicate id rows produces duplicate
+    * postings — fine for [[boundedPairCounts]] (dedupes in-aggregate),
+    * but callers needing a globally-distinct set must distinct()
+    * themselves. */
   def winnowedFingerprints(df: DataFrame, idCol: String, textCol: String,
                            k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")

@@ -95,15 +95,32 @@ object BucketedUpsertWriter {
       "updates may not carry a __bucket column (reserved)")
     val dir = Paths.get(tableDir)
     Files.createDirectories(dir)
-    UpsertWriter.withWriterLock(dir) {
+    // The batch is consumed TWICE (touched-bucket collect, then the merge
+    // write) — cache it so a streaming micro-batch's upstream (source parse,
+    // watermarked aggregation replay) isn't paid twice per trigger. Only
+    // persist/unpersist when the CALLER hasn't already (their cache is not
+    // ours to drop).
+    val weCache = updates.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val batch = if (weCache)
+      updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else updates
+    try UpsertWriter.withWriterLock(dir) {
       checkMeta(dir, keys, numBuckets)
+      // Any .staging-* dir visible while WE hold the exclusive writer lock
+      // is the leftover of a writer that died mid-write (the in-process
+      // finally always removes its own) — without this sweep a SIGKILLed
+      // streaming sink leaks one partial staging dir per crash, forever
+      // (generation GC only scans b=<n>/ dirs).
+      UpsertWriter.listDir(dir)
+        .filter(_.getFileName.toString.startsWith(".staging-"))
+        .foreach(UpsertWriter.deleteRecursively)
       val bkt = bucketExpr(keys, numBuckets)
       // Bounded driver read: ≤ numBuckets distinct ids, never row-scaled.
-      val touched = updates.select(bkt.as("__bucket")).distinct()
+      val touched = batch.select(bkt.as("__bucket")).distinct()
         .collect().map(_.getInt(0)).sorted
-      if (touched.nonEmpty) doUpsert(spark, updates, dir, keys, bkt, touched,
+      if (touched.nonEmpty) doUpsert(spark, batch, dir, keys, bkt, touched,
         retainMillis)
-    }
+    } finally if (weCache) batch.unpersist(blocking = false)
   }
 
   private def doUpsert(spark: SparkSession, updates: DataFrame, dir: Path,

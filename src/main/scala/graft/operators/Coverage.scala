@@ -20,9 +20,13 @@ import org.apache.spark.sql.functions._
   *  - the winner = `orderBy(gain desc, id).limit(1)` — TakeOrdered(1), ONE
   *    collected row per round (same driver-scalar class as the IVF
   *    centroid collects);
-  *  - the covered set re-materializes per round (localCheckpoint, unless
-  *    `graft.materialize=false`) so round r+1 plans one flat scan, not r
-  *    nested unions.
+  *  - the covered set re-materializes per round through [[graft.Materialize]]
+  *    so round r+1 plans one flat scan, not r nested unions — and the loop
+  *    manages its OWN round lifetime (the Materialize scaladoc's contract
+  *    for iterative operators): each round's covered frame is forced while
+  *    still current and the superseded round is unpersisted immediately, so
+  *    under `graft.materialize=disk` a large-k run holds at most two round
+  *    frames on executor storage instead of k corpus-scale leftovers.
   *
   * Ties break on the smaller id, so the selection is value-deterministic
   * and an independent engine reproduces it exactly (the oracle unrolls the
@@ -70,13 +74,24 @@ object Coverage {
         val id = top(0).getLong(0)
         val gain = top(0).getLong(1)
         val newCov = p.where(col("id") === id).select(col("sh"))
+        val prev = covered
         covered = mat(
           if (covered == null) newCov
           else covered.union(newCov).distinct())
+        // covered_cum forces the new round's materialization; only THEN is
+        // the superseded round released (lazy-persist modes would otherwise
+        // recompute the union chain from scratch — and every mode would
+        // otherwise leak one cached corpus-scale frame per round).
         picks += ((r, id, gain, covered.count()))
+        if (prev != null) prev.unpersist(blocking = false)
         r += 1
       }
     }
-    picks.toSeq.toDF("round", "doc_id", "gain", "covered_cum")
+    val out = picks.toSeq.toDF("round", "doc_id", "gain", "covered_cum")
+    // The result is a driver-local LocalRelation — nothing downstream reads
+    // p or the final covered frame, so release them before returning.
+    if (covered != null) covered.unpersist(blocking = false)
+    p.unpersist(blocking = false)
+    out
   }
 }

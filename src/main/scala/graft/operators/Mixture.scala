@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
 object Mixture {
 
   private val reserved = Seq("__k", "__b", "__bw", "__cum", "__before",
-    "__budget", "__run")
+    "__budget", "__run", "__whole")
 
   /** Shared scaffolding of the two-phase exact cumulative sum ([[Mixture]]
     * and [[Packing]]): `__k` = md5(id) — the deterministic ordering key —

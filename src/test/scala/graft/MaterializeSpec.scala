@@ -52,6 +52,17 @@ class MaterializeSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.materialize")
   }
 
+  test("unknown materialize modes fail loudly, not silently non-fault-tolerant") {
+    import spark.implicits._
+    spark.conf.set("graft.materialize", "disc") // the typo that matters
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Materialize(Seq(1).toDF("x"))
+      }
+      assert(e.getMessage.contains("disc"))
+    } finally spark.conf.unset("graft.materialize")
+  }
+
   test("lazyCache persists lazily, keeps lineage, and is identity under false") {
     import spark.implicits._
     try {

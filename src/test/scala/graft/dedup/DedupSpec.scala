@@ -110,6 +110,16 @@ class DedupSpec extends AnyFunSuite {
       .map { case (a, b, n) => ((a, b), n) }.toMap
     assert(got == want)
     assert(got.nonEmpty)
+    // Duplicate (id, key) postings (re-ingested shard, duplicated doc_id
+    // rows) dedupe INSIDE the aggregate: no (x, x) self-pairs, no double
+    // counting, df band still counts DISTINCT ids — identical output to
+    // the distinct input.
+    val doubled = postings.unionAll(postings)
+    val got2 = Dedup.boundedPairCounts(doubled, "fp", "id", cap)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, n) => ((a, b), n) }.toMap
+    assert(got2 == want)
+    assert(got2.keys.forall { case (a, b) => a < b })
     // The hot key (60 distinct ids > cap) contributed nothing: no pair can
     // exceed the count achievable through the 23 cold keys alone.
     intercept[IllegalArgumentException] {

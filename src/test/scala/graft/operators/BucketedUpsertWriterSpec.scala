@@ -58,6 +58,34 @@ class BucketedUpsertWriterSpec extends AnyFunSuite {
     assert(got.where($"v" =!= $"k" * 10.0).count() == 1)
   }
 
+  test("orphaned staging dirs from a crashed writer are swept on the next upsert") {
+    val dir = Files.createTempDirectory("bupsert-staging")
+    // Simulate a SIGKILLed writer: a partial staging dir with data files,
+    // left at the table root where generation GC never looks.
+    val orphan = dir.resolve(".staging-gen-123-456")
+    Files.createDirectories(orphan.resolve("__bucket=3"))
+    Files.writeString(orphan.resolve("__bucket=3").resolve("part-0.parquet"), "junk")
+    val rows = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+    BucketedUpsertWriter.upsert(spark, rows, dir.toString, Seq("k"), N)
+    assert(!Files.exists(orphan), "crashed writer's staging dir not swept")
+    // The sweep never touches live data: the upsert's own output reads back.
+    val got = BucketedUpsertWriter.read(spark, dir.toString).get
+      .as[(Long, Double)].collect().toSet
+    assert(got == Set((1L, 1.0), (2L, 2.0)))
+  }
+
+  test("a caller-cached batch is not unpersisted by the upsert") {
+    val dir = Files.createTempDirectory("bupsert-cached")
+    val rows = Seq((1L, 1.0)).toDF("k", "v")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      BucketedUpsertWriter.upsert(spark, rows, dir.toString, Seq("k"), N)
+      assert(rows.storageLevel ==
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+        "upsert dropped the caller's cache")
+    } finally rows.unpersist()
+  }
+
   test("round-trips, is idempotent, and last-write-wins per key") {
     val dir = Files.createTempDirectory("bupsert-idem").toString
     BucketedUpsertWriter.upsert(spark,

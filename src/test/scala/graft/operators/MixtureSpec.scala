@@ -105,6 +105,14 @@ class MixtureSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Mixture.tokenBudgetSample(df, "stratum", col("__k"), col("id"), budgets)
     }
+    // __whole joined budgetCore's working set in round 11 — an input
+    // carrying it must fail the clash check loudly, not throw an ambiguous-
+    // reference AnalysisException from inside the classification join.
+    val whole = Seq((1L, "a", 5)).toDF("id", "stratum", "__whole")
+    intercept[IllegalArgumentException] {
+      Mixture.tokenBudgetSample(whole, "stratum", col("__whole").cast("long"),
+        col("id"), budgets)
+    }
   }
 
   test("temperature sample keeps ALL of the smallest stratum, sqrt share of others") {
