@@ -1353,9 +1353,13 @@ object SparkEntry {
     // dim is ≤ langs×1001 rows and broadcasts back. All ties share a
     // bucket, so the label is value-deterministic and oracle-reproducible.
     "q100_quality_deciles" -> ((s, d) => {
-      val scored = t(s, d, "documents")
+      // Cached (lazily): histogramBuckets references its input twice (the
+      // value histogram + the probe side of the join-back) — uncached, the
+      // expensive quality expression re-scores the corpus once per
+      // reference (measured ~0.5 s of the query at sf0.1).
+      val scored = matLazy(t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
-          TextOps.qualityScoreMilli(col("text")).as("quality_milli"))
+          TextOps.qualityScoreMilli(col("text")).as("quality_milli")))
       Calibrate.histogramBuckets(scored, Seq("lang"),
           "quality_milli", buckets = 10, bucketOut = "decile")
         .select(col("doc_id"), col("lang"), col("quality_milli"), col("decile"))
@@ -3680,20 +3684,43 @@ object SparkEntry {
     // Quality-calibration divergence: the (global decile × within-source
     // decile) contingency matrix — the Simpson's-paradox reading of the
     // quality score (a source whose docs are globally weak but locally
-    // top-decile is mis-calibrated, not good). Both decile passes run on
-    // the bounded value histogram (Calibrate.histogramBuckets), so neither
-    // is a corpus-sized sort; ties share a bucket, so the assignment is
-    // value-deterministic cross-engine.
+    // top-decile is mis-calibrated, not good). The output needs only
+    // COUNTS per decile cell, so the corpus never joins back at all: ONE
+    // expensive-scoring scan collapses to the (source, value) histogram,
+    // both decile assignments derive from windows OVER THE HISTOGRAM
+    // (global cum from the per-source cum summed across sources), and the
+    // cell counts are a histogram-sized rollup. Ties share a bucket —
+    // value-deterministic cross-engine, same formula as Calibrate.
     "q203_decile_divergence" -> ((s, d) => {
-      val scored = t(s, d, "documents")
-        .select(col("doc_id"), col("source"),
+      import org.apache.spark.sql.expressions.Window
+      val hist = t(s, d, "documents")
+        .select(col("source"),
           TextOps.qualityScoreMilli(col("text")).as("quality_milli"))
-      val g = Calibrate.histogramBuckets(scored, Seq.empty, "quality_milli",
-        buckets = 10, bucketOut = "g_decile")
-      val both = Calibrate.histogramBuckets(g, Seq("source"), "quality_milli",
-        buckets = 10, bucketOut = "s_decile")
-      both.groupBy(col("g_decile"), col("s_decile"))
-        .agg(count(lit(1)).as("n_docs"))
+        .groupBy(col("source"), col("quality_milli"))
+        .agg(count(lit(1)).as("__n"))
+      val wS = Window.partitionBy(col("source")).orderBy(col("quality_milli"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val perSrc = hist
+        .withColumn("__s_lt", coalesce(sum(col("__n")).over(wS), lit(0L)))
+        .withColumn("__n_src",
+          sum(col("__n")).over(Window.partitionBy(col("source"))))
+      // Global strictly-below counts from the value-level rollup of the
+      // SAME histogram (≤ |scale| rows; the unpartitioned window is
+      // histogram-sized by construction, never corpus-sized).
+      val gh = hist.groupBy(col("quality_milli")).agg(sum(col("__n")).as("__gn"))
+      val wG = Window.orderBy(col("quality_milli"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val globalDim = gh
+        .withColumn("__g_lt", coalesce(sum(col("__gn")).over(wG), lit(0L)))
+        .withColumn("__n_all", sum(col("__gn")).over())
+        .select(col("quality_milli"),
+          least(lit(9L), expr("(10L * __g_lt) div __n_all")).as("g_decile"))
+      perSrc
+        .withColumn("s_decile",
+          least(lit(9L), expr("(10L * __s_lt) div __n_src")))
+        .join(broadcast(globalDim), Seq("quality_milli"))
+        .groupBy(col("g_decile"), col("s_decile"))
+        .agg(sum(col("__n")).cast("long").as("n_docs"))
         .orderBy(col("g_decile"), col("s_decile"))
     })
   )
