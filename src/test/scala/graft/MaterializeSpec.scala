@@ -15,6 +15,17 @@ class MaterializeSpec extends AnyFunSuite {
     * the scalar two-reference shape. */
   private val probes = Seq("q70_minhash_components", "q31_robust_z")
 
+  /** SparkContext has no public unset; reliable-mode runs set the
+    * SESSION-GLOBAL checkpoint dir, which would leak into later suites
+    * (GraphSpec asserts a pristine context before its own checkpoint
+    * test). Clear it via the generated setter, as GraphSpec does. */
+  private def clearCheckpointDir(): Unit = {
+    val sc = spark.sparkContext
+    sc.getClass.getMethod("checkpointDir_$eq", classOf[Option[_]])
+      .invoke(sc, None)
+    assert(sc.getCheckpointDir.isEmpty)
+  }
+
   private def runAll(mode: Option[String]): Map[String, Seq[String]] = {
     mode match {
       case Some(m) => spark.conf.set("graft.materialize", m)
@@ -23,7 +34,10 @@ class MaterializeSpec extends AnyFunSuite {
     try probes.map { q =>
       q -> SparkEntry.queries(q)(spark, sfDir).collect().map(_.toString).toSeq
     }.toMap
-    finally spark.conf.unset("graft.materialize")
+    finally {
+      spark.conf.unset("graft.materialize")
+      if (mode.contains("reliable")) clearCheckpointDir()
+    }
   }
 
   test("all four materialization modes produce identical results") {
@@ -49,7 +63,10 @@ class MaterializeSpec extends AnyFunSuite {
       // the checkpoint actually landed on storage (recovery source exists)
       val files = new java.io.File(new java.net.URI(dir.get).getPath).listFiles()
       assert(files != null && files.nonEmpty, s"no checkpoint data under $dir")
-    } finally spark.conf.unset("graft.materialize")
+    } finally {
+      spark.conf.unset("graft.materialize")
+      clearCheckpointDir()
+    }
   }
 
   test("unknown materialize modes fail loudly, not silently non-fault-tolerant") {
