@@ -42,10 +42,28 @@ object Materialize {
       case "disk"    => df.persist(StorageLevel.DISK_ONLY)
       case "reliable" =>
         val sc = spark.sparkContext
-        if (sc.getCheckpointDir.isEmpty)
-          sc.setCheckpointDir(spark.conf.getOption("graft.checkpointDir")
-            .getOrElse(java.nio.file.Files
-              .createTempDirectory("graft-ckpt").toString))
+        if (sc.getCheckpointDir.isEmpty) {
+          val dir = spark.conf.getOption("graft.checkpointDir").getOrElse {
+            // Test convenience only: reliable checkpoints are never removed
+            // on unpersist, so a temp dir accumulates data for the session's
+            // lifetime and is only reclaimed by the JVM-exit hook. Anything
+            // but a test should set graft.checkpointDir to durable storage.
+            val tmp = java.nio.file.Files.createTempDirectory("graft-ckpt")
+            org.slf4j.LoggerFactory.getLogger(Materialize.getClass).warn(
+              s"graft.materialize=reliable with no checkpoint dir: falling " +
+                s"back to local temp $tmp (deleted on JVM exit; NOT " +
+                "durable). Set graft.checkpointDir for production use.")
+            Runtime.getRuntime.addShutdownHook(new Thread(() =>
+              try {
+                import scala.jdk.CollectionConverters._
+                java.nio.file.Files.walk(tmp).iterator().asScala.toSeq
+                  .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+              } catch { case _: Exception => () }))
+            tmp.toString
+          }
+          // Session-global side effect: later code sees this checkpoint dir.
+          sc.setCheckpointDir(dir)
+        }
         df.checkpoint()
       case "true" => df.localCheckpoint()
       // Fail LOUDLY on an unrecognized mode: the wildcard used to fall

@@ -1112,10 +1112,11 @@ object SparkEntry {
     // fingerprints and MinHash signatures miss.
     "q88_winnowed_overlap" -> ((s, d) => {
       // The hot-fingerprint prune (df > 50) folds INTO the posting-list
-      // aggregate (Dedup.boundedPairCounts): the fingerprints shuffle once
-      // and are consumed once — no materialization, no anti-join, no
-      // inverted-index self-join. Identical pairs/counts by construction
-      // (winnowedFingerprints output is distinct (id, fp)).
+      // aggregate (Dedup.boundedPairCounts' size-capped BoundedCollectSet):
+      // the fingerprints shuffle once, no per-key buffer can exceed the
+      // cap even on boilerplate fingerprints, no inverted-index self-join.
+      // Identical pairs/counts by construction (winnowedFingerprints
+      // output is distinct (id, fp)).
       val fps = Dedup.winnowedFingerprints(t(s, d, "documents"),
         "doc_id", "text", k = 4, w = 4)
       Dedup.boundedPairCounts(fps, "fp", "id", maxDocFreq = 50L)
@@ -3648,15 +3649,16 @@ object SparkEntry {
     // per source pair — the corpus-level reading of the doc-level overlap
     // family (which feeds copy from each other / share boilerplate).
     // Shingles present in more than 15 sources are ubiquitous stop-grams,
-    // dropped BEFORE any pair forms by Dedup.boundedPairCounts' df cap —
-    // this query is also that one-shuffle pair core's oracle gate: each
+    // dropped BEFORE any pair forms by Dedup.boundedPairCounts' size-capped
+    // aggregate (the buffer itself poisons at cap+1 — no unbounded collect)
+    // — this query is also that one-shuffle pair core's oracle gate: each
     // surviving shingle emits its ≤ C(15,2) source pairs in place (no
     // inverted-index self-join, no anti-join). Counts compare
     // hash-agnostic (the q42-family tolerance: xxhash64 postings
     // engine-side, raw shingle strings oracle-side).
     "q201_source_overlap" -> ((s, d) => {
-      // No upstream .distinct(): boundedPairCounts dedupes (id, key) inside
-      // its one aggregate, so per-source repeated shingles cost nothing.
+      // No upstream .distinct(): boundedPairCounts dedupes (id, key) in its
+      // own aggregates, so per-source repeated shingles cost nothing.
       val p = Dedup.shinglePostings(t(s, d, "documents"), "source", "text", 3)
       Dedup.boundedPairCounts(p, "shh", "id", maxDocFreq = 15L)
         .select(col("id_a").as("source_a"), col("id_b").as("source_b"),

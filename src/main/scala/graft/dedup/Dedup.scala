@@ -328,32 +328,39 @@ object Dedup {
     pairOverlaps(postings, maxDocFreq).where(col("inter") >= minShared)
       .select(col("id_a"), col("id_b"), col("inter"))
 
-  /** Pair overlap counts via BOUNDED posting lists — the one-shuffle
-    * alternative to [[pairOverlapCounts]]'s inverted-index self-join when a
-    * doc-frequency cap is in force anyway. One hash aggregate groups the
-    * postings by key and drops keys with df outside [2, maxDocFreq] BEFORE
-    * any pair exists; each surviving key then emits its ≤ C(cap, 2)
-    * ordered pairs in place (array combinatorics over a ≤cap-element
-    * sorted list — no second shuffle of the postings, no anti-join, no
-    * self-join). Output: (id_a < id_b, n_shared). Identical to the
-    * DISTINCT + self-join + df-prune composition; preferred at scale
-    * because the per-key work is capped by construction and the postings
-    * shuffle once instead of three times.
+  /** Pair overlap counts via BOUNDED posting lists — the one-exchange,
+    * skew-safe alternative to [[pairOverlapCounts]]'s inverted-index
+    * self-join when a doc-frequency cap is in force anyway. One aggregate
+    * groups the postings by key through
+    * [[graft.plans.Expressions.BoundedCollectSet]], whose buffer NEVER
+    * exceeds cap+1 elements: a ubiquitous hot key (stop-gram shingle,
+    * boilerplate fingerprint — exactly the skew this operator's callers
+    * expect) poisons its buffer at cap+1 and evaluates to NULL instead of
+    * accumulating its full posting list in executor memory. Keys with df
+    * outside [2, maxDocFreq] drop with the NULL filter BEFORE any pair
+    * exists; each surviving key emits its ≤ C(cap, 2) ordered pairs in
+    * place from the sorted ≤cap-element list. Output:
+    * (id_a < id_b, n_shared). Identical to the DISTINCT + self-join +
+    * df-prune composition; preferred at scale because both the per-key
+    * MEMORY and the pair emission are capped by construction and the
+    * postings shuffle once (map-side partial sets ≤ cap+1 each) instead
+    * of three times.
     *
-    * Duplicate (id, key) postings are deduped INSIDE the aggregate
-    * (`array_distinct` before the combinatorics), so the df band counts
-    * DISTINCT ids and a repeated posting can never fabricate a (x, x)
-    * self-pair or double-count a pair — callers need no upstream
-    * `.distinct()` (its shuffle is exactly what this operator exists to
-    * avoid). */
+    * Duplicate (id, key) postings are deduped INSIDE the aggregate's set,
+    * so the df band counts DISTINCT ids and a repeated posting can never
+    * fabricate a (x, x) self-pair or double-count a pair — callers need no
+    * upstream `.distinct()` (its shuffle is exactly what this operator
+    * exists to avoid). */
   def boundedPairCounts(postings: DataFrame, keyCol: String, idCol: String,
                         maxDocFreq: Long): DataFrame = {
-    require(maxDocFreq >= 2, s"maxDocFreq must be >= 2, got $maxDocFreq")
-    val lists = postings
+    require(maxDocFreq >= 2 && maxDocFreq <= Int.MaxValue,
+      s"maxDocFreq must be in [2, Int.MaxValue], got $maxDocFreq")
+    graft.plans.Expressions.ensureRegistered(postings.sparkSession)
+    postings
       .groupBy(col(keyCol))
-      .agg(array_sort(array_distinct(collect_list(col(idCol)))).as("__ids"))
-      .where(size(col("__ids")).between(2, maxDocFreq))
-    lists
+      .agg(graft.plans.Expressions
+        .boundedCollectSet(col(idCol), maxDocFreq.toInt).as("__ids"))
+      .where(col("__ids").isNotNull)
       .select(explode(flatten(transform(col("__ids"), (x, i) =>
         transform(slice(col("__ids"), i + lit(2), size(col("__ids"))),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("__p"))

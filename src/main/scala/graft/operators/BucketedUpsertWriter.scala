@@ -25,9 +25,11 @@ import org.apache.spark.sql.functions._
   *
   * Bucket = `pmod(xxhash64(keys…), numBuckets)` computed from the key
   * columns on demand — it is never stored, so files stay pure payload and
-  * the bucket count is a property of the table (pinned in `META`, validated
-  * on every upsert: rows hashed under a different N would land keys in the
-  * wrong bucket and silently duplicate them across buckets).
+  * the bucket count, key set, AND key dtypes are properties of the table
+  * (pinned in `META`, validated on every upsert: rows hashed under a
+  * different N would land keys in the wrong bucket and silently duplicate
+  * them across buckets, and xxhash64 is type-dependent so a dtype-drifted
+  * batch would bucket the same key value differently).
   *
   * Concurrency and GC reuse [[UpsertWriter]]'s machinery: same-JVM monitor
   * + OS FileLock around the read→merge→write→flip critical section, and
@@ -61,15 +63,37 @@ object BucketedUpsertWriter {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** META pins (numBuckets, keys) at table creation; later upserts must
-    * agree or the key→bucket map would shift under existing data. */
-  private def checkMeta(dir: Path, keys: Seq[String], numBuckets: Int): Unit = {
+  /** META pins (numBuckets, keys, key dtypes) at table creation; later
+    * upserts must agree or the key→bucket map would shift under existing
+    * data. The dtype pin matters because `xxhash64` is TYPE-dependent
+    * (Int 42 hashes differently from Long 42): a batch whose key column
+    * type drifted from the stored table's would compute `touched` from the
+    * raw batch but `__bucket` from the post-union coerced merge, staging
+    * rows under bucket dirs outside `touched` — which the staging cleanup
+    * then deletes. Refusing the drifted batch loudly beats that silent
+    * loss. Pre-dtype-pin tables (no keyTypes line) are upgraded in place
+    * on their first post-upgrade upsert, adopting the batch's dtypes. */
+  private def checkMeta(dir: Path, keys: Seq[String], numBuckets: Int,
+                        keyTypes: Seq[String]): Unit = {
     val meta = dir.resolve("META")
-    val want = s"numBuckets=$numBuckets\nkeys=${keys.mkString(",")}"
+    val want = s"numBuckets=$numBuckets\nkeys=${keys.mkString(",")}" +
+      s"\nkeyTypes=${keyTypes.mkString(",")}"
     if (Files.exists(meta)) {
       val have = Files.readString(meta).trim
-      require(have == want,
+      val haveMap = have.linesIterator.filter(_.contains('=')).map { l =>
+        val i = l.indexOf('='); l.take(i) -> l.drop(i + 1)
+      }.toMap
+      require(haveMap.get("numBuckets").contains(numBuckets.toString) &&
+          haveMap.get("keys").contains(keys.mkString(",")),
         s"bucketed table at $dir was created with [$have]; refusing upsert with [$want]")
+      haveMap.get("keyTypes") match {
+        case Some(t) => require(t == keyTypes.mkString(","),
+          s"bucketed table at $dir pins key dtypes [$t] but the batch has " +
+            s"[${keyTypes.mkString(",")}]: xxhash64 bucketing is type-" +
+            "dependent, a drifted batch would stage rows outside the " +
+            "touched-bucket set. Cast the batch keys to the table schema.")
+        case None => Files.writeString(meta, want)
+      }
     } else Files.writeString(meta, want)
   }
 
@@ -105,7 +129,11 @@ object BucketedUpsertWriter {
       updates.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else updates
     try UpsertWriter.withWriterLock(dir) {
-      checkMeta(dir, keys, numBuckets)
+      val keyTypes = keys.map { k =>
+        require(batch.columns.contains(k), s"updates missing key column $k")
+        batch.schema(k).dataType.catalogString
+      }
+      checkMeta(dir, keys, numBuckets, keyTypes)
       // Any .staging-* dir visible while WE hold the exclusive writer lock
       // is the leftover of a writer that died mid-write (the in-process
       // finally always removes its own) — without this sweep a SIGKILLed

@@ -79,9 +79,14 @@ object Coverage {
           if (covered == null) newCov
           else covered.union(newCov).distinct())
         // covered_cum forces the new round's materialization; only THEN is
-        // the superseded round released (lazy-persist modes would otherwise
-        // recompute the union chain from scratch — and every mode would
-        // otherwise leak one cached corpus-scale frame per round).
+        // the superseded round released. The eager release matters in the
+        // disk/lazy-persist modes (unpersist drops the cache-manager entry;
+        // without it the union chain either recomputes or leaks one cached
+        // corpus-scale frame per round). Under the default localCheckpoint
+        // mode unpersist is a no-op — checkpoint blocks are not
+        // cache-manager entries and are reclaimed by the ContextCleaner
+        // once the superseded frame is unreferenced, which the `prev`
+        // handoff below guarantees.
         picks += ((r, id, gain, covered.count()))
         if (prev != null) prev.unpersist(blocking = false)
         r += 1

@@ -1,11 +1,13 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, TypeUtils}
+import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -94,6 +96,93 @@ object Expressions {
     override def prettyName: String = "char_entropy"
   }
 
+  /** Distinct-set aggregate whose in-memory buffer is CAPPED: values are
+    * collected like `collect_set`, but once more than `cap` distinct values
+    * have been seen the buffer is poisoned (it never grows past cap+1
+    * elements) and the group evaluates to NULL. Groups with fewer than 2
+    * distinct values also evaluate to NULL, so the result is exactly the
+    * sorted distinct-id list for keys whose doc frequency lies in
+    * [2, cap] — the inner primitive of [[graft.dedup.Dedup.boundedPairCounts]].
+    *
+    * Why not `collect_set` + a post-hoc size filter: collect_set's buffer
+    * accumulates the FULL set for a ubiquitous hot key (stop-gram shingle,
+    * boilerplate fingerprint — precisely the skew a df cap anticipates)
+    * before the filter sees it, an executor-OOM hazard at corpus scale.
+    * This aggregate's buffer is bounded by construction on the map side,
+    * in shuffle-partial merges, and in the final merge — one exchange,
+    * map-side combinable, O(cap) memory per key everywhere.
+    *
+    * Output order: ascending by the element type's natural SQL ordering
+    * (same comparator as `array_sort`), so downstream pair emission
+    * (`id_a < id_b`) matches the oracle's value comparison. */
+  case class BoundedCollectSet(
+      child: Expression,
+      capExpr: Expression,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.HashSet[Any]]
+    with BinaryLike[Expression] {
+
+    private lazy val cap: Int = capExpr.eval().asInstanceOf[Number].intValue()
+    @transient private lazy val ordering =
+      TypeUtils.getInterpretedOrdering(child.dataType)
+    // Cached per task — creating a projection per serialize() call would
+    // pay a codegen-cache lookup for every key crossing the exchange.
+    @transient private lazy val bufferProjection = UnsafeProjection.create(
+      Array[DataType](ArrayType(child.dataType, containsNull = false)))
+
+    override def left: Expression = child
+    override def right: Expression = capExpr
+    override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "bounded_collect_set"
+
+    override def createAggregationBuffer(): java.util.HashSet[Any] =
+      new java.util.HashSet[Any]()
+
+    override def update(buf: java.util.HashSet[Any], input: InternalRow): java.util.HashSet[Any] = {
+      val v = child.eval(input)
+      // size == cap+1 is the poisoned state: stop adding, the group is
+      // already known to be out of band.
+      if (v != null && buf.size() <= cap) buf.add(InternalRow.copyValue(v))
+      buf
+    }
+
+    override def merge(buf: java.util.HashSet[Any],
+                       other: java.util.HashSet[Any]): java.util.HashSet[Any] = {
+      val it = other.iterator()
+      while (it.hasNext && buf.size() <= cap) buf.add(it.next())
+      buf
+    }
+
+    override def eval(buf: java.util.HashSet[Any]): Any = {
+      val n = buf.size()
+      if (n < 2 || n > cap) null
+      else new GenericArrayData(buf.toArray.sorted(ordering))
+    }
+
+    // Standard TypedImperativeAggregate byte-shuttle: the buffer crosses the
+    // exchange as one unsafe array row (same scheme as Spark's Collect).
+    override def serialize(buf: java.util.HashSet[Any]): Array[Byte] =
+      bufferProjection(InternalRow(new GenericArrayData(buf.toArray))).getBytes
+
+    override def deserialize(bytes: Array[Byte]): java.util.HashSet[Any] = {
+      val buf = createAggregationBuffer()
+      val row = new UnsafeRow(1)
+      row.pointTo(bytes, bytes.length)
+      row.getArray(0).foreach(child.dataType, (_, v) => buf.add(v))
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): BoundedCollectSet =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): BoundedCollectSet =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): BoundedCollectSet =
+      copy(child = newLeft, capExpr = newRight)
+  }
+
   /** Registers the expressions as SQL functions on the session (idempotent);
     * the Column helpers below route through the registry. */
   def register(spark: SparkSession): Unit = {
@@ -102,20 +191,26 @@ object Expressions {
     reg.createOrReplaceTempFunction("simhash64", es => SimHash64(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("char_entropy", es => CharEntropy(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("bounded_collect_set",
+      es => BoundedCollectSet(es(0), es(1)), "scala_udf")
   }
 
   /** Registration that library operators call on THEIR input's session
-    * before building dot_product columns — quiet (no re-registration WARN)
-    * when already present. */
+    * before building custom-expression columns — quiet (no re-registration
+    * WARN) when already present. Probes the NEWEST name so sessions
+    * registered by an older library version still pick up later additions. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier("dot_product"))) register(spark)
+    if (!reg.functionExists(FunctionIdentifier("bounded_collect_set")))
+      register(spark)
   }
 
   def rollingHash(c: Column): Column = call_function("rolling_hash", c)
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
   def dotProduct(a: Column, b: Column): Column = call_function("dot_product", a, b)
   def charEntropy(c: Column): Column = call_function("char_entropy", c)
+  def boundedCollectSet(c: Column, cap: Int): Column =
+    call_function("bounded_collect_set", c, lit(cap))
 }
 
 /** Per-row text statistics for the codegen'd expressions (object statics so

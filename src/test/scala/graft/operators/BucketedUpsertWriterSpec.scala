@@ -114,6 +114,38 @@ class BucketedUpsertWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("key-dtype drift is rejected — xxhash64 bucketing is type-dependent") {
+    val dir = Files.createTempDirectory("bupsert-dtype").toString
+    BucketedUpsertWriter.upsert(spark, Seq((1L, 1.0)).toDF("k", "v"), dir, Seq("k"), N)
+    // Same key VALUE, Int instead of Long: xxhash64(Int 2) != xxhash64(Long 2),
+    // so this batch would stage rows under buckets outside the touched set.
+    val ex = intercept[IllegalArgumentException] {
+      BucketedUpsertWriter.upsert(spark, Seq((2, 2.0)).toDF("k", "v"), dir, Seq("k"), N)
+    }
+    assert(ex.getMessage.contains("key dtypes"))
+    // A matching batch still works, and no rows were lost to the rejection.
+    BucketedUpsertWriter.upsert(spark, Seq((2L, 2.0)).toDF("k", "v"), dir, Seq("k"), N)
+    val got = BucketedUpsertWriter.read(spark, dir).get
+      .orderBy("k").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1.0), (2L, 2.0)))
+  }
+
+  test("pre-dtype-pin META upgrades in place on the next matching upsert") {
+    val dir = Files.createTempDirectory("bupsert-meta-upgrade")
+    BucketedUpsertWriter.upsert(spark, Seq((1L, 1.0)).toDF("k", "v"),
+      dir.toString, Seq("k"), N)
+    // Rewrite META in the legacy (numBuckets, keys)-only format.
+    Files.writeString(dir.resolve("META"), s"numBuckets=$N\nkeys=k")
+    BucketedUpsertWriter.upsert(spark, Seq((2L, 2.0)).toDF("k", "v"),
+      dir.toString, Seq("k"), N)
+    assert(Files.readString(dir.resolve("META")).contains("keyTypes=bigint"))
+    // ...after which drift is enforced against the adopted dtypes.
+    intercept[IllegalArgumentException] {
+      BucketedUpsertWriter.upsert(spark, Seq((3, 3.0)).toDF("k", "v"),
+        dir.toString, Seq("k"), N)
+    }
+  }
+
   test("superseded generations GC per bucket; CURRENT snapshot stays consistent") {
     val dir = Files.createTempDirectory("bupsert-gc")
     val key = 7L
