@@ -245,12 +245,14 @@ object SparkEntry {
                 col("lead_5"), col("fwd_ret_5"), col("lead_15"), col("fwd_ret_15"))
         .orderBy(col("event_id"))),
 
-    // W4: per-partition level numbering, top-100 levels.
+    // W4: per-partition level numbering, top-100 levels. Threshold-prefilter
+    // shape: the level≤100 cap folds into a bounded-heap 100th-price pass +
+    // broadcast threshold filter, so the rank window sorts ~300 rows, never
+    // the table (levelNumbers stays the uncapped W4 surface).
     "q18_book_levels" -> ((s, d) =>
-      WindowOps.levelNumbers(t(s, d, "lineitem"),
-          Seq(col("l_returnflag")),
-          Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")), "level")
-        .where(col("level") <= 100)
+      WindowOps.thresholdedTopKPerGroup(t(s, d, "lineitem"),
+          Seq("l_returnflag"), col("l_extendedprice"),
+          Seq(col("l_orderkey"), col("l_linenumber")), 100, out = "level")
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
                 col("l_extendedprice"), col("level"))
         .orderBy(col("l_returnflag"), col("level"))),

@@ -233,8 +233,11 @@ object AggOps {
     * exact long grids — no order-dependent double accumulation. */
   def depthTopN(df: DataFrame, side: String, price: Column, qty: Column, n: Int,
                 tiebreak: Seq[Column], exactGrids: Boolean = false): DataFrame = {
-    val ranked = WindowOps.topKPerGroupSalted(df, Seq(col(side)),
-      price.desc +: tiebreak, n, out = "__rn")
+    // Threshold-prefilter top-n (not the salted rank): the corpus never
+    // sorts — a bounded-heap pass finds each side's n-th price, and only
+    // the ≈ n·|sides| at-or-above-threshold rows reach the rank window.
+    val ranked = WindowOps.thresholdedTopKPerGroup(df, Seq(side),
+      price, tiebreak, n, out = "__rn")
     val agged =
       if (!exactGrids)
         ranked.groupBy(col(side))

@@ -88,6 +88,41 @@ object WindowOps {
       .withColumn(out, row_number().over(w(part, order))).where(col(out) <= k)
   }
 
+  /** Per-group top-k via the THRESHOLD-PREFILTER pattern — the variant for
+    * when the ranking value is one column: pass 1 computes each group's
+    * k-th largest value with a bounded-heap aggregate
+    * ([[graft.plans.Expressions.KthLargest]]: O(k) memory per task,
+    * map-side combinable, the corpus streams through heap-min checks
+    * instead of SORTING); pass 2 broadcast-joins the ≤|groups| thresholds
+    * back and ranks ONLY the rows at-or-above their group's threshold —
+    * a ties-inclusive superset of the true top-k, typically ≈ k·|groups|
+    * rows. The full window sort that [[topKPerGroup]] (one reducer per
+    * group) and [[topKPerGroupSalted]] (corpus-wide local sorts) both pay
+    * never happens at any scale.
+    *
+    * Tradeoff: the input is consumed twice (threshold pass + filter pass) —
+    * right when it's a table scan or a cheap projection; for an expensive
+    * upstream, materialize it first or prefer the salted variant.
+    * Contract: group columns non-null (equi-join semantics); `value` rows
+    * ranked DESC NULLS LAST with `tiebreak` completing a total order.
+    * A group with fewer than k non-null values gets a NULL threshold =
+    * keep-everything (its rank column still caps at k). Output: input
+    * columns + `out` = 1-based rank, rows with rank ≤ k — identical to
+    * [[topKPerGroup]] on the same ordering. */
+  def thresholdedTopKPerGroup(df: DataFrame, part: Seq[String], value: Column,
+                              tiebreak: Seq[Column], k: Int,
+                              out: String = "rank"): DataFrame = {
+    graft.plans.Expressions.ensureRegistered(df.sparkSession)
+    val thr = df.groupBy(part.map(col): _*)
+      .agg(graft.plans.Expressions.kthLargest(value, k).as("__thr"))
+    df.join(broadcast(thr), part)
+      .where(col("__thr").isNull || value >= col("__thr"))
+      .withColumn(out, row_number().over(
+        w(part.map(col), value.desc +: tiebreak)))
+      .where(col(out) <= k)
+      .drop("__thr")
+  }
+
   /** Global top-k under a per-group cap — "the best k docs overall, but no
     * more than `perGroup` from any one source": the diversified selection a
     * curation pipeline uses so one high-quality domain cannot monopolize

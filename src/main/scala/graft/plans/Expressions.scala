@@ -183,6 +183,82 @@ object Expressions {
       copy(child = newLeft, capExpr = newRight)
   }
 
+  /** K-th largest value per group (counting duplicates) via a bounded
+    * min-heap of k elements — the threshold half of the top-k-prefilter
+    * pattern (see [[graft.operators.WindowOps.thresholdedTopKPerGroup]]).
+    * Map-side combinable with O(k) memory everywhere, so the corpus never
+    * sorts: per-task heaps stream the scan (most rows fail the heap-min
+    * check in O(1)), the exchange carries ≤ k values per (task, group),
+    * and the final merge is k·tasks small. NULL result when the group has
+    * fewer than k non-null values (= "no threshold, keep everything").
+    * NULL inputs are ignored, matching `row_number` DESC NULLS LAST
+    * ranking where nulls can never occupy a top-k slot that non-null
+    * values fill. */
+  case class KthLargest(
+      child: Expression,
+      kExpr: Expression,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.PriorityQueue[Any]]
+    with BinaryLike[Expression] {
+
+    private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue()
+    @transient private lazy val ordering =
+      TypeUtils.getInterpretedOrdering(child.dataType)
+    @transient private lazy val bufferProjection = UnsafeProjection.create(
+      Array[DataType](ArrayType(child.dataType, containsNull = false)))
+
+    override def left: Expression = child
+    override def right: Expression = kExpr
+    override def dataType: DataType = child.dataType
+    override def nullable: Boolean = true
+    override def prettyName: String = "kth_largest"
+
+    override def createAggregationBuffer(): java.util.PriorityQueue[Any] =
+      new java.util.PriorityQueue[Any](ordering)
+
+    private def offer(heap: java.util.PriorityQueue[Any], v: Any): Unit =
+      if (heap.size() < k) heap.add(v)
+      else if (ordering.gt(v, heap.peek())) { heap.poll(); heap.add(v) }
+
+    override def update(heap: java.util.PriorityQueue[Any],
+                        input: InternalRow): java.util.PriorityQueue[Any] = {
+      val v = child.eval(input)
+      if (v != null) offer(heap, InternalRow.copyValue(v))
+      heap
+    }
+
+    override def merge(heap: java.util.PriorityQueue[Any],
+                       other: java.util.PriorityQueue[Any]): java.util.PriorityQueue[Any] = {
+      val it = other.iterator()
+      while (it.hasNext) offer(heap, it.next())
+      heap
+    }
+
+    /** The heap min IS the k-th largest once k values are held. */
+    override def eval(heap: java.util.PriorityQueue[Any]): Any =
+      if (heap.size() < k) null else heap.peek()
+
+    override def serialize(heap: java.util.PriorityQueue[Any]): Array[Byte] =
+      bufferProjection(InternalRow(new GenericArrayData(heap.toArray))).getBytes
+
+    override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[Any] = {
+      val heap = createAggregationBuffer()
+      val row = new UnsafeRow(1)
+      row.pointTo(bytes, bytes.length)
+      row.getArray(0).foreach(child.dataType, (_, v) => offer(heap, v))
+      heap
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): KthLargest =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): KthLargest =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): KthLargest =
+      copy(child = newLeft, kExpr = newRight)
+  }
+
   /** Registers the expressions as SQL functions on the session (idempotent);
     * the Column helpers below route through the registry. */
   def register(spark: SparkSession): Unit = {
@@ -193,6 +269,8 @@ object Expressions {
     reg.createOrReplaceTempFunction("char_entropy", es => CharEntropy(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("bounded_collect_set",
       es => BoundedCollectSet(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("kth_largest",
+      es => KthLargest(es(0), es(1)), "scala_udf")
   }
 
   /** Registration that library operators call on THEIR input's session
@@ -201,7 +279,7 @@ object Expressions {
     * registered by an older library version still pick up later additions. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier("bounded_collect_set")))
+    if (!reg.functionExists(FunctionIdentifier("kth_largest")))
       register(spark)
   }
 
@@ -211,6 +289,8 @@ object Expressions {
   def charEntropy(c: Column): Column = call_function("char_entropy", c)
   def boundedCollectSet(c: Column, cap: Int): Column =
     call_function("bounded_collect_set", c, lit(cap))
+  def kthLargest(c: Column, k: Int): Column =
+    call_function("kth_largest", c, lit(k))
 }
 
 /** Per-row text statistics for the codegen'd expressions (object statics so

@@ -153,14 +153,46 @@ class ScaleSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).isEmpty && salted.exceptAll(plain).isEmpty)
   }
 
+  test("thresholded top-k per group matches the plain rank window exactly") {
+    val li = Tables.load(spark, SparkTestSession.sf, "lineitem")
+    val ord = Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val plain = operators.WindowOps.topKPerGroup(li, Seq(col("l_returnflag")), ord, 100)
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"rank")
+    val thresholded = operators.WindowOps.thresholdedTopKPerGroup(li,
+        Seq("l_returnflag"), col("l_extendedprice"),
+        Seq(col("l_orderkey"), col("l_linenumber")), 100)
+      .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"rank")
+    assert(plain.exceptAll(thresholded).isEmpty && thresholded.exceptAll(plain).isEmpty)
+  }
+
+  test("thresholded top-k: under-k groups, duplicate values, null values") {
+    // group a: 2 rows (< k → NULL threshold, keep all); group b: heavy ties
+    // AT the k-th value (ties-superset must re-rank correctly); group c:
+    // nulls beyond a full top-k (must never displace non-null values).
+    val rows =
+      Seq(("a", Some(5.0), 1L), ("a", Some(3.0), 2L)) ++
+      (1L to 10L).map(i => ("b", Some(7.0), i)) ++
+      Seq(("b", Some(9.0), 11L), ("b", Some(1.0), 12L)) ++
+      ((1L to 5L).map(i => ("c", Some(i.toDouble), i)) :+ ("c", None, 6L))
+    val df = rows.toDF("g", "v", "id")
+    val ord = Seq(col("v").desc, col("id"))
+    val plain = operators.WindowOps.topKPerGroup(df, Seq(col("g")), ord, 3)
+      .select($"g", $"id", $"rank")
+    val thresholded = operators.WindowOps.thresholdedTopKPerGroup(df,
+        Seq("g"), col("v"), Seq(col("id")), 3)
+      .select($"g", $"id", $"rank")
+    assert(plain.exceptAll(thresholded).isEmpty && thresholded.exceptAll(plain).isEmpty)
+  }
+
   test("rank-limit windows plan a partial WindowGroupLimit before the shuffle") {
     // Spark 3.5+ rewrites `row_number() <= k` windows into a two-phase
     // WindowGroupLimit: the PARTIAL node keeps only k rows per group per
     // input partition BEFORE the exchange — the shuffle carries ≤ k·parts
-    // rows per group instead of the whole group. This is the built-in
-    // operator that makes topKPerGroup's plain form viable at scale (and
-    // why no hand-rolled bounded-heap SparkPlan exists here); this test
-    // pins the rewrite so a conf/regression that disables it is loud.
+    // rows per group instead of the whole group. It still locally SORTS
+    // every input partition first, though — which is why the single-value
+    // rankings (q14/q18) use thresholdedTopKPerGroup's bounded-heap
+    // threshold pass instead. This test pins the rewrite for the plain
+    // form so a conf/regression that disables it is loud.
     val li = Tables.load(spark, SparkTestSession.sf, "lineitem")
     val plan = operators.WindowOps.topKPerGroup(li, Seq(col("l_returnflag")),
         Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")),
