@@ -1063,16 +1063,23 @@ object SparkEntry {
         .select(col("doc_id"), col("source")).orderBy(col("doc_id"))),
 
     // Corpus vocabulary: token frequencies per language, top-20 via the
-    // salted two-phase top-k (few groups — a plain rank window would
-    // funnel each language through ONE reducer; see topKPerGroupSalted).
-    // groupBy-count itself is skew-immune: hot tokens reduce map-side.
+    // skew-ADAPTIVE two-phase top-k: the measured group profile (few
+    // groups — each language far exceeds a task share) advises the salt
+    // factor, instead of the hand-picked constant rounds ≤ 11 used. A
+    // plain rank window would funnel each language through ONE reducer;
+    // see topKPerGroupAdaptive. groupBy-count itself is skew-immune: hot
+    // tokens reduce map-side.
     "q85_vocab_topk" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val counts = docs
+      // Lazily cached: the adaptive rank's profiling pass fills the cache
+      // and the ranking itself reads it — the counts aggregate (the
+      // expensive upstream the topKPerGroupAdaptive scaladoc warns about)
+      // computes once.
+      val counts = matLazy(docs
         .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
         .where(col("token") =!= "")
-        .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n"))
-      operators.WindowOps.topKPerGroupSalted(counts, Seq(col("lang")),
+        .groupBy(col("lang"), col("token")).agg(count(lit(1)).as("n")))
+      operators.WindowOps.topKPerGroupAdaptive(counts, Seq(col("lang")),
           Seq(col("n").desc, col("token")), k = 20)
         .select(col("lang"), col("token"), col("n"), col("rank"))
         .orderBy(col("lang"), col("rank"))
@@ -3659,10 +3666,16 @@ object SparkEntry {
     // hash-agnostic (the q42-family tolerance: xxhash64 postings
     // engine-side, raw shingle strings oracle-side).
     "q201_source_overlap" -> ((s, d) => {
-      // No upstream .distinct(): boundedPairCounts dedupes (id, key) in its
-      // own aggregates, so per-source repeated shingles cost nothing.
+      // The id space is the SOURCE dimension — a handful of values known
+      // up front (one pruned-column scan collects the tiny dim, the
+      // Analyze symbol-dim precedent) — so the pair core is the bitmask
+      // variant: the corpus exchange carries 8-byte masks instead of
+      // posting arrays and pair emission runs over the mask histogram.
+      // No upstream .distinct(): the bit_or dedupes (id, key) for free.
+      val sources = t(s, d, "documents").select(col("source"))
+        .distinct().collect().map(_.getString(0)).toSeq
       val p = Dedup.shinglePostings(t(s, d, "documents"), "source", "text", 3)
-      Dedup.boundedPairCounts(p, "shh", "id", maxDocFreq = 15L)
+      Dedup.pairCountsByBitmask(p, "shh", "id", sources, maxDocFreq = 15L)
         .select(col("id_a").as("source_a"), col("id_b").as("source_b"),
           col("n_shared"))
         .orderBy(col("source_a"), col("source_b"))

@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{BucketedUpsertWriter, UpsertWriter}
+
+/** End-to-end comparison of the two upsert sinks at bench scale — the
+  * reference's K4 contract (overlapping-window re-ingest: each batch
+  * re-sends a trailing window of already-stored rows plus new ones;
+  * storage must stay idempotent) driven over the sf0.1 lineitem table.
+  *
+  * UpsertWriter rewrites the WHOLE table every batch (generation flip);
+  * BucketedUpsertWriter rewrites only the xxhash-buckets the batch
+  * touches. This main times both writers over the same batch sequence,
+  * verifies the final tables are content-identical (order-free xxhash
+  * fingerprint), and replays the last batch to confirm idempotency.
+  *
+  * Usage: tools/run.sh graft.UpsertBench [sfDir] [numBuckets] [batches]
+  */
+object UpsertBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val numBuckets = args.lift(1).map(_.toInt).getOrElse(32)
+    val nBatches = args.lift(2).map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val keys = Seq("l_orderkey", "l_linenumber")
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .withColumn("l_orderkey", col("l_orderkey").cast("long"))
+      .withColumn("l_linenumber", col("l_linenumber").cast("long"))
+    val maxKey = li.agg(max(col("l_orderkey"))).head().getLong(0)
+    // Initial load = first 80% of the order-key domain; each batch then
+    // re-sends a 5%-of-domain trailing window and appends 2.5% new — the
+    // overlapping-window shape of the reference collector's re-ingest.
+    val cut = (maxKey * 0.8).toLong
+    val step = (maxKey * 0.025).toLong.max(1L)
+    def window(i: Int): DataFrame = li.where(
+      col("l_orderkey") > cut + (i - 2) * step && col("l_orderkey") <= cut + i * step)
+    val initial = li.where(col("l_orderkey") <= cut)
+
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val h = xxhash64(df.columns.sorted.map(c => col(c).cast("string")): _*)
+      val r = df.agg(count(lit(1)), sum(h)).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    def drive(name: String, apply: (DataFrame) => Unit,
+              read: () => DataFrame): (Double, Double, (Long, Long)) = {
+      val t0 = System.nanoTime()
+      apply(initial)
+      val tInit = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      (1 to nBatches).foreach(i => apply(window(i)))
+      val tBatches = (System.nanoTime() - t1) / 1e9
+      val fp = fingerprint(read())
+      println(f"$name%-22s initial=$tInit%6.2fs  $nBatches incremental batches=$tBatches%7.2fs  (${tBatches / nBatches}%5.2f s/batch)  rows=${fp._1}")
+      (tInit, tBatches, fp)
+    }
+
+    val fullDir = Files.createTempDirectory("graft-upsert-full").toString
+    val bucketDir = Files.createTempDirectory("graft-upsert-bucketed").toString
+    val full = drive("full-rewrite",
+      b => UpsertWriter.upsert(spark, b, fullDir, keys),
+      () => UpsertWriter.read(spark, fullDir).get)
+    val bucketed = drive(s"bucketed($numBuckets)",
+      b => BucketedUpsertWriter.upsert(spark, b, bucketDir, keys, numBuckets),
+      () => BucketedUpsertWriter.read(spark, bucketDir).get)
+
+    require(full._3 == bucketed._3,
+      s"content diverged: full=${full._3} bucketed=${bucketed._3}")
+    // Idempotency: replaying the last batch must not change the content.
+    BucketedUpsertWriter.upsert(spark, window(nBatches), bucketDir, keys, numBuckets)
+    val replayed = fingerprint(BucketedUpsertWriter.read(spark, bucketDir).get)
+    require(replayed == bucketed._3, s"bucketed replay not idempotent: $replayed vs ${bucketed._3}")
+    println(f"content identical (rows=${full._3._1}, fp=${full._3._2}); bucketed replay idempotent")
+    println(f"incremental speedup: ${full._2 / bucketed._2}%.2fx per overlapping-window batch")
+    spark.stop()
+  }
+}

@@ -48,15 +48,42 @@ object Dedup {
     assert_true(count(col("__p")) === count(lit(1)) && min(col("__p")) >= 0,
       lit(s"$op: priority must be non-null and >= 0"))
 
-  /** The max-priority/lowest-id keeper aggregate (`min(struct(-p, id))` —
-    * map-side combinable, so a giant group reduces partition-locally) plus
-    * its tripwires — the single home of the keep-best contract shared by
-    * [[exactDedupKeepBest]] and [[keepBestPerGroup]]. Expects the
-    * pre-aggregate frame to carry `__id` and `__p`. */
-  private def bestKeeperAggs(idCol: String, op: String): Seq[Column] = Seq(
-    min(struct((-col("__p")).as("np"), col("__id").as("i"))).as("__best"),
-    nullIdCheck(idCol, op).as("__nullck"),
-    priorityCheck(op).as("__pck"))
+  private def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
+  /** The max-priority/lowest-id keeper aggregate plus its tripwires — the
+    * single home of the keep-best contract shared by [[exactDedupKeepBest]]
+    * and [[keepBestPerGroup]]. Expects the pre-aggregate frame `pre` to
+    * carry `__id` and `__p`. Returns (aggregate columns, keeper-id field
+    * name inside `__best`).
+    *
+    * When BOTH legs are integral the keeper is the flat two-long
+    * [[graft.plans.Expressions.MinPairLong]] (min ord = max priority, ties
+    * → min id — identical lexicographic semantics): a struct-valued
+    * `min(struct(-p, id))` buffers a struct, which HashAggregateExec
+    * rejects, silently planning SortAggregate with a Sort on both exchange
+    * sides. The flat buffer keeps the aggregate hash-based and map-side
+    * combined. Non-integral ids/priorities (string ids, double scores)
+    * keep the struct ordering — same results, sort-based plan. */
+  private def bestKeeperAggs(pre: DataFrame, idCol: String,
+                             op: String): (Seq[Column], String) = {
+    val fast = isIntegral(pre.schema("__p").dataType) &&
+      isIntegral(pre.schema("__id").dataType)
+    val best =
+      if (fast) {
+        Expressions.ensureRegistered(pre.sparkSession)
+        Expressions.minPairLong((-col("__p")).cast("long"),
+          col("__id").cast("long")).as("__best")
+      } else min(struct((-col("__p")).as("np"), col("__id").as("i"))).as("__best")
+    (Seq(best, nullIdCheck(idCol, op).as("__nullck"),
+      priorityCheck(op).as("__pck")), if (fast) "pay" else "i")
+  }
 
   /** Exact dedup: keep the lowest-id row per exact key.
     *
@@ -115,16 +142,17 @@ object Dedup {
   def exactDedupKeepBest(df: DataFrame, keyCols: Seq[String], idCol: String,
                          priority: Column): DataFrame = {
     val Seq(h1, h2, len, pfx) = contentKeyExprs(keyCols)
-    val aggs = bestKeeperAggs(idCol, "exactDedupKeepBest")
-    val keepers = df.select(h1.as("__h1"), h2.as("__h2"),
-        len.as("__len"), pfx.as("__pfx"), col(idCol).as("__id"),
-        priority.as("__p"))
+    val pre = df.select(h1.as("__h1"), h2.as("__h2"),
+      len.as("__len"), pfx.as("__pfx"), col(idCol).as("__id"),
+      priority.as("__p"))
+    val (aggs, idField) = bestKeeperAggs(pre, idCol, "exactDedupKeepBest")
+    val keepers = pre
       .groupBy(col("__h1"), col("__h2"), col("__len"), col("__pfx"))
       .agg(aggs.head, aggs.tail: _*)
     df.join(keepers,
         h1 === keepers("__h1") && h2 === keepers("__h2") &&
         len === keepers("__len") && pfx === keepers("__pfx") &&
-        df(idCol) === keepers("__best").getField("i") &&
+        df(idCol) === keepers("__best").getField(idField) &&
         keepers("__nullck").isNull && keepers("__pck").isNull,
       "semi")
   }
@@ -144,17 +172,19 @@ object Dedup {
     // IsNotNull(__g) from the null-rejecting equi-key and pushes it
     // BELOW this aggregate — the null-group rows are filtered away
     // before the assert ever sees them, and the drop is silent again.
-    val aggs = bestKeeperAggs(idCol, "keepBestPerGroup") :+
+    val pre = df.select(col(groupCol).as("__g"), col(idCol).as("__id"),
+      priority.as("__p"))
+    val (keeperAggs, idField) = bestKeeperAggs(pre, idCol, "keepBestPerGroup")
+    val aggs = keeperAggs :+
       assert_true(count(col("__g")) === count(lit(1)),
         lit(s"keepBestPerGroup: null values in group column '$groupCol'"))
         .as("__gck")
-    val best = df.select(col(groupCol).as("__g"), col(idCol).as("__id"),
-        priority.as("__p"))
+    val best = pre
       .groupBy(col("__g"))
       .agg(aggs.head, aggs.tail: _*)
     df.join(best,
         df(groupCol) <=> best("__g") && best("__gck").isNull &&
-        df(idCol) === best("__best").getField("i") &&
+        df(idCol) === best("__best").getField(idField) &&
         best("__nullck").isNull && best("__pck").isNull,
       "semi")
   }
@@ -266,7 +296,8 @@ object Dedup {
     * and the engine can use the cheapest hash. */
   private def explodedShingles(df: DataFrame, idCol: String, textCol: String,
                                n: Int): DataFrame =
-    df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh_arr"))
+    graft.operators.Spread(df)
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh_arr"))
       .select(col("id"), explode(col("sh_arr")).as("sh"))
 
   /** All-pairs n-gram Jaccard similarity ≥ minJaccard, via inverted-index
@@ -361,6 +392,65 @@ object Dedup {
       .agg(graft.plans.Expressions
         .boundedCollectSet(col(idCol), maxDocFreq.toInt).as("__ids"))
       .where(col("__ids").isNotNull)
+      .select(explode(flatten(transform(col("__ids"), (x, i) =>
+        transform(slice(col("__ids"), i + lit(2), size(col("__ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("__p"))
+      .groupBy(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** [[boundedPairCounts]] specialised to a TINY, caller-known id space
+    * (sources, eval suites, shards — ≤ 63 distinct values): each key's id
+    * set becomes a LONG BITMASK built with a `bit_or` aggregate, so the
+    * one corpus-sized exchange carries 8-byte masks instead of per-key
+    * posting arrays (no TypedImperative buffer serialize per key, no array
+    * allocation), and the doc-frequency band is a `bit_count` filter on
+    * the mask. Pair emission then runs over the MASK HISTOGRAM —
+    * ≤ min(2^|ids|, distinct keys) rows, typically a few hundred — not per
+    * key: each surviving mask expands to its present-id pairs in place
+    * (the per-bit presence tests are unrolled over the literal id list at
+    * plan time; everything stays in one codegen'd projection) and the
+    * final (id_a, id_b) rollup sums histogram counts.
+    *
+    * `ids` must cover every value of `idCol` (a stray id RAISES — a
+    * silently-dropped source would fabricate overlap counts); duplicate
+    * (id, key) postings dedupe inside the bit_or for free. Output and
+    * semantics identical to [[boundedPairCounts]] on the same inputs:
+    * (id_a < id_b lexicographically, n_shared), keys with distinct-id
+    * count outside [2, maxDocFreq] contribute nothing. Two exchanges
+    * total, both skew-immune: the per-key mask aggregate and the pair
+    * rollup whose key space is ≤ C(|ids|, 2) — the map side collapses it
+    * to at most that many rows per task. */
+  def pairCountsByBitmask(postings: DataFrame, keyCol: String, idCol: String,
+                          ids: Seq[String], maxDocFreq: Long): DataFrame = {
+    require(ids.nonEmpty && ids.size <= 63,
+      s"pairCountsByBitmask needs 1..63 known ids, got ${ids.size}")
+    require(ids.distinct.size == ids.size, "pairCountsByBitmask: duplicate ids")
+    require(maxDocFreq >= 2, s"maxDocFreq must be >= 2, got $maxDocFreq")
+    val sorted = ids.sorted
+    val pos = array_position(array(sorted.map(lit): _*), col(idCol))
+    val bit = when(pos > 0,
+        call_function("shiftleft", lit(1L), (pos - 1).cast("int")))
+      .otherwise(raise_error(concat(
+        lit("pairCountsByBitmask: id outside the provided id list: "),
+        col(idCol).cast("string"))))
+    // Present-id array per mask: one when-expression per known id, unrolled
+    // at plan time (≤ 63 terms), nulls filtered — bit order follows the
+    // sorted id list so in-array pair emission yields id_a < id_b.
+    val present = filter(
+      array(sorted.zipWithIndex.map { case (s, i) =>
+        when(col("__m").bitwiseAND(lit(1L << i)) =!= 0, lit(s))
+      }: _*), x => x.isNotNull)
+    postings
+      .select(col(keyCol).as("__k"), bit.as("__bit"))
+      .groupBy(col("__k"))
+      .agg(call_function("bit_or", col("__bit")).as("__m"))
+      // Keys failing the df band drop here, so only the duplicated sliver
+      // of keys ever builds its present-id array or emits pairs — both in
+      // the same stage as the mask aggregate's final merge (no extra
+      // exchange for a mask histogram).
+      .where(call_function("bit_count", col("__m")).between(2, maxDocFreq))
+      .withColumn("__ids", present)
       .select(explode(flatten(transform(col("__ids"), (x, i) =>
         transform(slice(col("__ids"), i + lit(2), size(col("__ids"))),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("__p"))
@@ -743,9 +833,12 @@ object Dedup {
     * ±(w−1) neighborhood min are array transforms over each row's token
     * list (per-element work O(w), w tiny), and within-doc dedup is
     * `array_distinct` on the selected set. No gram explode, no window
-    * exchange, no global distinct: the operator contributes ZERO shuffles;
-    * only the selected ~2/(w+1) density of fingerprints ever leaves the
-    * row. Output is distinct (id, fp) PER INPUT ROW (fps deduped
+    * exchange, no global distinct: at scale the operator contributes ZERO
+    * shuffles (the one exception is [[graft.operators.Spread]]'s
+    * tiny-input repartition, identity whenever the scan yields at least
+    * cluster-parallelism splits); only the selected ~2/(w+1) density of
+    * fingerprints ever leaves the row. Output is distinct (id, fp) PER
+    * INPUT ROW (fps deduped
     * in-array); an input with duplicate id rows produces duplicate
     * postings — fine for [[boundedPairCounts]] (dedupes in-aggregate),
     * but callers needing a globally-distinct set must distinct()
@@ -753,7 +846,7 @@ object Dedup {
   def winnowedFingerprints(df: DataFrame, idCol: String, textCol: String,
                            k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
-    df
+    graft.operators.Spread(df)
       .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__tk"))
       .where(size(col("__tk")) >= k)
       .withColumn("__fps",
@@ -950,7 +1043,8 @@ object Dedup {
     * no shuffle) plus the band columns used for Hamming-bucket joins. */
   def withSimhash(df: DataFrame, textCol: String, out: String = "simhash"): DataFrame = {
     Expressions.register(df.sparkSession)
-    df.withColumn(out, Expressions.simhash64(TextOps.tokens(col(textCol))))
+    graft.operators.Spread(df)
+      .withColumn(out, Expressions.simhash64(TextOps.tokens(col(textCol))))
   }
 
   /** Normalized (id, simhash) hashes — the input currency of the
@@ -1178,13 +1272,25 @@ object Dedup {
     * to exact verification.
     *
     * Skew/scale shape: both sides bucket by the same deterministic
-    * hyperplane signature, so the probe is a bucket equi-join — the batch
-    * never sees index vectors outside its buckets, and the per-batch-id
-    * aggregate (count + max(struct)) is map-side combined. The index side
-    * is any (id, vec) frame — typically a stored table read back with its
-    * signatures recomputed, which is a projection-only scan (no shuffle);
-    * persist the signature column alongside the vectors to skip even that.
-    * Recall bounds are [[embeddingLshPairs]]'s (sign-bucket blocking). */
+    * hyperplane signature, and the BATCH side carries a broadcast hint —
+    * an incremental ingest batch is the small side by construction, so the
+    * probe is a broadcast hash join and the corpus-sized index NEVER
+    * shuffles (bucket-equi-join semantics unchanged). The per-batch-id
+    * aggregate is count + the flat two-long
+    * [[graft.plans.Expressions.MaxPairLong]] over (micro-cosine, index id)
+    * — hash-based and map-side combined, where the `max(struct(cosine,
+    * id))` spelling it replaces silently planned Sort→SortAggregate on
+    * both exchange sides (struct buffers are not HashAggregate-eligible).
+    * The micro-cosine leg is exact: cosine is already rounded to 6 dp, so
+    * ord = round(cosine·10⁶) recovers the integer m losslessly and
+    * m / 10⁶ re-derives the identical double (both are the
+    * nearest-double of the rational m·10⁻⁶). Non-integral id columns fall
+    * back to the struct ordering — same results, sort-based plan. The
+    * index side is any (id, vec) frame — typically a stored table read
+    * back with its signatures recomputed, which is a projection-only scan
+    * (no shuffle); persist the signature column alongside the vectors to
+    * skip even that. Recall bounds are [[embeddingLshPairs]]'s
+    * (sign-bucket blocking). */
   def incrementalEmbeddingSuspects(newVecs: DataFrame, indexVecs: DataFrame,
                                    idCol: String, vecCol: String,
                                    numPlanes: Int, dim: Int,
@@ -1200,16 +1306,28 @@ object Dedup {
         .withColumn("block", Ann.signature(col(vecOut), planes))
     val batch = prep(newVecs, "vec_id", "__bv", "__bn")
     val index = prep(indexVecs, "__iid", "__iv", "__in")
-    batch.join(index, Seq("block"))
+    val idType = indexVecs.schema(idCol).dataType
+    val matches = broadcast(batch).join(index, Seq("block"))
       .withColumn("cosine",
         round(Ann.cosine(col("__bv"), col("__bn"), col("__iv"), col("__in")), 6))
       .where(col("cosine") >= minSim)
-      .groupBy(col("vec_id"))
-      .agg(count(lit(1)).as("n_index_matches"),
-        max(struct(col("cosine"), col("__iid"))).as("__best"))
-      .select(col("vec_id"), col("n_index_matches"),
-        col("__best.cosine").as("best_cosine"),
-        col("__best.__iid").as("best_index_id"))
+    if (isIntegral(idType))
+      matches
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_index_matches"),
+          Expressions.maxPairLong(round(col("cosine") * 1e6).cast("long"),
+            col("__iid").cast("long")).as("__best"))
+        .select(col("vec_id"), col("n_index_matches"),
+          (col("__best.ord") / 1e6).as("best_cosine"),
+          col("__best.pay").cast(idType).as("best_index_id"))
+    else
+      matches
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_index_matches"),
+          max(struct(col("cosine"), col("__iid"))).as("__best"))
+        .select(col("vec_id"), col("n_index_matches"),
+          col("__best.cosine").as("best_cosine"),
+          col("__best.__iid").as("best_index_id"))
   }
 
   /** Embedding near-dup pairs within a blocking key (e.g. a cluster/label

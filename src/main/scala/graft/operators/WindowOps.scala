@@ -88,6 +88,26 @@ object WindowOps {
       .withColumn(out, row_number().over(w(part, order))).where(col(out) <= k)
   }
 
+  /** Per-group top-k that MEASURES the skew before choosing a plan: one
+    * cheap profiling pass ([[Salting.profileGroups]] — map-side combined,
+    * scan pruned to the group columns) feeds [[Salting.adviseSalts]], and
+    * the rank runs plain ([[topKPerGroup]], one exchange, no survivor
+    * inflation) when no group exceeds a fair per-task share, or salted
+    * ([[topKPerGroupSalted]]) with the ADVISED factor when one does —
+    * closing the loop the q155 profiler only reported on: the salting
+    * decision was previously a per-query hand call. Results are identical
+    * on every path (the salted rank is output-equal by construction); only
+    * the plan differs. Worth the extra pass when `df` is a scan or cheap
+    * projection; for an expensive upstream, materialize first or pick a
+    * variant by hand. */
+  def topKPerGroupAdaptive(df: DataFrame, part: Seq[Column], order: Seq[Column],
+                           k: Int, out: String = "rank"): DataFrame = {
+    val salts = Salting.adviseSalts(Salting.profileGroups(df, part),
+      df.sparkSession.sparkContext.defaultParallelism)
+    if (salts <= 1) topKPerGroup(df, part, order, k, out)
+    else topKPerGroupSalted(df, part, order, k, salts, out)
+  }
+
   /** Per-group top-k via the THRESHOLD-PREFILTER pattern — the variant for
     * when the ranking value is one column: pass 1 computes each group's
     * k-th largest value with a bounded-heap aggregate
@@ -127,15 +147,17 @@ object WindowOps {
     * more than `perGroup` from any one source": the diversified selection a
     * curation pipeline uses so one high-quality domain cannot monopolize
     * the kept set. Phase 1 prunes to the per-group top-`perGroup` with the
-    * salted two-phase rank (no group ever funnels through one reducer);
-    * phase 2's global top-k then runs over ≤ groups·perGroup rows and
-    * compiles to TakeOrderedAndProject (per-partition k, no full sort).
-    * Deterministic iff `order` is a total order — pass a unique tiebreak.
-    * Output keeps `out` = the within-group rank (1-based). */
+    * skew-ADAPTIVE rank ([[topKPerGroupAdaptive]] — plain window when the
+    * measured profile says no group exceeds a task share, salted by the
+    * advised factor when one does); phase 2's global top-k then runs over
+    * ≤ groups·perGroup rows and compiles to TakeOrderedAndProject
+    * (per-partition k, no full sort). Deterministic iff `order` is a total
+    * order — pass a unique tiebreak. Output keeps `out` = the within-group
+    * rank (1-based). */
   def diversifiedTopK(df: DataFrame, group: Seq[Column], order: Seq[Column],
                       perGroup: Int, k: Int,
                       out: String = "group_rank"): DataFrame =
-    topKPerGroupSalted(df, group, order, perGroup, out = out)
+    topKPerGroupAdaptive(df, group, order, perGroup, out = out)
       .orderBy(order: _*).limit(k)
 
   /** O4 (`binance_analysis.py:713`): deterministic exact-n sample. Contract

@@ -2,13 +2,13 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BinaryExpression, CreateNamedStruct, EqualTo, Expression, GreaterThan, If, IsNotNull, IsNull, LessThan, Literal, Or, UnaryExpression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{DeclarativeAggregate, TypedImperativeAggregate}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData, TypeUtils}
 import org.apache.spark.sql.functions.{call_function, lit}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions for the operators Spark's built-ins can't
@@ -94,6 +94,38 @@ object Expressions {
       defineCodeGen(ctx, ev, c => s"graft.plans.TextStats.byteEntropy($c.getBytes())")
     override protected def withNewChildInternal(c: Expression): CharEntropy = copy(c)
     override def prettyName: String = "char_entropy"
+  }
+
+  /** b-bit random-hyperplane sign signature of a double vector — bit p =
+    * sign(v · h_p) — with the plane matrix carried as ONE nested-array
+    * literal and the dot products as a tight loop.
+    *
+    * Why not the Column spelling (per plane, a reduce over
+    * `element_at(vec, d+1) * lit(s)` terms): those multiplies are not
+    * foldable, so 6 planes × 64 dims put ~384 live expression nodes into
+    * EVERY stage that computes a signature — whole-stage codegen then
+    * compiles a giant method per stage, and on the kB-scale corpora the
+    * bench runs, janino compile time dominates the query. This expression
+    * generates one static call.
+    *
+    * Semantics are bit-identical to the Column spelling: per plane the dot
+    * accumulates left-to-right in double (same IEEE order as the reduce),
+    * bit p sets on dot >= 0, and a null vector ELEMENT within the plane's
+    * prefix yields signature 0 (the when(null >= 0).otherwise(0) path of
+    * the Column form zeroed every plane's bit). A vector SHORTER than the
+    * plane dimension throws like [[DotProduct]] does on length mismatch —
+    * malformed input is data corruption, not a bucket. */
+  case class SignSignature(left: Expression, right: Expression)
+    extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(vec: Any, planes: Any): Any =
+      VectorOps.signSignature(vec.asInstanceOf[ArrayData],
+        planes.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (v, p) => s"graft.plans.VectorOps.signSignature($v, $p)")
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): SignSignature = copy(newLeft, newRight)
+    override def prettyName: String = "sign_signature"
   }
 
   /** Distinct-set aggregate whose in-memory buffer is CAPPED: values are
@@ -259,6 +291,86 @@ object Expressions {
       copy(child = newLeft, kExpr = newRight)
   }
 
+  /** Lexicographic extremum of a (long ord, long payload) pair — the
+    * hash-aggregable replacement for `max(struct(ord, pay))` /
+    * `min(struct(ord, pay))` when both legs are integral.
+    *
+    * Why it exists: a struct-valued min/max is a DeclarativeAggregate whose
+    * buffer is the struct itself, and HashAggregateExec only admits
+    * MUTABLE primitive buffer fields — so every `max(struct(cosine, id))`
+    * "map-side combined" aggregate in fact plans as SortAggregate with a
+    * full Sort on BOTH sides of the exchange (q106's plan showed
+    * Sort→SortAggregate→Exchange→Sort→SortAggregate). This aggregate keeps
+    * the identical lexicographic semantics (extremum of ord, ties broken
+    * by extremum of payload; max-variant ties → max payload, min-variant
+    * ties → min payload, exactly the struct ordering) but buffers TWO
+    * nullable longs — flat, mutable, HashAggregate-eligible, still
+    * map-side combined, and the sorts vanish.
+    *
+    * Contract: rows where ord or payload is NULL are ignored (the callers
+    * feed non-null legs — q106 filters cosine, the dedup keepers tripwire
+    * nulls); an all-null/empty group evaluates to NULL like min/max.
+    * Output is a struct("ord", "pay") of the winning pair. */
+  abstract class PairExtremumLong extends DeclarativeAggregate
+    with BinaryLike[Expression] {
+    def ord: Expression
+    def payload: Expression
+    /** max-variant: new beats current when strictly greater (lexicographic);
+      * min-variant flips the comparisons. */
+    protected def beats(newOrd: Expression, newPay: Expression,
+                        curOrd: Expression, curPay: Expression): Expression
+
+    override def left: Expression = ord
+    override def right: Expression = payload
+    override def dataType: DataType = StructType(Seq(
+      StructField("ord", LongType), StructField("pay", LongType)))
+    override def nullable: Boolean = true
+
+    protected lazy val bOrd = AttributeReference("ord", LongType)()
+    protected lazy val bPay = AttributeReference("pay", LongType)()
+    override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(bOrd, bPay)
+    override lazy val initialValues: Seq[Expression] = Seq(
+      Literal.create(null, LongType), Literal.create(null, LongType))
+
+    override lazy val updateExpressions: Seq[Expression] = {
+      val valid = And(IsNotNull(ord), IsNotNull(payload))
+      val take = And(valid, Or(IsNull(bOrd), beats(ord, payload, bOrd, bPay)))
+      Seq(If(take, ord, bOrd), If(take, payload, bPay))
+    }
+    override lazy val mergeExpressions: Seq[Expression] = {
+      val take = And(IsNotNull(bOrd.right),
+        Or(IsNull(bOrd.left), beats(bOrd.right, bPay.right, bOrd.left, bPay.left)))
+      Seq(If(take, bOrd.right, bOrd.left), If(take, bPay.right, bPay.left))
+    }
+    override lazy val evaluateExpression: Expression =
+      If(IsNull(bOrd), Literal.create(null, dataType),
+        CreateNamedStruct(Seq(Literal("ord"), bOrd, Literal("pay"), bPay)))
+  }
+
+  case class MaxPairLong(ord: Expression, payload: Expression)
+    extends PairExtremumLong {
+    override def prettyName: String = "max_pair_long"
+    override protected def beats(newOrd: Expression, newPay: Expression,
+                                 curOrd: Expression, curPay: Expression): Expression =
+      Or(GreaterThan(newOrd, curOrd),
+        And(EqualTo(newOrd, curOrd), GreaterThan(newPay, curPay)))
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): MaxPairLong =
+      copy(ord = newLeft, payload = newRight)
+  }
+
+  case class MinPairLong(ord: Expression, payload: Expression)
+    extends PairExtremumLong {
+    override def prettyName: String = "min_pair_long"
+    override protected def beats(newOrd: Expression, newPay: Expression,
+                                 curOrd: Expression, curPay: Expression): Expression =
+      Or(LessThan(newOrd, curOrd),
+        And(EqualTo(newOrd, curOrd), LessThan(newPay, curPay)))
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): MinPairLong =
+      copy(ord = newLeft, payload = newRight)
+  }
+
   /** Registers the expressions as SQL functions on the session (idempotent);
     * the Column helpers below route through the registry. */
   def register(spark: SparkSession): Unit = {
@@ -271,6 +383,12 @@ object Expressions {
       es => BoundedCollectSet(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("kth_largest",
       es => KthLargest(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("max_pair_long",
+      es => MaxPairLong(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("min_pair_long",
+      es => MinPairLong(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("sign_signature",
+      es => SignSignature(es(0), es(1)), "scala_udf")
   }
 
   /** Registration that library operators call on THEIR input's session
@@ -279,7 +397,7 @@ object Expressions {
     * registered by an older library version still pick up later additions. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier("kth_largest")))
+    if (!reg.functionExists(FunctionIdentifier("sign_signature")))
       register(spark)
   }
 
@@ -291,6 +409,12 @@ object Expressions {
     call_function("bounded_collect_set", c, lit(cap))
   def kthLargest(c: Column, k: Int): Column =
     call_function("kth_largest", c, lit(k))
+  def maxPairLong(ord: Column, payload: Column): Column =
+    call_function("max_pair_long", ord, payload)
+  def minPairLong(ord: Column, payload: Column): Column =
+    call_function("min_pair_long", ord, payload)
+  def signSignature(vec: Column, planes: Column): Column =
+    call_function("sign_signature", vec, planes)
 }
 
 /** Per-row text statistics for the codegen'd expressions (object statics so
@@ -385,6 +509,36 @@ object Hashing {
 /** Array-vector primitives for the codegen'd expressions (object statics so
   * generated code calls them via static forwarders). */
 object VectorOps {
+  /** Hyperplane sign signature: bit p = (v · planes[p] >= 0). Per-plane
+    * dots accumulate left-to-right in double — bit-identical to the
+    * unrolled Column spelling it replaces (see Expressions.SignSignature
+    * for the null/short-vector contract). */
+  def signSignature(vec: ArrayData, planes: ArrayData): Long = {
+    val np = planes.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < np) {
+      val plane = planes.getArray(p)
+      val dim = plane.numElements()
+      if (vec.numElements() < dim)
+        throw new IllegalArgumentException(
+          s"sign_signature: vector length ${vec.numElements()} < plane dimension $dim")
+      var d = 0
+      while (d < dim) {
+        // A null element made every plane's when(dot >= 0) false in the
+        // Column form — signature 0 overall.
+        if (vec.isNullAt(d)) return 0L
+        d += 1
+      }
+      var dot = 0.0
+      d = 0
+      while (d < dim) { dot += vec.getDouble(d) * plane.getDouble(d); d += 1 }
+      if (dot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
   /** Left-to-right Σ a_i·b_i in double — bit-identical to the
     * aggregate(zip_with) fold it replaces. */
   def dot(a: ArrayData, b: ArrayData): Double = {

@@ -85,14 +85,19 @@ object Ann {
   }
 
   /** b-bit sign signature of a (double) vector under the fixed hyperplanes:
-    * bit p = sign(v · h_p). Pure Column expression — codegen'd, no UDF. */
+    * bit p = sign(v · h_p). Routes through the codegen'd
+    * [[graft.plans.Expressions.SignSignature]] with the plane matrix as
+    * ONE nested-array literal: the per-term Column spelling
+    * (`element_at(vec, d+1) * lit(s)` summed) put numPlanes×dim live
+    * expression nodes into every stage computing a signature, and the
+    * resulting whole-stage codegen compile time dominated the small-corpus
+    * bench. Bit-identical results (same left-to-right double accumulation,
+    * same >= 0 bit rule, same null-element behavior — see the expression's
+    * scaladoc). Callers must hold a session with the graft functions
+    * registered; every operator entry point calls ensureRegistered. */
   def signature(vec: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (plane, p) =>
-      val dot = plane.zipWithIndex.map { case (s, d) =>
-        element_at(vec, d + 1) * lit(s)
-      }.reduce(_ + _)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.plans.Expressions.signSignature(vec,
+      typedlit(planes.map(_.toSeq).toSeq))
 
   /** Approximate top-k: bucket corpus and queries by signature, exact rerank
     * inside the bucket. `multiProbe` = Hamming radius probed on the QUERY
@@ -137,7 +142,15 @@ object Ann {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int, nprobe: Int,
               lloydIters: Int = 0): DataFrame = {
+    // The prepared corpus feeds FOUR consumers — the centroid-stride count,
+    // the seed collect, each Lloyd pass, and the final cell-assigned probe
+    // plan — so the scan+cast+norm is cached once here instead of
+    // recomputed per driver action (refineCentroids detects the existing
+    // cache and leaves ownership with us). Left cached for the returned
+    // plan's execution; callers running many builds per session clear the
+    // session cache between them (the bench does per rep).
     val c = prepared(corpus, idCol, vecCol, "corpus_id", "cv", "cn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seeds = pickCentroids(c, nlist)
     val centroids =
       if (lloydIters > 0) refineCentroids(c, seeds, lloydIters) else seeds
@@ -147,11 +160,14 @@ object Ann {
     val qCells = assignCells(qPrepped, "qv", centroids, nprobe)
       .select(col("query_id"), col("qv"), col("qn"),
         explode(array((1 to nprobe).map(i => col(s"cell_$i")): _*)).as("cell"))
+    // No distinct: each corpus vector sits in exactly ONE cell (cell_1) and
+    // a query's nprobe probe cells are distinct centroid ids, so a
+    // (query, corpus) pair can meet at most once in the join — a distinct
+    // here paid a full extra exchange for rows already unique.
     val sims = cCells.join(broadcast(qCells), Seq("cell"))
       .where(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"),
         round(cosine(col("qv"), col("qn"), col("cv"), col("cn")), 6).as("cosine"))
-      .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))
     sims.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
@@ -247,7 +263,12 @@ object Ann {
                               iters: Int): Array[(Int, Array[Double], Double)] = {
     val dim = init.head._2.length
     var cents = init
-    prep.persist() // each iteration collects cell means: cache the cast+norm
+    // Each iteration collects cell means: cache the cast+norm — but only
+    // when the CALLER hasn't already (ivfTopK shares one cache across all
+    // its driver actions; dropping it here would force the final probe
+    // plan to recompute the scan).
+    val weCache = prep.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (weCache) prep.persist()
     try {
       for (_ <- 0 until iters) {
         val aggs = (0 until dim).map(i =>
@@ -270,7 +291,7 @@ object Ann {
         }
       }
       cents
-    } finally prep.unpersist(blocking = false) // also on a throwing iteration
+    } finally if (weCache) prep.unpersist(blocking = false) // also on a throwing iteration
   }
 
   /** Adds cell_1..cell_n = indices of the n nearest centroids (by cosine).
