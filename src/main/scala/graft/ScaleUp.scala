@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *    factor-sized cross-replica clique: pair work would grow
   *    quadratically BY CONSTRUCTION and measure the generator, not the
   *    engine).
-  *  - `embeddings.element`: replica r rotates the vector left by 5·r
+  *  - `embeddings.embedding`: replica r rotates the vector left by 5·r
   *    components — norms (and zero-norm edge rows) are preserved while
   *    cross-replica cosines decorrelate, so LSH buckets / IVF cells keep
   *    per-replica structure instead of factor-sized twins.
@@ -102,9 +102,9 @@ object ScaleUp {
                   .withColumn("n_chars", length(col("text")))
               case "embeddings" if r > 0 =>
                 val rot = (5 * r) % 64
-                shifted.withColumn("element", concat(
-                  slice(col("element"), rot + 1, 64 - rot),
-                  slice(col("element"), 1, rot)))
+                shifted.withColumn("embedding", concat(
+                  slice(col("embedding"), rot + 1, 64 - rot),
+                  slice(col("embedding"), 1, rot)))
               case _ => shifted
             }
           }

@@ -47,8 +47,10 @@ object UpsertBench {
     val initial = li.where(col("l_orderkey") <= cut)
 
     def fingerprint(df: DataFrame): (Long, Long) = {
+      // bit_xor: order-free AND overflow-free (a sum of 600k random longs
+      // trips ANSI arithmetic-overflow).
       val h = xxhash64(df.columns.sorted.map(c => col(c).cast("string")): _*)
-      val r = df.agg(count(lit(1)), sum(h)).head()
+      val r = df.agg(count(lit(1)), call_function("bit_xor", h)).head()
       (r.getLong(0), r.getLong(1))
     }
 
@@ -81,7 +83,28 @@ object UpsertBench {
     val replayed = fingerprint(BucketedUpsertWriter.read(spark, bucketDir).get)
     require(replayed == bucketed._3, s"bucketed replay not idempotent: $replayed vs ${bucketed._3}")
     println(f"content identical (rows=${full._3._1}, fp=${full._3._2}); bucketed replay idempotent")
-    println(f"incremental speedup: ${full._2 / bucketed._2}%.2fx per overlapping-window batch")
+    println(f"bulk-window regime: bucketed/full per-batch ratio = ${bucketed._2 / full._2}%.2f " +
+      "(a 30k-key batch hash-touches every bucket: pruning cannot engage)")
+
+    // Regime B — TRICKLE upserts, the streaming-sink shape the bucketed
+    // writer exists for: each batch updates the lines of ONE order (one
+    // micro-batch of bars, one late-correction replay). With k distinct
+    // keys over N buckets, E[untouched] = N·(1−1/N)^k — pruning engages
+    // when k ≲ N/3, so the trickle stays at a handful of keys per batch.
+    val trickles = (1 to 10).map(i => li.where(col("l_orderkey") === i * 37L))
+    def timeTrickles(apply: DataFrame => Unit): Double = {
+      val t0 = System.nanoTime()
+      trickles.foreach(apply)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val tFull = timeTrickles(b => UpsertWriter.upsert(spark, b, fullDir, keys))
+    val tBucket = timeTrickles(b =>
+      BucketedUpsertWriter.upsert(spark, b, bucketDir, keys, numBuckets))
+    val fpF = fingerprint(UpsertWriter.read(spark, fullDir).get)
+    val fpB = fingerprint(BucketedUpsertWriter.read(spark, bucketDir).get)
+    require(fpF == fpB, s"trickle content diverged: $fpF vs $fpB")
+    println(f"trickle regime (10 batches x ~dozen keys): full=${tFull / 10}%5.2f s/batch, " +
+      f"bucketed=${tBucket / 10}%5.2f s/batch -> ${tFull / tBucket}%.2fx bucketed speedup; content identical")
     spark.stop()
   }
 }

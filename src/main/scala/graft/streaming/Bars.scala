@@ -37,13 +37,17 @@ object Bars {
         col("volume"), col("num_trades"))
 
   /** Streaming writer: each micro-batch upserts its bars by primary key —
-    * the K4 `ON CONFLICT DO UPDATE` contract in foreachBatch form. */
+    * the K4 `ON CONFLICT DO UPDATE` contract in foreachBatch form.
+    * `trigger` defaults to the production 5 s cadence; tests and soak runs
+    * pass `Trigger.AvailableNow`/zero-interval to drive batches back to
+    * back. */
   def upsertingWriter(bars: DataFrame, tableDir: String,
-                      checkpointDir: String): DataStreamWriter[Row] =
+                      checkpointDir: String,
+                      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): DataStreamWriter[Row] =
     bars.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.ProcessingTime("5 seconds"))
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // Per-trigger upserts write one table generation each: a short
         // retention (one trigger interval) still covers in-flight readers
@@ -60,11 +64,12 @@ object Bars {
     * idempotent last-write-wins contract. */
   def bucketedUpsertingWriter(bars: DataFrame, tableDir: String,
                               checkpointDir: String,
-                              numBuckets: Int = 32): DataStreamWriter[Row] =
+                              numBuckets: Int = 32,
+                              trigger: Trigger = Trigger.ProcessingTime("5 seconds")): DataStreamWriter[Row] =
     bars.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.ProcessingTime("5 seconds"))
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         BucketedUpsertWriter.upsert(batch.sparkSession, batch, tableDir,
           Seq("symbol", "tf", "open_time"), numBuckets, retainMillis = 5000L)

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{LargeScale, SparkTestSession}
+import graft.operators.BucketedUpsertWriter
+import graft.sources.Kafka
+
+/** End-to-end streaming SOAK (opt-in, like LargeScaleSpec):
+  *
+  *   GRAFT_LARGE_SCALE=1 sbt "testOnly graft.streaming.SoakSpec"
+  *
+  * The per-operator streaming specs prove each stage in isolation; the
+  * 100 TB claim is about the COMPOSED pipeline holding up over time. This
+  * drives Kafka-wire-parse → watermarked 1-minute bars → bucketed upsert
+  * sink, plus the windowed-CMS drift sketch on the same feed, for several
+  * hundred micro-batches of advancing event time, and asserts:
+  *
+  *  1. sink correctness: the final bucketed table equals the BATCH bars of
+  *     every trade ever sent (the foreachBatch upsert composes
+  *     at-least-once updates into effectively-once table state);
+  *  2. state boundedness: aggregation state after 3× more batches is no
+  *     larger than the watermark-implied window count — state is evicted
+  *     as event time advances, not accumulated per batch;
+  *  3. sketch-side liveness: the CMS drift query keeps emitting closed
+  *     windows and ITS state stays bounded too.
+  */
+class SoakSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val symbols = Seq("BTCUSDT", "ETHUSDT", "SOLUSDT")
+
+  /** Wire-format trade record (key = symbol, value = exchange JSON). */
+  private def wire(sym: String, id: Long, tMillis: Long, price: Double):
+      (Array[Byte], Array[Byte]) = {
+    val json = s"""{"id":$id,"price":"$price","qty":"0.5","quoteQty":"1.0",""" +
+      s""""time":$tMillis,"isBuyerMaker":true,"isBestMatch":true}"""
+    (sym.getBytes("UTF-8"), json.getBytes("UTF-8"))
+  }
+
+  test("composed pipeline soaks: bounded state, exact sink parity", LargeScale) {
+    implicit val sqlCtx = spark.sqlContext
+    val barsFeed = MemoryStream[(Array[Byte], Array[Byte])]
+    val cmsFeed = MemoryStream[(Array[Byte], Array[Byte])]
+    def parsed(m: MemoryStream[(Array[Byte], Array[Byte])]) =
+      Kafka.parseTrades(m.toDF().toDF("key", "value"))
+
+    val table = Files.createTempDirectory("soak-bars").toString
+    val ckptA = Files.createTempDirectory("soak-ckpt-a").toString
+    val ckptB = Files.createTempDirectory("soak-ckpt-b").toString
+    val barsQ = Bars.bucketedUpsertingWriter(
+      Bars.oneMinuteBars(parsed(barsFeed)), table, ckptA,
+      numBuckets = 8, trigger = Trigger.ProcessingTime(0L)).start()
+    val cms = StreamSketch.windowedCms(parsed(cmsFeed), "symbol", "trade_time",
+      depth = 2, width = 64, windowDur = "1 minute", watermark = "2 minutes")
+    val cmsOut = cms.writeStream.format("memory").queryName("soak_cms")
+      .outputMode("append").option("checkpointLocation", ckptB)
+      .trigger(Trigger.ProcessingTime(0L)).start()
+
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    val sent = scala.collection.mutable.ArrayBuffer[(Array[Byte], Array[Byte])]()
+    var stateAt100 = -1L
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      Option(q.lastProgress).toSeq.flatMap(_.stateOperators.map(_.numRowsTotal))
+        .sum
+
+    val nBatches = 300
+    try {
+      (1 to nBatches).foreach { b =>
+        // Event time advances 20 s per batch (~100 minutes overall); each
+        // batch carries 2 trades per symbol, one of them 15 s late —
+        // within watermark, so nothing is dropped, but the window BEHIND
+        // the frontier keeps being updated the way real feeds do.
+        val ts = t0 + b * 20000L
+        val recs = symbols.zipWithIndex.flatMap { case (s, i) =>
+          Seq(wire(s, b * 10L + i, ts, 100.0 + b % 7),
+              wire(s, b * 10L + i + 5, ts - 15000L, 99.0 + b % 5))
+        }
+        sent ++= recs
+        barsFeed.addData(recs)
+        cmsFeed.addData(recs)
+        barsQ.processAllAvailable()
+        cmsOut.processAllAvailable()
+        if (b == 100) stateAt100 = stateRows(barsQ)
+      }
+      val stateAt300 = stateRows(barsQ)
+      // Watermark 2 min over 1-min windows: live state is the frontier
+      // window + up to two not-yet-evicted ones per symbol. Generous ×2
+      // slack, but the REAL assertion is no growth 100 → 300: a leak grows
+      // linearly in batch count and would triple it.
+      val bound = symbols.size * 6L
+      assert(stateAt100 > 0 && stateAt100 <= bound, s"state@100=$stateAt100")
+      assert(stateAt300 <= math.max(stateAt100 * 2, bound),
+        s"state grew $stateAt100 -> $stateAt300 over 200 more batches: leak")
+
+      // Sink parity: the bucketed table must equal batch bars over every
+      // record ever sent (dedup by (symbol, trade id window) is not needed
+      // — ids are unique by construction).
+      val batchTrades = Kafka.parseTrades(
+        sent.toSeq.toDF("key", "value"))
+      val want = Bars.oneMinuteBars(batchTrades)
+        .collect().map(_.toString).sorted
+      val got = BucketedUpsertWriter.read(spark, table).get
+        .collect().map(_.toString).sorted
+      assert(got.length == want.length && got.sameElements(want),
+        s"sink diverged from batch parity: ${got.length} vs ${want.length} bars")
+
+      // Drift query emitted closed windows and its state is bounded too.
+      val emitted = spark.table("soak_cms").count()
+      assert(emitted > 0, "CMS drift query emitted nothing")
+      val cmsState = stateRows(cmsOut)
+      // ≤ (symbols hashed into ≤ depth×width cells) × few live windows.
+      assert(cmsState <= 2 * 64 * 6,
+        s"CMS state unbounded: $cmsState rows")
+    } finally {
+      barsQ.stop(); cmsOut.stop()
+      spark.catalog.clearCache()
+      try spark.sql("DROP TABLE IF EXISTS soak_cms") catch { case _: Exception => () }
+    }
+  }
+}
