@@ -2557,8 +2557,13 @@ object SparkEntry {
     // the first 100 scheduled docs via TakeOrderedAndProject. The only
     // window runs over the ≤1001-row value histogram.
     "q153_curriculum_order" -> ((s, d) => {
-      val scored = t(s, d, "documents")
-        .select(col("doc_id"), TextOps.qualityScoreMilli(col("text")).as("q"))
+      // Lazily cached AND spread: histogramBuckets references the scored
+      // frame twice (histogram dim + probe join), and the regex-heavy
+      // quality score over a single-split scan otherwise runs twice on
+      // one thread. The cache fills during the histogram pass; the probe
+      // reads it.
+      val scored = matLazy(operators.Spread(t(s, d, "documents"))
+        .select(col("doc_id"), TextOps.qualityScoreMilli(col("text")).as("q")))
       Calibrate.histogramBuckets(scored, Seq.empty, "q", 5, "bucket")
         .withColumn("draw", functions.Draws.md5Draw(col("doc_id"), 1000000000L))
         .orderBy(col("bucket").desc, col("draw"), col("doc_id"))
@@ -3674,7 +3679,12 @@ object SparkEntry {
       // No upstream .distinct(): the bit_or dedupes (id, key) for free.
       val sources = t(s, d, "documents").select(col("source"))
         .distinct().collect().map(_.getString(0)).toSeq
-      val p = Dedup.shinglePostings(t(s, d, "documents"), "source", "text", 3)
+      // Spread at the CALL SITE: this query's downstream is one aggregate
+      // over the exploded shingles, so the per-row shingle+hash work IS
+      // the query — worth the tiny-input exchange here, where the generic
+      // shinglePostings callers (measured) are not.
+      val p = Dedup.shinglePostings(operators.Spread(t(s, d, "documents")),
+        "source", "text", 3)
       Dedup.pairCountsByBitmask(p, "shh", "id", sources, maxDocFreq = 15L)
         .select(col("id_a").as("source_a"), col("id_b").as("source_b"),
           col("n_shared"))
