@@ -986,7 +986,7 @@ object SparkEntry {
       // checkpoint: the cache fills during the bucket-sum stage, so the
       // pipeline runs one job fewer. n_toks is computed BEFORE the cache
       // boundary so it holds four scalar columns, not the document text.
-      val sampled = matLazy(operators.WindowOps.importanceSample(scored,
+      val sampled = mat(operators.WindowOps.importanceSample(scored,
           col("doc_id"), col("quality_milli"))
         .withColumn("n_toks", TextOps.tokenCount(col("text_clean")).cast("long"))
         .select(col("doc_id"), col("source"), col("quality_milli"),

@@ -32,15 +32,37 @@ object Tables {
   // cached, vectorized) parquet scans these queries do once each. The
   // shared-frame cache pattern lives where it pays: Analyze.run caches the
   // feature frame that ~10 artifact queries fan out from (SURVEY §4).
+  // Table-HANDLE memo (NOT a data cache): `spark.read.parquet` runs a
+  // schema-inference job against the file footer on every call, and the
+  // registry pays it once per t() per query — ~30-100 ms of pure metadata
+  // IO per query that a real application amortizes by holding its table
+  // handles. DataFrames are immutable plans, so sharing the handle is
+  // side-effect-free; the WeakHashMap key keeps stopped test sessions
+  // collectable. (Data caching stays deliberately off — see above.)
+  // Contract: files under a (dir, name) don't change schema mid-session.
+  private val handles =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events") df.schema("ts").dataType match {
-      case LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case TimestampNTZType =>
-        df.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => df
-    } else df
+    val per = handles.synchronized {
+      var m = handles.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+        handles.put(spark, m)
+      }
+      m
+    }
+    per.getOrElseUpdate((sfDir, name), {
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      if (name == "events") df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      } else df
+    })
   }
 
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
