@@ -49,15 +49,25 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def nodes(plan: SparkPlan): Seq[SparkPlan] =
     plan.collectWithSubqueries { case p => p }
 
-  /** (cartesian count, bnlj count, has a codegen span) for one query. */
-  private def profile(name: String): (Int, Int, Boolean) = {
+  /** (cartesian count, bnlj count, has a codegen span, sort-agg count) for
+    * one query. */
+  private def profile(name: String): (Int, Int, Boolean, Int) = {
     val plan = SparkEntry.queries(name)(spark, SparkTestSession.sf)
       .queryExecution.executedPlan
     val all = nodes(plan)
     (all.count(_.getClass.getSimpleName.startsWith("CartesianProduct")),
       all.count(_.getClass.getSimpleName.startsWith("BroadcastNestedLoopJoin")),
-      all.exists(_.isInstanceOf[WholeStageCodegenExec]))
+      all.exists(_.isInstanceOf[WholeStageCodegenExec]),
+      all.count(_.getClass.getSimpleName.startsWith("SortAggregate")))
   }
+
+  /** Queries whose aggregates are all HASH-shaped by design — the r12
+    * MinPairLong/MaxPairLong rewrite exists precisely because a
+    * struct-extremum keeper silently planned SortAggregate here. Pinned so
+    * a future "harmless" struct ordering cannot re-introduce the
+    * Sort+SortAggregate pair on these hot paths. */
+  private val hashAggOnly = Seq("q83_dedup_keep_best",
+    "q84_near_dup_keep_best", "q106_incremental_embedding")
 
   private lazy val golden: Map[String, Int] = {
     val in = getClass.getResourceAsStream(profilePath)
@@ -71,7 +81,7 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
   if (sys.env.contains("GRAFT_REGEN_PLAN_PROFILE")) {
     test("REGENERATE plan profile (GRAFT_REGEN_PLAN_PROFILE set)") {
       val lines = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-        val (cart, bnlj, _) = profile(name)
+        val (cart, bnlj, _, _) = profile(name)
         assert(cart == 0, s"$name plans a CartesianProduct — fix before pinning")
         s"$name bnlj=$bnlj"
       }
@@ -89,13 +99,18 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       test(s"plan audit: $name") {
-        val (cart, bnlj, hasCodegen) = profile(name)
+        val (cart, bnlj, hasCodegen, sortAggs) = profile(name)
         assert(cart == 0, s"$name plans a CartesianProduct")
         golden.get(name).foreach(want => assert(bnlj == want,
           s"$name has $bnlj BroadcastNestedLoopJoin nodes, golden pins $want — " +
             "audit the new join (is the broadcast side provably tiny at scale?) " +
             "then regenerate the profile"))
         assert(hasCodegen, s"$name has NO WholeStageCodegen span anywhere")
+        if (hashAggOnly.contains(name))
+          assert(sortAggs == 0,
+            s"$name plans $sortAggs SortAggregate node(s) — a struct-buffered " +
+              "extremum crept back into a keeper/suspects hot path; use " +
+              "Expressions.minPairLong/maxPairLong (flat buffers, hash-aggregable)")
       }
     }
   }
