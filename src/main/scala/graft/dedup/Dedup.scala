@@ -417,10 +417,10 @@ object Dedup {
     * (id, key) postings dedupe inside the bit_or for free. Output and
     * semantics identical to [[boundedPairCounts]] on the same inputs:
     * (id_a < id_b lexicographically, n_shared), keys with distinct-id
-    * count outside [2, maxDocFreq] contribute nothing. Two exchanges
-    * total, both skew-immune: the per-key mask aggregate and the pair
-    * rollup whose key space is ≤ C(|ids|, 2) — the map side collapses it
-    * to at most that many rows per task. */
+    * count outside [2, maxDocFreq] contribute nothing. Two exchanges,
+    * both skew-immune: the per-key mask aggregate (long values) and the
+    * pair rollup whose key space is ≤ C(|ids|, 2) — map-side combine
+    * collapses it to at most that many rows per task. */
   def pairCountsByBitmask(postings: DataFrame, keyCol: String, idCol: String,
                           ids: Seq[String], maxDocFreq: Long): DataFrame = {
     require(ids.nonEmpty && ids.size <= 63,
@@ -434,27 +434,30 @@ object Dedup {
       .otherwise(raise_error(concat(
         lit("pairCountsByBitmask: id outside the provided id list: "),
         col(idCol).cast("string"))))
-    // Present-id array per mask: one when-expression per known id, unrolled
-    // at plan time (≤ 63 terms), nulls filtered — bit order follows the
-    // sorted id list so in-array pair emission yields id_a < id_b.
-    val present = filter(
-      array(sorted.zipWithIndex.map { case (s, i) =>
-        when(col("__m").bitwiseAND(lit(1L << i)) =!= 0, lit(s))
-      }: _*), x => x.isNotNull)
+    // Pair emission via a CONSTANT candidate table, not per-row array
+    // building: every C(|ids|, 2) ordered pair with its two-bit test mask
+    // is ONE folded literal, exploded against each surviving key's mask
+    // and filtered with plain bitwise ops. An earlier spelling built a
+    // present-id array per row with nested higher-order functions —
+    // transform/filter lambdas are interpreted (they never enter
+    // whole-stage codegen), and the post-aggregate rows land on the 1-2
+    // partitions AQE's byte-based coalescing leaves, so that per-row
+    // interpretation was the query's single hottest stage in the profile.
+    // Explode-then-filter stays fully codegen'd; the ≤190-for-20-ids
+    // fan-out costs a predicate per candidate, in-stage, no shuffle.
+    // Tuple fields: _1 = id_a, _2 = id_b (sorted order ⇒ id_a < id_b),
+    // _3 = (1<<i)|(1<<j).
+    val pairsLit = typedlit(for {
+      i <- sorted.indices; j <- (i + 1) until sorted.size
+    } yield (sorted(i), sorted(j), (1L << i) | (1L << j)))
     postings
       .select(col(keyCol).as("__k"), bit.as("__bit"))
       .groupBy(col("__k"))
       .agg(call_function("bit_or", col("__bit")).as("__m"))
-      // Keys failing the df band drop here, so only the duplicated sliver
-      // of keys ever builds its present-id array or emits pairs — both in
-      // the same stage as the mask aggregate's final merge (no extra
-      // exchange for a mask histogram).
       .where(call_function("bit_count", col("__m")).between(2, maxDocFreq))
-      .withColumn("__ids", present)
-      .select(explode(flatten(transform(col("__ids"), (x, i) =>
-        transform(slice(col("__ids"), i + lit(2), size(col("__ids"))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("__p"))
-      .groupBy(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"))
+      .select(col("__m"), explode(pairsLit).as("__p"))
+      .where(col("__m").bitwiseAND(col("__p._3")) === col("__p._3"))
+      .groupBy(col("__p._1").as("id_a"), col("__p._2").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
   }
 

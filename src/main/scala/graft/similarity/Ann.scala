@@ -302,15 +302,21 @@ object Ann {
   private def assignCells(df: DataFrame, vecCol: String,
                           centroids: Array[(Int, Array[Double], Double)],
                           n: Int): DataFrame = {
-    val centLit = array(centroids.map { case (cid, cvec, cnorm) =>
-      struct(lit(cid).as("cid"), lit(cnorm).as("cnorm"),
-        array(cvec.map(lit): _*).as("cvec"))
-    }: _*)
+    // ONE typed literal, not array(struct(lit, lit, array(lit…))) — the
+    // per-element spelling put nlist×(dim+2) literal NODES into the tree
+    // (16×64 ≈ a thousand), and although ConstantFolding collapses them
+    // before execution, the ANALYSIS of that tree showed up as hundreds of
+    // driver-side milliseconds per action in the q63 job-gap profile —
+    // paid again for every Lloyd pass and the final probe plan. Tuple
+    // field names: _1 = cid, _2 = cnorm, _3 = cvec.
+    val centLit = typedlit(centroids.map { case (cid, cvec, cnorm) =>
+      (cid, cnorm, cvec.toSeq)
+    }.toSeq)
     graft.plans.Expressions.ensureRegistered(df.sparkSession)
     val sims = transform(centLit, c =>
-      struct((graft.plans.Expressions.dotProduct(col(vecCol), c.getField("cvec"))
-          / c.getField("cnorm")).as("sim"),
-        c.getField("cid").as("cid")))
+      struct((graft.plans.Expressions.dotProduct(col(vecCol), c.getField("_3"))
+          / c.getField("_2")).as("sim"),
+        c.getField("_1").as("cid")))
     val sorted = reverse(array_sort(sims))
     (1 to n).foldLeft(df.withColumn("__cells", sorted)) { (d, i) =>
       d.withColumn(s"cell_$i", col("__cells").getItem(i - 1).getField("cid"))
