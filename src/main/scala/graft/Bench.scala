@@ -54,6 +54,13 @@ object Bench {
     // expression re-registration otherwise lands next to the JSON line and
     // breaks line-oriented parsers.
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_CONF_a_b=c sets session conf a.b=c (underscores become
+    // dots — use for keys without literal underscores, e.g.
+    // SPARK_GRAFT_CONF_graft_spreadSmallScans=false). A/B knob for
+    // bench-driven comparisons of conf-gated behaviors.
+    sys.env.foreach { case (k, v) if k.startsWith("SPARK_GRAFT_CONF_") =>
+      spark.conf.set(k.stripPrefix("SPARK_GRAFT_CONF_").replace("_", "."), v)
+    case _ => () }
 
     def gcMillis: Long =
       ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
