@@ -508,7 +508,13 @@ object Dedup {
     val ordered = element_at(
       transform(array(TextOps.tokens(col(textCol))),
         tk => orderedShinglesFromTokens(tk, n)), 1)
-    df.select(col(idCol).as("id"), posexplode(ordered).as(Seq("pos", "sh")))
+    // Spread: consumers MATERIALIZE this frame (the aligned-runs pipelines
+    // checkpoint it before their self-join), so an under-split input would
+    // bake single-partition postings into the checkpoint and serialize the
+    // whole downstream join/window chain onto one task — the spread fixes
+    // the tokenize+explode stage AND the materialized partitioning.
+    graft.operators.Spread(df)
+      .select(col(idCol).as("id"), posexplode(ordered).as(Seq("pos", "sh")))
       .select(col("id"), col("pos"), xxhash64(col("sh")).as("shh"))
   }
 
