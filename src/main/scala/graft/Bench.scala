@@ -235,8 +235,15 @@ object Bench {
       // degraded run (no judge re-run needed to adjudicate the totals).
       val cal = calibration.map(c => s""","calibration_inflation":${num(c, 2)}""")
         .getOrElse("")
+      // The raw total has arrived ~1.5-2.5× inflated from contaminated
+      // driver sessions three rounds running; value_adjusted = value /
+      // inflation puts the environment-corrected figure in the SAME line
+      // the driver parses, so the headline no longer misleads at face
+      // value (the raw total stays primary for judge-grade sessions).
+      val adj = calibration.filter(_ > 0)
+        .map(c => s""","value_adjusted":${num(total / c, dp)}""").getOrElse("")
       val head =
-        s"""{"metric":"total","value":${num(total, dp)},"unit":"sec"""" +
+        s"""{"metric":"total","value":${num(total, dp)},"unit":"sec"$adj""" +
           s""","gc_sec":${num(gcTotal, 1)},"jobs":$jobsTotal$top$fl$wf$cal""" +
           s""","sf":"$sfDir","detail":"${outFile.stripSuffix(".json")}_DETAIL.json""""
       // Budget whatever the envelope left for per-query entries, slowest

@@ -3677,6 +3677,11 @@ object SparkEntry {
       // variant: the corpus exchange carries 8-byte masks instead of
       // posting arrays and pair emission runs over the mask histogram.
       // No upstream .distinct(): the bit_or dedupes (id, key) for free.
+      // NOTE: collecting the dim runs a (tiny, pruned-column) driver job
+      // at query-CONSTRUCTION time — visible even in plan-only Explain
+      // sessions. That is the price of choosing the pair core by measured
+      // cardinality rather than by taste; the scan reads one column of a
+      // dictionary-encoded dim.
       val sources = t(s, d, "documents").select(col("source"))
         .distinct().collect().map(_.getString(0)).toSeq
       // Spread at the CALL SITE: this query's downstream is one aggregate
@@ -3685,7 +3690,15 @@ object SparkEntry {
       // shinglePostings callers (measured) are not.
       val p = Dedup.shinglePostings(operators.Spread(t(s, d, "documents")),
         "source", "text", 3)
-      Dedup.pairCountsByBitmask(p, "shh", "id", sources, maxDocFreq = 15L)
+      // Regime dispatch, not a hard require: past 63 sources the long mask
+      // can't hold the id space, so fall back to the generic bounded-
+      // buffer pair core (identical output contract) instead of throwing
+      // at a larger scale factor's wider dim.
+      val pairs =
+        if (sources.nonEmpty && sources.size <= 63)
+          Dedup.pairCountsByBitmask(p, "shh", "id", sources, maxDocFreq = 15L)
+        else Dedup.boundedPairCounts(p, "shh", "id", maxDocFreq = 15L)
+      pairs
         .select(col("id_a").as("source_a"), col("id_b").as("source_b"),
           col("n_shared"))
         .orderBy(col("source_a"), col("source_b"))

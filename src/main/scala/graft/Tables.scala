@@ -37,15 +37,22 @@ object Tables {
   // registry pays it once per t() per query — ~30-100 ms of pure metadata
   // IO per query that a real application amortizes by holding its table
   // handles. DataFrames are immutable plans, so sharing the handle is
-  // side-effect-free; the WeakHashMap key keeps stopped test sessions
-  // collectable. (Data caching stays deliberately off — see above.)
+  // side-effect-free. Weak keys would NOT make stopped test sessions
+  // collectable here — the memoized DataFrames strongly reference their
+  // session via df.sparkSession, pinning the key alive — so eviction is
+  // explicit instead: every load() first drops entries whose SparkContext
+  // has stopped (the map holds a handful of sessions at most, so the sweep
+  // is O(sessions), not O(tables)).
+  // (Data caching stays deliberately off — see above.)
   // Contract: files under a (dir, name) don't change schema mid-session.
   private val handles =
-    new java.util.WeakHashMap[SparkSession,
+    new java.util.HashMap[SparkSession,
       scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val per = handles.synchronized {
+      val it = handles.entrySet().iterator()
+      while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
       var m = handles.get(spark)
       if (m == null) {
         m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]

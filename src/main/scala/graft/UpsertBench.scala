@@ -105,6 +105,42 @@ object UpsertBench {
     require(fpF == fpB, s"trickle content diverged: $fpF vs $fpB")
     println(f"trickle regime (10 batches x ~dozen keys): full=${tFull / 10}%5.2f s/batch, " +
       f"bucketed=${tBucket / 10}%5.2f s/batch -> ${tFull / tBucket}%.2fx bucketed speedup; content identical")
+
+    // Regime DISPATCH — the same two workloads driven through
+    // UpsertRouter.upsertAuto: the cardinality law must route each to the
+    // sink that won it above, and the routed wall times must reproduce the
+    // direct-writer times (the dispatcher's only overhead is one
+    // approx-distinct pass on a new table's first batch).
+    val routedBulkDir = Files.createTempDirectory("graft-upsert-rbulk").toString
+    val t2 = System.nanoTime()
+    val bulkRoute = operators.UpsertRouter.upsertAuto(
+      spark, initial, routedBulkDir, keys, numBuckets)
+    (1 to nBatches).foreach(i => operators.UpsertRouter.upsertAuto(
+      spark, window(i), routedBulkDir, keys, numBuckets))
+    val tRoutedBulk = (System.nanoTime() - t2) / 1e9
+    require(bulkRoute == operators.UpsertRouter.FullRewrite,
+      s"bulk initial batch routed $bulkRoute, expected FullRewrite")
+    val fpRB = fingerprint(operators.UpsertRouter.read(spark, routedBulkDir).get)
+    require(fpRB == full._3, s"routed bulk content diverged: $fpRB vs ${full._3}")
+
+    val routedTrickleDir = Files.createTempDirectory("graft-upsert-rtrickle").toString
+    // Warehouse shape: bulk seed pinned bucketed by hint, then the trickle
+    // stream routes bucketed by layout stickiness.
+    operators.UpsertRouter.upsertAuto(spark, initial, routedTrickleDir, keys,
+      numBuckets, layoutHint = Some(operators.UpsertRouter.Bucketed))
+    (1 to nBatches).foreach(i => operators.UpsertRouter.upsertAuto(
+      spark, window(i), routedTrickleDir, keys, numBuckets))
+    val t3 = System.nanoTime()
+    val trickleRoutes = trickles.map(b => operators.UpsertRouter.upsertAuto(
+      spark, b, routedTrickleDir, keys, numBuckets))
+    val tRoutedTrickle = (System.nanoTime() - t3) / 1e9
+    require(trickleRoutes.forall(_ == operators.UpsertRouter.Bucketed),
+      s"trickle batches routed ${trickleRoutes.distinct}, expected Bucketed")
+    val fpRT = fingerprint(operators.UpsertRouter.read(spark, routedTrickleDir).get)
+    require(fpRT == fpB, s"routed trickle content diverged: $fpRT vs $fpB")
+    println(f"routed: bulk(initial+$nBatches batches)=$tRoutedBulk%7.2fs via FullRewrite " +
+      f"(direct ${full._1 + full._2}%7.2fs); trickle=${tRoutedTrickle / 10}%5.2f s/batch " +
+      f"via Bucketed (direct ${tBucket / 10}%5.2f); content identical through the router")
     spark.stop()
   }
 }

@@ -29,8 +29,13 @@ object Spread {
     // Streaming frames have no static partition count to inspect (.rdd on
     // one throws the batch-execution analysis error) and their micro-batch
     // parallelism is the source's to decide — pass them through untouched.
-    if (df.isStreaming ||
-        !spark.conf.getOption("graft.spreadSmallScans").forall(_.toBoolean)) df
+    // Tolerant off-switch parse: any of false/off/0 (case-insensitive)
+    // disables; everything else (including absence) keeps the guard on. A
+    // strict toBoolean would turn a user's "off" into an
+    // IllegalArgumentException surfacing deep inside a shingle operator.
+    val disabled = spark.conf.getOption("graft.spreadSmallScans")
+      .exists(v => Set("false", "off", "0")(v.trim.toLowerCase))
+    if (df.isStreaming || disabled) df
     else {
       val want = spark.sparkContext.defaultParallelism
       if (df.rdd.getNumPartitions < want) df.repartition(want) else df

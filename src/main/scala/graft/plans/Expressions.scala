@@ -108,21 +108,43 @@ object Expressions {
     * bench runs, janino compile time dominates the query. This expression
     * generates one static call.
     *
-    * Semantics are bit-identical to the Column spelling: per plane the dot
-    * accumulates left-to-right in double (same IEEE order as the reduce),
-    * bit p sets on dot >= 0, and a null vector ELEMENT within the plane's
-    * prefix yields signature 0 (the when(null >= 0).otherwise(0) path of
-    * the Column form zeroed every plane's bit). A vector SHORTER than the
-    * plane dimension throws like [[DotProduct]] does on length mismatch —
-    * malformed input is data corruption, not a bucket. */
+    * Semantics are bit-identical to the Column spelling — INCLUDING nulls:
+    * per plane the dot accumulates left-to-right in double (same IEEE order
+    * as the reduce), bit p sets on dot >= 0, a null vector ELEMENT within
+    * the plane's prefix yields signature 0, and a null vector (or null
+    * plane matrix) ALSO yields 0, never NULL — the when(null >= 0)
+    * .otherwise(0) path of the Column form zeroed every plane's bit, so
+    * null-vector rows land in bucket 0 instead of dropping out of block
+    * equi-joins. The expression is therefore non-nullable. A vector SHORTER
+    * than the plane dimension throws like [[DotProduct]] does on length
+    * mismatch — malformed input is data corruption, not a bucket. */
   case class SignSignature(left: Expression, right: Expression)
     extends BinaryExpression {
     override def dataType: DataType = LongType
-    override protected def nullSafeEval(vec: Any, planes: Any): Any =
-      VectorOps.signSignature(vec.asInstanceOf[ArrayData],
-        planes.asInstanceOf[ArrayData])
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, (v, p) => s"graft.plans.VectorOps.signSignature($v, $p)")
+    override def nullable: Boolean = false
+    override def eval(input: InternalRow): Any = {
+      val vec = left.eval(input)
+      if (vec == null) 0L
+      else {
+        val planes = right.eval(input)
+        if (planes == null) 0L
+        else VectorOps.signSignature(vec.asInstanceOf[ArrayData],
+          planes.asInstanceOf[ArrayData])
+      }
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+      val l = left.genCode(ctx)
+      val r = right.genCode(ctx)
+      ev.copy(
+        code = l.code + r.code +
+          code"""
+             |long ${ev.value} = (${l.isNull} || ${r.isNull}) ? 0L :
+             |  graft.plans.VectorOps.signSignature(${l.value}, ${r.value});
+             |""".stripMargin,
+        isNull = FalseLiteral)
+    }
     override protected def withNewChildrenInternal(newLeft: Expression,
         newRight: Expression): SignSignature = copy(newLeft, newRight)
     override def prettyName: String = "sign_signature"
@@ -213,6 +235,92 @@ object Expressions {
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): BoundedCollectSet =
       copy(child = newLeft, capExpr = newRight)
+  }
+
+  /** Element-wise `sum(floor(x·scale))` of an `array<double>` column as one
+    * BIGINT array — the Lloyd-refinement cell sum collapsed to a single
+    * aggregate. The per-dimension spelling (`sum(floor(element_at(v, i+1) ·
+    * scale))` × dim) is semantically identical but puts dim live aggregate
+    * expressions into the plan; at dim = 64 the optimizer/planner work per
+    * refinement pass measurably dominated the (tiny) task time of q63's
+    * index build, and at production dims (768+) the per-column form is not
+    * even writable. Math is bit-identical to the spelled-out form: each
+    * element contributes floor(x·scale) as a long, summed order-free; NULL
+    * elements contribute nothing to their dimension (as sum skips nulls);
+    * NULL vectors contribute nothing; an all-null group evaluates to NULL.
+    * Ragged vector lengths within a group throw — length mismatch is data
+    * corruption, not a cell. Map-side combinable, O(dim) memory per group
+    * everywhere. */
+  case class VectorFloorSum(
+      child: Expression,
+      scaleExpr: Expression,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with BinaryLike[Expression] {
+
+    private lazy val scale: Double = scaleExpr.eval().asInstanceOf[Number].doubleValue()
+    @transient private lazy val bufferProjection = UnsafeProjection.create(
+      Array[DataType](ArrayType(LongType, containsNull = false)))
+
+    override def left: Expression = child
+    override def right: Expression = scaleExpr
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def prettyName: String = "vector_floor_sum"
+
+    override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v == null) buf
+      else {
+        val arr = v.asInstanceOf[ArrayData]
+        val n = arr.numElements()
+        val b =
+          if (buf.length == n) buf
+          else if (buf.isEmpty) new Array[Long](n)
+          else throw new IllegalStateException(
+            s"vector_floor_sum: ragged vector lengths (${buf.length} vs $n)")
+        var i = 0
+        while (i < n) {
+          if (!arr.isNullAt(i)) b(i) += math.floor(arr.getDouble(i) * scale).toLong
+          i += 1
+        }
+        b
+      }
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        if (a.length != b.length) throw new IllegalStateException(
+          s"vector_floor_sum: ragged vector lengths (${a.length} vs ${b.length})")
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+
+    override def eval(buf: Array[Long]): Any =
+      if (buf.isEmpty) null else new GenericArrayData(buf)
+
+    override def serialize(buf: Array[Long]): Array[Byte] =
+      bufferProjection(InternalRow(new GenericArrayData(buf))).getBytes
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val row = new UnsafeRow(1)
+      row.pointTo(bytes, bytes.length)
+      row.getArray(0).toLongArray()
+    }
+
+    override def withNewMutableAggBufferOffset(o: Int): VectorFloorSum =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): VectorFloorSum =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): VectorFloorSum =
+      copy(child = newLeft, scaleExpr = newRight)
   }
 
   /** K-th largest value per group (counting duplicates) via a bounded
@@ -389,6 +497,8 @@ object Expressions {
       es => MinPairLong(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("sign_signature",
       es => SignSignature(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vector_floor_sum",
+      es => VectorFloorSum(es(0), es(1)), "scala_udf")
   }
 
   /** Registration that library operators call on THEIR input's session
@@ -397,7 +507,7 @@ object Expressions {
     * registered by an older library version still pick up later additions. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier("sign_signature")))
+    if (!reg.functionExists(FunctionIdentifier("vector_floor_sum")))
       register(spark)
   }
 
@@ -415,6 +525,8 @@ object Expressions {
     call_function("min_pair_long", ord, payload)
   def signSignature(vec: Column, planes: Column): Column =
     call_function("sign_signature", vec, planes)
+  def vectorFloorSum(vec: Column, scale: Double): Column =
+    call_function("vector_floor_sum", vec, lit(scale))
 }
 
 /** Per-row text statistics for the codegen'd expressions (object statics so

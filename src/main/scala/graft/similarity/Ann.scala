@@ -149,6 +149,12 @@ object Ann {
     // cache and leaves ownership with us). Left cached for the returned
     // plan's execution; callers running many builds per session clear the
     // session cache between them (the bench does per rep).
+    // No Spread here (measured): the per-row assignment work is a few ms
+    // per thousand vectors, so fanning an under-split small corpus to
+    // defaultParallelism costs more in per-stage task scheduling than the
+    // single-thread compute it parallelizes — the reverse of the shingle
+    // operators where per-row work dominates. A production corpus arrives
+    // well-split and parallelizes without help.
     val c = prepared(corpus, idCol, vecCol, "corpus_id", "cv", "cn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seeds = pickCentroids(c, nlist)
@@ -231,16 +237,56 @@ object Ann {
 
   /** Deterministic centroid pick: every stride-th corpus id — collects ONLY
     * the ~nlist centroid rows to the driver, never the corpus. (A k-means
-    * refinement would re-assign and re-average around these seeds.) */
+    * refinement would re-assign and re-average around these seeds.)
+    *
+    * ONE driver action, not two: the stride needs the corpus count, but a
+    * separate prep.count() paid a full job of fixed scheduler latency
+    * before the seed scan could start — measurable against q63's
+    * sub-second oracle. The count instead rides in as a broadcast 1-row
+    * aggregate and the stride arithmetic (`max(1, cnt DIV nlist)`, integer
+    * division — identical to the Scala `math.max(1L, cnt / nlist)` it
+    * replaces for the non-negative counts involved) moves into the plan,
+    * so the count stage and the seed scan schedule inside a single action
+    * (which also doubles as the cache warm-up for the shared prep). */
   private def pickCentroids(prep: DataFrame, nlist: Int): Array[(Int, Array[Double], Double)] = {
-    val cnt = prep.count()
-    val stride = math.max(1L, cnt / nlist)
-    prep.where(pmod(col("corpus_id"), lit(stride)) === 0)
-      .orderBy(col("corpus_id")).limit(nlist).collect()
-      .zipWithIndex.map { case (r, i) =>
-        (i, r.getSeq[Double](r.fieldIndex("cv")).toArray,
-          r.getDouble(r.fieldIndex("cn")))
-      }
+    withAqeOff(prep.sparkSession) {
+      prep
+        .crossJoin(broadcast(prep.agg(count(lit(1)).as("__cnt"))))
+        .where(pmod(col("corpus_id"),
+          greatest(lit(1L), expr(s"__cnt DIV $nlist"))) === 0)
+        .orderBy(col("corpus_id")).limit(nlist).collect()
+        .zipWithIndex.map { case (r, i) =>
+          (i, r.getSeq[Double](r.fieldIndex("cv")).toArray,
+            r.getDouble(r.fieldIndex("cn")))
+        }
+    }
+  }
+
+  /** Runs `f` with adaptive execution disabled in the session, restoring
+    * the previous setting after. The index-BUILD actions (seed pick, Lloyd
+    * mean collects) produce ≤nlist rows BY CONSTRUCTION at every scale —
+    * their exchanges move centroid-count rows, so AQE's runtime re-planning
+    * can never improve them, while its stage-by-stage materialization turns
+    * each 2-stage collect into 2–3 driver-round-trip jobs whose scheduling
+    * gaps dominate the whole index build on small corpora (measured: ~19 %
+    * of q63). The PROBE plan the builders feed keeps AQE — that one scans
+    * the corpus and benefits at scale. Scope caveat: the conf flip is
+    * session-visible for the duration of the bounded collect; the
+    * registry's entry points construct queries sequentially on their
+    * session, so nothing else plans inside the window. */
+  private def withAqeOff[T](spark: org.apache.spark.sql.SparkSession)(f: => T): T = {
+    // Also pin the collect's post-shuffle side to ONE partition: the
+    // reduce stage of these actions holds ≤nlist rows at any corpus size
+    // (map-side partials are already ≤nlist rows per task), so the
+    // session's shuffle.partitions would fan those few rows across dozens
+    // of near-empty tasks — exactly the coalescing AQE would have done,
+    // done statically since the row bound is known by construction.
+    val keys = Seq("spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.shuffle.partitions" -> "1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prev.foreach { case (k, old) =>
+      old.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
   /** Lloyd (k-means) refinement of the seed centroids: re-assign every
@@ -261,7 +307,6 @@ object Ann {
   private def refineCentroids(prep: DataFrame,
                               init: Array[(Int, Array[Double], Double)],
                               iters: Int): Array[(Int, Array[Double], Double)] = {
-    val dim = init.head._2.length
     var cents = init
     // Each iteration collects cell means: cache the cast+norm — but only
     // when the CALLER hasn't already (ivfTopK shares one cache across all
@@ -271,16 +316,22 @@ object Ann {
     if (weCache) prep.persist()
     try {
       for (_ <- 0 until iters) {
-        val aggs = (0 until dim).map(i =>
-          sum(floor(element_at(col("cv"), i + 1) * MeanScale)).as(s"s$i"))
-        val means = assignCells(prep, "cv", cents, 1)
-          .groupBy(col("cell_1"))
-          .agg(count(lit(1)).as("__n"), aggs: _*)
-          .collect()
+        // ONE array-sum aggregate, not dim scalar sums: identical math
+        // (see VectorFloorSum's scaladoc), but the plan carries 2 aggregate
+        // expressions instead of dim+1 — the per-column form's optimizer/
+        // planner cost per pass dominated this tiny-output action, and a
+        // production 768-dim embedding column can't spell 768 columns.
+        val means = withAqeOff(prep.sparkSession) {
+          assignCells(prep, "cv", cents, 1)
+            .groupBy(col("cell_1"))
+            .agg(count(lit(1)).as("__n"),
+              graft.plans.Expressions.vectorFloorSum(col("cv"), MeanScale).as("__s"))
+            .collect()
+        }
           .map { r =>
             val n = r.getLong(1).toDouble
-            r.getInt(0) -> (2 to dim + 1)
-              .map(j => math.floor(r.getLong(j).toDouble / n) / MeanScale)
+            r.getInt(0) -> r.getSeq[Long](2).iterator
+              .map(s => math.floor(s.toDouble / n) / MeanScale)
               .toArray
           }.toMap
         cents = cents.map { case (cid, oldVec, oldNorm) =>
@@ -317,10 +368,17 @@ object Ann {
       struct((graft.plans.Expressions.dotProduct(col(vecCol), c.getField("_3"))
           / c.getField("_2")).as("sim"),
         c.getField("_1").as("cid")))
-    val sorted = reverse(array_sort(sims))
-    (1 to n).foldLeft(df.withColumn("__cells", sorted)) { (d, i) =>
-      d.withColumn(s"cell_$i", col("__cells").getItem(i - 1).getField("cid"))
-    }.drop("__cells")
+    // n == 1 (every corpus assignment and every Lloyd pass) needs only the
+    // argmax, not a full nlist-element sort per row: array_max orders
+    // structs by (sim, cid) — exactly what descending array_sort put first
+    // (largest sim, ties to the larger cid) — in one O(nlist) scan.
+    if (n == 1) df.withColumn("cell_1", array_max(sims).getField("cid"))
+    else {
+      val sorted = reverse(array_sort(sims))
+      (1 to n).foldLeft(df.withColumn("__cells", sorted)) { (d, i) =>
+        d.withColumn(s"cell_$i", col("__cells").getItem(i - 1).getField("cid"))
+      }.drop("__cells")
+    }
   }
 
   /** Hard-negative mining for contrastive training: per query, the k most

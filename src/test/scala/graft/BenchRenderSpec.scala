@@ -94,4 +94,21 @@ class BenchRenderSpec extends AnyFunSuite {
     val j2 = check(Bench.renderLine(mk(3), 0, "/sf", "out.json"))
     assert((j2 \ "calibration_inflation") == JNothing)
   }
+
+  test("adjusted total = raw / inflation rides in the same headline") {
+    val res = mk(4)
+    val raw = res.map(_._2).sum
+    val j = check(Bench.renderLine(res, 0, "/root/testdata/sf0.1",
+      "out.json", Some(2.0)))
+    val adjusted = (j \ "value_adjusted") match {
+      case JDouble(x) => x
+      case other => fail(s"value_adjusted missing/odd: $other")
+    }
+    assert(math.abs(adjusted - raw / 2.0) < 0.01)
+    // No calibration -> no adjusted field (and never a divide-by-zero).
+    assert((check(Bench.renderLine(res, 0, "/sf", "out.json")) \
+      "value_adjusted") == JNothing)
+    assert((check(Bench.renderLine(res, 0, "/root/testdata/sf0.1",
+      "out.json", Some(0.0))) \ "value_adjusted") == JNothing)
+  }
 }

@@ -27,4 +27,28 @@ class RegistryDocSpec extends AnyFunSuite {
       s"drift: missing=${(SparkEntry.queries.keySet -- indexed).toSeq.sorted.take(5)} " +
         s"extra=${(indexed.toSet -- SparkEntry.queries.keySet).toSeq.sorted.take(5)}")
   }
+
+  test("no placeholder capabilities and no mid-word truncation") {
+    val committed = Files.readString(Paths.get("REGISTRY.md"))
+    assert(!committed.contains("(see SparkEntry.scala)"),
+      "placeholder capability cell survived — RegistryDoc fallback regressed")
+    // Property against the parser itself: every capability is either the
+    // complete first sentence of its registration comment, a fallback
+    // naming an operator entry point, or a WORD-BOUNDARY prefix marked
+    // with an explicit ellipsis — never a hard character clip
+    // ("per-group windo", the r12 artifact).
+    val src = Files.readString(
+      Paths.get("src/main/scala/graft/SparkEntry.scala"))
+    val parsed = RegistryDoc.parse(src)
+    assert(parsed.nonEmpty)
+    parsed.foreach { case (name, (cap, _)) =>
+      assert(cap.nonEmpty, s"$name: empty capability")
+      assert(cap.length <= 121, s"$name: capability over length cap: $cap")
+      if (cap.endsWith("…")) {
+        val stem = cap.dropRight(1)
+        assert(stem.nonEmpty && !stem.endsWith(" "),
+          s"$name: malformed ellipsis cell: $cap")
+      }
+    }
+  }
 }
