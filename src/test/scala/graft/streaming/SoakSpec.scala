@@ -1,6 +1,7 @@
 package graft.streaming
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -120,6 +121,59 @@ class SoakSpec extends AnyFunSuite {
       barsQ.stop(); cmsOut.stop()
       spark.catalog.clearCache()
       try spark.sql("DROP TABLE IF EXISTS soak_cms") catch { case _: Exception => () }
+    }
+  }
+
+  test("topic-dump replay: serialized wire records through the file edge", LargeScale) {
+    // The MemoryStream soak hands parseTrades in-memory byte tuples; this
+    // variant puts a real SERIALIZATION boundary in front of it — the
+    // micro-batches are parquet "topic dump" segment files on disk (the
+    // no-broker stand-in for a Kafka topic's log segments), replayed
+    // through readStream's file source one segment per trigger, so the
+    // wire records cross (serialize → file → deserialize) before the parse
+    // layer sees them. Asserts exact sink parity with the batch recompute
+    // over every record in the dump.
+    val dumpDir = Files.createTempDirectory("soak-topicdump")
+    val t0 = java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli
+    val nSegments = 60
+    val sent = scala.collection.mutable.ArrayBuffer[(Array[Byte], Array[Byte])]()
+    (1 to nSegments).foreach { b =>
+      val ts = t0 + b * 20000L
+      val recs = symbols.zipWithIndex.flatMap { case (s, i) =>
+        Seq(wire(s, b * 10L + i, ts, 100.0 + b % 7),
+            wire(s, b * 10L + i + 5, ts - 15000L, 99.0 + b % 5))
+      }
+      sent ++= recs
+      // One parquet file per segment, written atomically into the watched
+      // dir (temp-write + move, the file-source contract).
+      val tmp = Files.createTempDirectory("soak-seg")
+      recs.toDF("key", "value").coalesce(1).write.parquet(tmp.resolve("w").toString)
+      val part = Files.list(tmp.resolve("w")).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, dumpDir.resolve(f"segment-$b%05d.parquet"))
+    }
+
+    val table = Files.createTempDirectory("soak-dump-bars").toString
+    val ckpt = Files.createTempDirectory("soak-dump-ckpt").toString
+    val stream = spark.readStream
+      .schema("key binary, value binary")
+      .option("maxFilesPerTrigger", 1) // one dump segment = one micro-batch
+      .parquet(dumpDir.toString)
+    val q = Bars.bucketedUpsertingWriter(
+      Bars.oneMinuteBars(Kafka.parseTrades(stream)), table, ckpt,
+      numBuckets = 8, trigger = Trigger.ProcessingTime(0L)).start()
+    try {
+      q.processAllAvailable()
+      val want = Bars.oneMinuteBars(
+          Kafka.parseTrades(sent.toSeq.toDF("key", "value")))
+        .collect().map(_.toString).sorted
+      val got = BucketedUpsertWriter.read(spark, table).get
+        .collect().map(_.toString).sorted
+      assert(got.length == want.length && got.sameElements(want),
+        s"topic-dump replay diverged from batch parity: ${got.length} vs ${want.length}")
+    } finally {
+      q.stop()
+      spark.catalog.clearCache()
     }
   }
 }
