@@ -29,6 +29,13 @@ import org.apache.spark.sql.functions._
   * warehouse shape) pass `layoutHint` to pin the layout at creation
   * instead of letting an unrepresentative first batch decide.
   *
+  * The dispatch optimizes for AT-SCALE behavior: pruning saves O(table)
+  * read+write per batch, so the bucketed trickle win grows linearly with
+  * table size (3× at the 4.5M-row sf1 drill) while at toy tables the
+  * full rewrite can still edge it out on fixed bookkeeping — routing a
+  * trickle stream bucketed is the right call for every table that will
+  * ever be big, which is the design target.
+  *
   * The first-batch cardinality estimate uses `approx_count_distinct`
   * (single-pass, map-combinable, ~2 % rsd): the decision compares
   * E[touched] against a N/3 threshold, where ±2 % on k moves nothing, and
