@@ -49,6 +49,17 @@ object Bench {
       // a fixed count would over-split at this scale.
       .config("spark.locality.wait", "0")
       .config("spark.sql.adaptive.enabled", "true")
+      // Lean into AQE's parallelismFirst on small-byte shuffles: the
+      // default 1 MB floor coalesces a 5k-doc post-window exchange to ONE
+      // task, serializing the CPU-heavy text-scoring stages behind it
+      // (q79's 0.64 s single-task cache fill) — byte-based coalescing
+      // assumes byte-proportional CPU, which text scoring violates. 64 kB
+      // keeps those stages at core-count parallelism; at production shuffle
+      // sizes the floor is irrelevant (partitions are MBs+). Measured A/B
+      // over the CPU-heavy family: −7 % total, no query regressed
+      // (advisoryPartitionSizeInBytes=1m tried and rejected: −1.6 % only,
+      // and it also retargets skew-join splitting).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .getOrCreate()
     // ERROR, not WARN: the function-replaced warning from idempotent
     // expression re-registration otherwise lands next to the JSON line and
