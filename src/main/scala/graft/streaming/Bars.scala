@@ -74,4 +74,28 @@ object Bars {
         BucketedUpsertWriter.upsert(batch.sparkSession, batch, tableDir,
           Seq("symbol", "tf", "open_time"), numBuckets, retainMillis = 5000L)
       }
+
+  /** Regime-routed variant: each micro-batch goes through
+    * [[graft.operators.UpsertRouter.upsertAuto]], so the FIRST batch's
+    * measured key cardinality decides the table layout (a trickle stream's
+    * handful of bar keys routes bucketed; a bulk backfill's wide key range
+    * routes full-rewrite) and every later trigger follows the table —
+    * the sink-selection decision the r12 upsert drill left to the caller,
+    * now made where the workload is observable. `layoutHint` pins the
+    * layout up front for deployments that know their steady state. */
+  def autoUpsertingWriter(bars: DataFrame, tableDir: String,
+                          checkpointDir: String,
+                          numBuckets: Int = 32,
+                          layoutHint: Option[graft.operators.UpsertRouter.Route] = None,
+                          trigger: Trigger = Trigger.ProcessingTime("5 seconds")): DataStreamWriter[Row] =
+    bars.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.UpsertRouter.upsertAuto(batch.sparkSession, batch,
+          tableDir, Seq("symbol", "tf", "open_time"), numBuckets,
+          retainMillis = 5000L, layoutHint = layoutHint)
+        () // DataStreamWriter's foreachBatch wants Unit, not the Route
+      }
 }

@@ -149,4 +149,34 @@ class BarsSpec extends AnyFunSuite {
       .as[(Double, Double, Double, Double, Double)].head()
     assert(g1 == e1)
   }
+
+  test("auto-routed streaming sink: trickle micro-batches pick the bucketed layout") {
+    val src = Files.createTempDirectory("astream-src")
+    val table = Files.createTempDirectory("abar-table").toString
+    val ckpt = Files.createTempDirectory("ackpt").toString
+    // 300 s of one symbol's trades = a handful of 1-minute bar keys per
+    // micro-batch: trickle-shaped, so the router's first-batch cardinality
+    // estimate must pick the bucketed layout.
+    val trades = Synthetic.syntheticTrades(spark, "AAA", 300, 1704067200L)
+    trades.write.mode("overwrite").parquet(src.toString + "/batch1")
+
+    val stream = spark.readStream.schema(trades.schema)
+      .parquet(src.toString + "/*")
+      .select("symbol", "trade_time", "price", "qty")
+    val q = Bars.autoUpsertingWriter(
+      Bars.oneMinuteBars(stream), table, ckpt, numBuckets = 32).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    assert(graft.operators.UpsertRouter.existingRoute(table)
+      .contains(graft.operators.UpsertRouter.Bucketed),
+      "trickle bar stream should have routed to the bucketed layout")
+    val got = graft.operators.UpsertRouter.read(spark, table).get
+    val expected = Bars.oneMinuteBars(trades.select("symbol", "trade_time", "price", "qty"))
+    assert(got.count() == expected.count())
+    val g1 = got.orderBy("open_time").select("open", "high", "low", "close", "volume")
+      .as[(Double, Double, Double, Double, Double)].head()
+    val e1 = expected.orderBy("open_time").select("open", "high", "low", "close", "volume")
+      .as[(Double, Double, Double, Double, Double)].head()
+    assert(g1 == e1)
+  }
 }
