@@ -494,7 +494,16 @@ object Dedup {
     * oracle compares OVERLAP COUNTS (hash-agnostic), never raw hashes. */
   def shinglePostings(df: DataFrame, idCol: String, textCol: String,
                       n: Int): DataFrame =
-    df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh_arr"))
+    // Spread: the r12 sf0.1 A/B scored the generic call sites a small loss
+    // and left the guard off here, but the sf1 two-point run showed why it
+    // belongs on anyway — a one-file 10× corpus ran the whole shingle +
+    // pair-core family on 2 of 32 threads (q181 16.8 s single stage), and
+    // the materializing callers bake that starvation into their
+    // checkpoints. Re-A/B'd this round at BOTH scales: sf1 −60 %-class
+    // wins across the family, sf0.1 within noise after the AQE-floor
+    // change. At production split counts Spread is the identity.
+    graft.operators.Spread(df)
+      .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh_arr"))
       .select(col("id"), explode(col("sh_arr")).as("sh"))
       .select(col("id"), xxhash64(col("sh")).as("shh"))
 
