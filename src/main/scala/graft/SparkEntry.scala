@@ -3684,12 +3684,10 @@ object SparkEntry {
       // dictionary-encoded dim.
       val sources = t(s, d, "documents").select(col("source"))
         .distinct().collect().map(_.getString(0)).toSeq
-      // Spread at the CALL SITE: this query's downstream is one aggregate
-      // over the exploded shingles, so the per-row shingle+hash work IS
-      // the query — worth the tiny-input exchange here, where the generic
-      // shinglePostings callers (measured) are not.
-      val p = Dedup.shinglePostings(operators.Spread(t(s, d, "documents")),
-        "source", "text", 3)
+      // (The spread guard lives inside shinglePostings since the sf1
+      // starvation fix — a second call-site Spread here would just stack
+      // an extra exchange on the same tiny input.)
+      val p = Dedup.shinglePostings(t(s, d, "documents"), "source", "text", 3)
       // Regime dispatch, not a hard require: past 63 sources the long mask
       // can't hold the id space, so fall back to the generic bounded-
       // buffer pair core (identical output contract) instead of throwing
