@@ -786,7 +786,11 @@ object Dedup {
     // caller keeps per-doc attributes like `source` WITHOUT a second
     // corpus-sized join back to the input after reassembly.
     val carry = carryCols.map(col)
-    val segs = df
+    // Spread: segsCol is typically a tokenize-and-reassemble expression
+    // (tokenBlocks) — CPU-heavy per row, the shinglePostings regime; an
+    // under-split corpus would run the explode single-threaded. Identity
+    // at production split counts.
+    val segs = graft.operators.Spread(df)
       .select(col(idCol).as("id") +: carry :+
         posexplode_outer(segsCol).as(Seq("idx", "seg")): _*)
       .withColumn("segh", xxhash64(col("seg")))

@@ -26,7 +26,10 @@ object Collocations {
   /** Adjacent (tok_a, tok_b) pair counts over whitespace tokens — one row
     * per distinct pair with its corpus frequency. */
   def pairCounts(df: DataFrame, textCol: String): DataFrame =
-    df.select(TextOps.tokens(col(textCol)).as("__tk"))
+    // Spread on both token producers: the per-row tokenize + adjacent-pair
+    // explode is the expensive stage (the shinglePostings regime — sf1
+    // starvation fix); identity at production split counts.
+    graft.operators.Spread(df).select(TextOps.tokens(col(textCol)).as("__tk"))
       .where(size(col("__tk")) >= 2)
       .select(explode(transform(sequence(lit(1), size(col("__tk")) - 1),
         i => struct(element_at(col("__tk"), i).as("tok_a"),
@@ -38,7 +41,8 @@ object Collocations {
   /** Corpus unigram counts (every token position, including one-token
     * docs — the pair score's marginals). */
   def unigramCounts(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(TextOps.tokens(col(textCol))).as("tok"))
+    graft.operators.Spread(df)
+      .select(explode(TextOps.tokens(col(textCol))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n_tok"))
 
   /** ⌊n_pair · 10⁹ / (n_a · n_b)⌋ on DECIMAL(38) operands — exact floor

@@ -32,7 +32,11 @@ object LmScore {
     * absent from the output (score of nothing is nothing — callers decide
     * their fate). */
   def bigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol).as("__id"),
+    // Spread: tokenize + posexplode is the CPU-heavy per-row producer here
+    // (same regime as shinglePostings — see the sf1 starvation fix); an
+    // under-split corpus would run it, and both sides of the positional
+    // self-join it feeds, on one thread. Identity at production splits.
+    val toks = graft.operators.Spread(docs).select(col(idCol).as("__id"),
         posexplode(TextOps.tokens(col(textCol))).as(Seq("__pos", "__tok")))
       .where(col("__tok") =!= "")
     val big = toks.alias("a").join(toks.alias("b"),

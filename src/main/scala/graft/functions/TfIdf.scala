@@ -21,7 +21,10 @@ object TfIdf {
     * an external SQL engine scores bit-identically. */
   def topTerms(docs: DataFrame, idCol: String, textCol: String,
                k: Int): DataFrame = {
-    val tf = docs
+    // Spread on the tokenize+explode producer only (the N count below
+    // stays on the raw scan — it is metadata-cheap): the shinglePostings
+    // regime, identity at production split counts.
+    val tf = graft.operators.Spread(docs)
       .select(col(idCol).as("doc_id"),
         explode(TextOps.tokens(lower(col(textCol)))).as("token"))
       .groupBy(col("doc_id"), col("token"))
