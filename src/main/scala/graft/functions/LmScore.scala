@@ -15,11 +15,15 @@ import org.apache.spark.sql.functions._
   * is order-dependent and is rounded (6 dp) like every other accumulated
   * double in the oracle contract.
   *
-  * Scale shape: token positions explode once; bigram instances form by an
-  * (id, pos+1) equi-join (splittable — no per-doc window); the count
-  * tables are map-side-combined groupBys (hot bigrams reduce partition-
-  * locally); instances join the counts on short string keys with AQE
-  * handling hot-key skew. Nothing holds a corpus-wide partition.
+  * Scale shape: bigram instances form SCAN-LOCALLY — one per-doc
+  * `transform(sequence(1, n−1), i → struct(tok[i], tok[i+1]))` + `explode`
+  * projection, the [[Collocations.pairCounts]] shape — so no token
+  * position ever shuffles just to meet its neighbor (the previous
+  * positional (id, pos+1) self-join exchanged every token position twice
+  * and was the registry's weak-list head). The count tables are map-side-
+  * combined groupBys (hot bigrams reduce partition-locally); instances
+  * join the counts on short string keys with AQE handling hot-key skew.
+  * Nothing holds a corpus-wide partition.
   */
 object LmScore {
 
@@ -32,18 +36,24 @@ object LmScore {
     * absent from the output (score of nothing is nothing — callers decide
     * their fate). */
   def bigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // Spread: tokenize + posexplode is the CPU-heavy per-row producer here
+    // Spread: tokenize + pair-explode is the CPU-heavy per-row producer
     // (same regime as shinglePostings — see the sf1 starvation fix); an
-    // under-split corpus would run it, and both sides of the positional
-    // self-join it feeds, on one thread. Identity at production splits.
-    val toks = graft.operators.Spread(docs).select(col(idCol).as("__id"),
-        posexplode(TextOps.tokens(col(textCol))).as(Seq("__pos", "__tok")))
-      .where(col("__tok") =!= "")
-    val big = toks.alias("a").join(toks.alias("b"),
-        col("a.__id") === col("b.__id") &&
-          col("b.__pos") === col("a.__pos") + 1)
-      .select(col("a.__id").as("__id"), col("a.__tok").as("__w1"),
-        col("b.__tok").as("__w2"))
+    // under-split corpus would run it on one thread. Identity at
+    // production splits.
+    //
+    // Empty tokens: `split(trim(text), "\s+")` can only emit "" at
+    // position 0 (leading non-space whitespace) or as the sole element of
+    // an empty doc — never mid-array (the regex collapses runs) — so
+    // dropping them from the ARRAY before pairing preserves exactly the
+    // adjacencies the oracle's post-explode `WHERE tok <> ''` keeps.
+    val base = graft.operators.Spread(docs).select(col(idCol).as("__id"),
+      filter(TextOps.tokens(col(textCol)), t => t =!= "").as("__tk"))
+    val big = base.where(size(col("__tk")) >= 2)
+      .select(col("__id"),
+        explode(transform(sequence(lit(1), size(col("__tk")) - 1),
+          i => struct(element_at(col("__tk"), i).as("__w1"),
+            element_at(col("__tk"), i + 1).as("__w2")))).as("p"))
+      .select(col("__id"), col("p.__w1").as("__w1"), col("p.__w2").as("__w2"))
     val c12 = big.groupBy(col("__w1"), col("__w2"))
       .agg(count(lit(1)).as("__c12"))
     // c(w1·) = Σ_w2 c(w1,w2): derived from the distinct-bigram table, NOT
@@ -52,7 +62,10 @@ object LmScore {
     val c1 = c12.groupBy(col("__w1")).agg(sum(col("__c12")).as("__c1"))
     // V is one scalar: computed distributed, joined as a 1-row broadcast
     // (a literal would force an eager action at plan-construction time).
-    val v = toks.select(countDistinct(col("__tok")).as("__v"))
+    // It counts EVERY non-empty token — including one-token docs, which
+    // contribute no bigrams — so it derives from `base`, not `big`.
+    val v = base.select(explode(col("__tk")).as("__tok"))
+      .select(countDistinct(col("__tok")).as("__v"))
     big.join(c12, Seq("__w1", "__w2")).join(c1, Seq("__w1"))
       .crossJoin(broadcast(v))
       // Per-bigram NLL floored to exact micro-nats BEFORE the per-doc
