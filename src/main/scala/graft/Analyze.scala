@@ -74,14 +74,7 @@ object Analyze {
   def main(args: Array[String]): Unit = {
     val path = args(0); val outDir = args(1)
     val focus = args.lift(2)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.create(defaultCpus = "8")
     val candles =
       if (path.endsWith(".csv")) CsvReaders.readKlinesCsv(spark, path)
       else spark.read.parquet(path)

@@ -34,44 +34,13 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      // Tiny-SF bench hygiene: don't wait on locality for 32 threads of
-      // local data, and let AQE coalesce the post-shuffle partitions that
-      // a fixed count would over-split at this scale.
-      .config("spark.locality.wait", "0")
-      .config("spark.sql.adaptive.enabled", "true")
-      // Lean into AQE's parallelismFirst on small-byte shuffles: the
-      // default 1 MB floor coalesces a 5k-doc post-window exchange to ONE
-      // task, serializing the CPU-heavy text-scoring stages behind it
-      // (q79's 0.64 s single-task cache fill) — byte-based coalescing
-      // assumes byte-proportional CPU, which text scoring violates. 64 kB
-      // keeps those stages at core-count parallelism; at production shuffle
-      // sizes the floor is irrelevant (partitions are MBs+). Measured A/B
-      // over the CPU-heavy family: −7 % total, no query regressed
-      // (advisoryPartitionSizeInBytes=1m tried and rejected: −1.6 % only,
-      // and it also retargets skew-join splitting).
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
-      .getOrCreate()
     // ERROR, not WARN: the function-replaced warning from idempotent
     // expression re-registration otherwise lands next to the JSON line and
-    // breaks line-oriented parsers.
-    spark.sparkContext.setLogLevel("ERROR")
-    // SPARK_GRAFT_CONF_a_b=c sets session conf a.b=c (underscores become
-    // dots — use for keys without literal underscores, e.g.
-    // SPARK_GRAFT_CONF_graft_spreadSmallScans=false). A/B knob for
-    // bench-driven comparisons of conf-gated behaviors.
-    sys.env.foreach { case (k, v) if k.startsWith("SPARK_GRAFT_CONF_") =>
-      spark.conf.set(k.stripPrefix("SPARK_GRAFT_CONF_").replace("_", "."), v)
-    case _ => () }
+    // breaks line-oriented parsers. Conf rationale lives in GraftSession.
+    val spark = GraftSession.create(defaultCpus = "4", logLevel = "ERROR")
 
     def gcMillis: Long =
       ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum

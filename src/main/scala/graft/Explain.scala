@@ -17,15 +17,7 @@ object Explain {
     val profile = args.contains("--profile")
     val run = args.contains("--run")
     val names = args.drop(1).filterNot(a => a == "--run" || a == "--profile")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.create(defaultCpus = "8")
     // Pure plan inspection: keep the queries fully lazy so shared-stage
     // materialization (localCheckpoint in q42/q69/q70) neither runs a job
     // at construction time nor collapses its subtree to an ExistingRDD

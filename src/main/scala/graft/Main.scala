@@ -202,14 +202,7 @@ object Main {
       else println(s"""{"count":${vals.size},"min":${vals.min},"max":${vals.max}}""")
       return
     }
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.create(defaultCpus = "8")
     val now = System.currentTimeMillis()
     val pairs = parsePairs(opts.get("pairs", "BTCUSDT,ETHUSDT"))
     val out = opts.get("out", "data")

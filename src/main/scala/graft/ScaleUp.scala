@@ -57,14 +57,7 @@ object ScaleUp {
     val (srcDir, dstDir) = (args(0), args(1))
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
     require(factor >= 1 && factor <= 99, s"factor must be 1..99, got $factor")
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
-      .config("spark.sql.shuffle.partitions", "16")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.create(defaultCpus = "16")
 
     def src(t: String): DataFrame = spark.read.parquet(s"$srcDir/$t.parquet")
 

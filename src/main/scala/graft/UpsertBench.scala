@@ -23,14 +23,7 @@ object UpsertBench {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val numBuckets = args.lift(1).map(_.toInt).getOrElse(32)
     val nBatches = args.lift(2).map(_.toInt).getOrElse(8)
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = GraftSession.create(defaultCpus = "32", logLevel = "ERROR")
 
     val keys = Seq("l_orderkey", "l_linenumber")
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
