@@ -270,11 +270,34 @@ object Ann {
     * each 2-stage collect into 2–3 driver-round-trip jobs whose scheduling
     * gaps dominate the whole index build on small corpora (measured: ~19 %
     * of q63). The PROBE plan the builders feed keeps AQE — that one scans
-    * the corpus and benefits at scale. Scope caveat: the conf flip is
-    * session-visible for the duration of the bounded collect; the
-    * registry's entry points construct queries sequentially on their
-    * session, so nothing else plans inside the window. */
-  private def withAqeOff[T](spark: org.apache.spark.sql.SparkSession)(f: => T): T = {
+    * the corpus and benefits at scale.
+    *
+    * ==Scope caveat (library callers)==
+    * Spark has no public per-plan AQE toggle, so the flip is SESSION-
+    * visible for the duration of the bounded collect: any OTHER thread
+    * that plans a query on the same session inside that window plans with
+    * AQE off and shuffle.partitions=1. Two guards bound the blast radius:
+    *
+    *  1. If the session has ANY active structured-streaming query, the
+    *     confs are NOT touched and `f` runs under the session's normal
+    *     settings (slightly more scheduling overhead on the bounded
+    *     collects — correctness identical). A stateful stream whose FIRST
+    *     micro-batch planned inside the window would otherwise pin
+    *     shuffle-partitions=1 into its checkpoint permanently.
+    *  2. The flip-run-restore is synchronized per session, so two
+    *     concurrent index builds can't interleave restores and leak the
+    *     pinned confs past both windows.
+    *
+    * A concurrent BATCH query on another thread of the same session can
+    * still plan inside the window (its plan is merely less adaptive, never
+    * wrong); callers running a multi-tenant session that cannot tolerate
+    * that should build indexes on `spark.cloneSession()` — clones share
+    * the cache manager, so the shared prep cache still hits. */
+  private[similarity] def withAqeOff[T](spark: org.apache.spark.sql.SparkSession)(f: => T): T =
+    if (spark.streams.active.nonEmpty) f
+    else spark.synchronized { withAqeOffUnguarded(spark)(f) }
+
+  private def withAqeOffUnguarded[T](spark: org.apache.spark.sql.SparkSession)(f: => T): T = {
     // Also pin the collect's post-shuffle side to ONE partition: the
     // reduce stage of these actions holds ≤nlist rows at any corpus size
     // (map-side partials are already ≤nlist rows per task), so the

@@ -8,6 +8,35 @@ class AnnSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("withAqeOff: flips and restores confs; refuses to flip under an active stream") {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val partKey = "spark.sql.shuffle.partitions"
+    val (aqe0, part0) = (spark.conf.get(aqeKey), spark.conf.get(partKey))
+    // No stream: confs pinned inside, restored after (even on throw).
+    Ann.withAqeOff(spark) {
+      assert(spark.conf.get(aqeKey) == "false" && spark.conf.get(partKey) == "1")
+    }
+    assert(spark.conf.get(aqeKey) == aqe0 && spark.conf.get(partKey) == part0)
+    intercept[RuntimeException] {
+      Ann.withAqeOff(spark) { throw new RuntimeException("boom") }
+    }
+    assert(spark.conf.get(aqeKey) == aqe0 && spark.conf.get(partKey) == part0)
+    // Active stream on the session: the confs must NOT be touched — a
+    // stateful stream whose first micro-batch planned inside the window
+    // would pin shuffle-partitions=1 into its checkpoint forever.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Long]
+    val query = ms.toDF().writeStream.format("noop").start()
+    try {
+      assert(spark.streams.active.nonEmpty)
+      Ann.withAqeOff(spark) {
+        assert(spark.conf.get(aqeKey) == aqe0 && spark.conf.get(partKey) == part0,
+          "conf flipped while a stream was active on the session")
+      }
+    } finally query.stop()
+  }
+
   test("brute force top-k: rank 1 is the most similar, k respected") {
     val emb = Tables.embeddings(spark, SparkTestSession.sf)
     val out = Ann.bruteForceTopK(emb.where(col("vec_id") < 5), emb, "vec_id", "embedding", 3)
