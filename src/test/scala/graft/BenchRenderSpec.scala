@@ -100,15 +100,15 @@ class BenchRenderSpec extends AnyFunSuite {
     val raw = res.map(_._2).sum
     val j = check(Bench.renderLine(res, 0, "/root/testdata/sf0.1",
       "out.json", Some(2.0)))
-    val adjusted = (j \ "value_adjusted") match {
+    val adjusted = (j \ "value_est_corrected") match {
       case JDouble(x) => x
-      case other => fail(s"value_adjusted missing/odd: $other")
+      case other => fail(s"value_est_corrected missing/odd: $other")
     }
     assert(math.abs(adjusted - raw / 2.0) < 0.01)
     // No calibration -> no adjusted field (and never a divide-by-zero).
     assert((check(Bench.renderLine(res, 0, "/sf", "out.json")) \
-      "value_adjusted") == JNothing)
+      "value_est_corrected") == JNothing)
     assert((check(Bench.renderLine(res, 0, "/root/testdata/sf0.1",
-      "out.json", Some(0.0))) \ "value_adjusted") == JNothing)
+      "out.json", Some(0.0))) \ "value_est_corrected") == JNothing)
   }
 }
