@@ -244,13 +244,23 @@ object Expressions {
     * expressions into the plan; at dim = 64 the optimizer/planner work per
     * refinement pass measurably dominated the (tiny) task time of q63's
     * index build, and at production dims (768+) the per-column form is not
-    * even writable. Math is bit-identical to the spelled-out form: each
-    * element contributes floor(x·scale) as a long, summed order-free; NULL
-    * elements contribute nothing to their dimension (as sum skips nulls);
-    * NULL vectors contribute nothing; an all-null group evaluates to NULL.
-    * Ragged vector lengths within a group throw — length mismatch is data
-    * corruption, not a cell. Map-side combinable, O(dim) memory per group
-    * everywhere. */
+    * even writable. Math is bit-identical to the spelled-out form on every
+    * non-degenerate input: each element contributes floor(x·scale) as a
+    * long, summed order-free; NULL elements contribute nothing to their
+    * dimension (as sum skips nulls); NULL vectors contribute nothing; an
+    * all-NULL-vectors group evaluates to NULL.
+    *
+    * Two DELIBERATE divergences from the per-column spelling (ADVICE-r13):
+    * a dimension that is null in EVERY row of a group yields 0 here where
+    * the spelled `sum` yields NULL (the buffer has no per-dimension
+    * seen-flag; callers treat missing mass as zero mass — the Lloyd mean
+    * divides by the group count either way); and a length-0 input array
+    * THROWS like a ragged length (the spelled form's `element_at(v, 1)`
+    * errors on it too) — silently ignoring empties would make the result
+    * depend on whether an empty row arrived before or after the first
+    * sized row. Ragged vector lengths within a group throw — length
+    * mismatch is data corruption, not a cell. Map-side combinable, O(dim)
+    * memory per group everywhere. */
   case class VectorFloorSum(
       child: Expression,
       scaleExpr: Expression,
@@ -277,6 +287,12 @@ object Expressions {
       else {
         val arr = v.asInstanceOf[ArrayData]
         val n = arr.numElements()
+        // n == 0 must not fall into the buf.isEmpty re-size arm: an empty
+        // vector would be silently ignored before the first sized row and
+        // ragged-throw after it — an order-dependent verdict on the same
+        // data. Degenerate input fails loudly regardless of arrival order.
+        if (n == 0) throw new IllegalStateException(
+          "vector_floor_sum: length-0 vector (empty arrays are degenerate input, not a zero contribution)")
         val b =
           if (buf.length == n) buf
           else if (buf.isEmpty) new Array[Long](n)

@@ -76,17 +76,28 @@ object Bars {
       }
 
   /** Regime-routed variant: each micro-batch goes through
-    * [[graft.operators.UpsertRouter.upsertAuto]], so the FIRST batch's
-    * measured key cardinality decides the table layout (a trickle stream's
-    * handful of bar keys routes bucketed; a bulk backfill's wide key range
-    * routes full-rewrite) and every later trigger follows the table —
-    * the sink-selection decision the r12 upsert drill left to the caller,
-    * now made where the workload is observable. `layoutHint` pins the
-    * layout up front for deployments that know their steady state. */
+    * [[graft.operators.UpsertRouter.upsertAuto]]; the table layout is
+    * decided once and every later trigger follows the table — the
+    * sink-selection decision the r12 upsert drill left to the caller.
+    *
+    * For STREAMING the layout defaults to a pinned `Bucketed` hint rather
+    * than first-batch cardinality sniffing (ADVICE-r13): a streaming sink
+    * is by definition a long-lived, growing table fed by bounded
+    * micro-batches — the regime where pruning's O(table) per-trigger win
+    * only grows — while the first trigger is the LEAST representative
+    * batch a stream ever produces (a restart against an accumulated
+    * file-source backlog replays the whole backlog as one bulk-shaped
+    * batch, which would pin FullRewrite on a steady-state trickle stream
+    * forever; and near the regime knee the estimator's ~2 % rsd would
+    * make the permanent layout a coin flip). A bucketed table absorbs an
+    * occasional bulk batch correctly — it just forgoes pruning for that
+    * batch. Pass `layoutHint = Some(FullRewrite)` for a table that stays
+    * small forever, or `None` to opt back into first-batch sniffing. */
   def autoUpsertingWriter(bars: DataFrame, tableDir: String,
                           checkpointDir: String,
                           numBuckets: Int = 32,
-                          layoutHint: Option[graft.operators.UpsertRouter.Route] = None,
+                          layoutHint: Option[graft.operators.UpsertRouter.Route] =
+                            Some(graft.operators.UpsertRouter.Bucketed),
                           trigger: Trigger = Trigger.ProcessingTime("5 seconds")): DataStreamWriter[Row] =
     bars.writeStream
       .outputMode(OutputMode.Update)

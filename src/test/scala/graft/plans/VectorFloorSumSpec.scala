@@ -91,4 +91,33 @@ class VectorFloorSumSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("length-0 vectors throw regardless of arrival order (ADVICE-r13)") {
+    // Empty-first would previously be silently ignored while empty-after-
+    // sized threw ragged — the verdict on the same data depended on row
+    // order. Both orders must now fail loudly.
+    for (rows <- Seq(
+        Seq((0, Seq.empty[Double]), (0, Seq(1.0, 2.0))),
+        Seq((0, Seq(1.0, 2.0)), (0, Seq.empty[Double])))) {
+      val e = intercept[Exception] {
+        rows.toDF("cell", "v").coalesce(1).groupBy(col("cell"))
+          .agg(Expressions.vectorFloorSum(col("v"), scale)).collect()
+      }
+      assert(e.getMessage != null)
+    }
+  }
+
+  test("all-null DIMENSION yields 0, not NULL — the documented divergence") {
+    // The spelled per-column sum would give NULL for dimension 2; the fused
+    // aggregate has no per-dimension seen-flag and yields 0. Pinned so the
+    // scaladoc's contract statement stays true.
+    val df = Seq(
+      (0, Seq(Option(1.0), Option.empty[Double])),
+      (0, Seq(Option(2.0), Option.empty[Double])))
+      .toDF("cell", "v")
+    val got = df.groupBy(col("cell"))
+      .agg(Expressions.vectorFloorSum(col("v"), scale).as("s"))
+      .head().getSeq[Long](1)
+    assert(got == Seq(math.floor(1.0 * scale).toLong + math.floor(2.0 * scale).toLong, 0L))
+  }
 }

@@ -150,14 +150,16 @@ class BarsSpec extends AnyFunSuite {
     assert(g1 == e1)
   }
 
-  test("auto-routed streaming sink: trickle micro-batches pick the bucketed layout") {
+  test("auto-routed streaming sink: default hint pins bucketed even for a bulk-shaped first batch") {
     val src = Files.createTempDirectory("astream-src")
     val table = Files.createTempDirectory("abar-table").toString
     val ckpt = Files.createTempDirectory("ackpt").toString
-    // 300 s of one symbol's trades = a handful of 1-minute bar keys per
-    // micro-batch: trickle-shaped, so the router's first-batch cardinality
-    // estimate must pick the bucketed layout.
-    val trades = Synthetic.syntheticTrades(spark, "AAA", 300, 1704067200L)
+    // A full hour of trades in ONE file = the restart-against-accumulated-
+    // backlog shape: the first trigger replays ~60 bar keys as one bulk
+    // batch, which first-batch SNIFFING would route FullRewrite — pinning
+    // a steady-state trickle stream to the wrong layout forever
+    // (ADVICE-r13). The streaming writer's default Bucketed hint must win.
+    val trades = Synthetic.syntheticTrades(spark, "AAA", 3600, 1704067200L)
     trades.write.mode("overwrite").parquet(src.toString + "/batch1")
 
     val stream = spark.readStream.schema(trades.schema)
@@ -169,7 +171,7 @@ class BarsSpec extends AnyFunSuite {
 
     assert(graft.operators.UpsertRouter.existingRoute(table)
       .contains(graft.operators.UpsertRouter.Bucketed),
-      "trickle bar stream should have routed to the bucketed layout")
+      "bulk first batch must not override the streaming default Bucketed hint")
     val got = graft.operators.UpsertRouter.read(spark, table).get
     val expected = Bars.oneMinuteBars(trades.select("symbol", "trade_time", "price", "qty"))
     assert(got.count() == expected.count())
@@ -178,5 +180,25 @@ class BarsSpec extends AnyFunSuite {
     val e1 = expected.orderBy("open_time").select("open", "high", "low", "close", "volume")
       .as[(Double, Double, Double, Double, Double)].head()
     assert(g1 == e1)
+  }
+
+  test("auto-routed streaming sink: layoutHint=None opts back into first-batch sniffing") {
+    val src = Files.createTempDirectory("sstream-src")
+    val table = Files.createTempDirectory("sbar-table").toString
+    val ckpt = Files.createTempDirectory("sckpt").toString
+    // 300 s of one symbol = ~5 bar keys: trickle-shaped, the estimator
+    // itself must route bucketed (the bulk→FullRewrite sniffing leg is
+    // covered batch-side in UpsertRouterSpec).
+    val trades = Synthetic.syntheticTrades(spark, "AAA", 300, 1704067200L)
+    trades.write.mode("overwrite").parquet(src.toString + "/batch1")
+    val stream = spark.readStream.schema(trades.schema)
+      .parquet(src.toString + "/*")
+      .select("symbol", "trade_time", "price", "qty")
+    val q = Bars.autoUpsertingWriter(Bars.oneMinuteBars(stream), table, ckpt,
+      numBuckets = 32, layoutHint = None).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    assert(graft.operators.UpsertRouter.existingRoute(table)
+      .contains(graft.operators.UpsertRouter.Bucketed),
+      "trickle first batch under sniffing should route bucketed")
   }
 }
