@@ -34,15 +34,30 @@ import org.apache.spark.sql.functions._
   */
 object Coverage {
 
+  /** Guardrail on the driver-iterated round count: each selection round is
+    * TWO driver jobs (winner collect + covered_cum count), so cost is
+    * k × fixed job latency regardless of cluster size — fine for the
+    * human-sized selections this operator contracts for, quietly a
+    * multi-hour driver loop at k = 10⁴. Raise via `maxK` explicitly (the
+    * escape hatch for a caller who has read this paragraph and accepts the
+    * 2k-job bill); for machine-sized selections use a one-shot proxy
+    * (top-k by distinct-key count) or a partition-local greedy instead. */
+  val DefaultMaxK = 1000
+
   /** @param postings (id, key) rows; duplicates are collapsed
     * @param k        number of documents to select (driver-iterated)
+    * @param maxK     loud-failure ceiling on k (see [[DefaultMaxK]])
     * @return k rows (round, doc_id, gain, covered_cum): the pick of each
     *         round, its marginal gain, and the cumulative distinct keys
     *         covered; fewer than k rows when the corpus is exhausted
     */
   def greedyCover(postings: DataFrame, idCol: String, keyCol: String,
-                  k: Int): DataFrame = {
+                  k: Int, maxK: Int = DefaultMaxK): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(k <= maxK,
+      s"greedyCover: k=$k exceeds maxK=$maxK — each round is two driver " +
+        "jobs, so this loop costs k x fixed job latency at ANY cluster " +
+        "size; pass maxK explicitly if the 2k-job bill is intended")
     val spark = postings.sparkSession
     import spark.implicits._
     def mat(df: DataFrame): DataFrame = graft.Materialize(df)

@@ -25,6 +25,25 @@ import org.apache.spark.sql.functions.{col, row_number}
   * own uniquely-named table, so concurrent upserts into one target never
   * share (or clobber) a stage, and the stage is dropped even when the
   * MERGE fails.
+  *
+  * ==ClickHouse dialect note==
+  * BASELINE.json's north-star blurb names a ClickHouse sink; that engine
+  * speaks this exact protocol with one substitution, because ClickHouse
+  * has no `MERGE INTO` — upsert is a TABLE ENGINE property instead. Make
+  * the target `ENGINE = ReplacingMergeTree(ver) ORDER BY (key cols)`
+  * (`ver` = the precedence column; last-write-wins collapses at merge
+  * time, `FINAL`/`OPTIMIZE ... FINAL` forces it read-side) and the merge
+  * step degenerates to `INSERT INTO target SELECT * FROM stage` — the
+  * in-batch dedup this object already performs stays required, since
+  * ReplacingMergeTree collapses across parts, not within an insert block.
+  * Connection options: `Properties("driver" ->
+  * "com.clickhouse.jdbc.ClickHouseDriver")` against
+  * `jdbc:clickhouse://host:8123/db`, and the stage table wants
+  * `createTableOptions = "ENGINE = Memory"` (plain Spark JDBC `CREATE
+  * TABLE` fails on ClickHouse without an engine clause). Semantics are
+  * unchanged from the MERGE path: key-deduped batch in, last-write-wins
+  * per key out. No code here special-cases it — this paragraph exists so
+  * the dialect swap is a config decision, not a design one.
   */
 object JdbcUpsert {
 

@@ -12,6 +12,21 @@ class CoverageSpec extends AnyFunSuite {
     Coverage.greedyCover(postings.toDF("id", "sh"), "id", "sh", k)
       .as[(Int, Long, Long, Long)].collect().toSeq.sortBy(_._1)
 
+  test("k beyond maxK fails loudly before any job runs; explicit maxK is the escape hatch") {
+    // Each round is two driver jobs, so k=10^4 is a quiet multi-hour
+    // driver loop at any cluster size — the guardrail must throw up front.
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "sh")
+    val e = intercept[IllegalArgumentException] {
+      Coverage.greedyCover(df, "id", "sh", k = Coverage.DefaultMaxK + 1)
+    }
+    assert(e.getMessage.contains("maxK"))
+    // Explicit maxK raises the ceiling (tiny corpus exhausts immediately —
+    // the point is only that construction no longer throws).
+    val ok = Coverage.greedyCover(df, "id", "sh",
+      k = Coverage.DefaultMaxK + 1, maxK = Coverage.DefaultMaxK + 1)
+    assert(ok.count() == 2)
+  }
+
   test("greedy picks maximize marginal gain with min-id tiebreak") {
     // doc 1 covers {a,b,c}; doc 2 covers {c,d}; doc 3 covers {d,e}.
     // Round 1: doc 1 (gain 3). Round 2: docs 2 and 3 both gain 2 over
