@@ -176,4 +176,74 @@ class SoakSpec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("kill mid-soak, restart from checkpoint: exactly-once sink parity", LargeScale) {
+    // The K4 idempotency argument claims at-least-once replay composes
+    // into effectively-once TABLE state across a crash; this makes it a
+    // drill instead of an argument. A file-source stream is hard-stopped
+    // mid-run at a nondeterministic batch boundary (wherever the poll
+    // catches it), more segments land while it is down, and a NEW query
+    // on the SAME checkpoint + table must (a) resume from the checkpoint
+    // rather than from scratch and (b) converge the sink to exact batch
+    // parity — any batch that committed its upsert but not its offset is
+    // re-processed on restart and must re-upsert harmlessly.
+    val dumpDir = Files.createTempDirectory("soak-restart-dump")
+    val t0 = java.time.Instant.parse("2024-03-01T00:00:00Z").toEpochMilli
+    val sent = scala.collection.mutable.ArrayBuffer[(Array[Byte], Array[Byte])]()
+    def writeSegments(from: Int, until: Int): Unit =
+      (from until until).foreach { b =>
+        val ts = t0 + b * 20000L
+        val recs = symbols.zipWithIndex.flatMap { case (s, i) =>
+          Seq(wire(s, b * 10L + i, ts, 100.0 + b % 7),
+              wire(s, b * 10L + i + 5, ts - 15000L, 99.0 + b % 5))
+        }
+        sent ++= recs
+        val tmp = Files.createTempDirectory("soak-rseg")
+        recs.toDF("key", "value").coalesce(1).write.parquet(tmp.resolve("w").toString)
+        val part = Files.list(tmp.resolve("w")).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        Files.move(part, dumpDir.resolve(f"segment-$b%05d.parquet"))
+      }
+
+    val table = Files.createTempDirectory("soak-restart-bars").toString
+    val ckpt = Files.createTempDirectory("soak-restart-ckpt").toString
+    def startQuery() = Bars.autoUpsertingWriter( // the routed sink, default Bucketed pin
+      Bars.oneMinuteBars(Kafka.parseTrades(
+        spark.readStream.schema("key binary, value binary")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(dumpDir.toString))),
+      table, ckpt, numBuckets = 8, trigger = Trigger.ProcessingTime(0L)).start()
+
+    writeSegments(1, 41)
+    val q1 = startQuery()
+    // Let it commit SOME batches, then kill it wherever it happens to be —
+    // a mid-soak crash, not a graceful drain (no processAllAvailable).
+    val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+    while (Option(q1.lastProgress).forall(_.batchId < 5) &&
+           System.nanoTime() < deadline) Thread.sleep(50)
+    val killedAt = Option(q1.lastProgress).map(_.batchId).getOrElse(-1L)
+    q1.stop()
+    assert(killedAt >= 5, s"query never reached batch 5 before the deadline")
+
+    writeSegments(41, 61) // backlog accumulates while the stream is down
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      // Resumed, not restarted-from-scratch: the restart's batch ids
+      // continue past the killed run's frontier.
+      val resumedAt = Option(q2.lastProgress).map(_.batchId).getOrElse(-1L)
+      assert(resumedAt > killedAt,
+        s"restart did not resume from checkpoint: $resumedAt vs kill at $killedAt")
+      val want = Bars.oneMinuteBars(
+          Kafka.parseTrades(sent.toSeq.toDF("key", "value")))
+        .collect().map(_.toString).sorted
+      val got = graft.operators.UpsertRouter.read(spark, table).get
+        .collect().map(_.toString).sorted
+      assert(got.length == want.length && got.sameElements(want),
+        s"restart diverged from batch parity: ${got.length} vs ${want.length} bars")
+    } finally {
+      q2.stop()
+      spark.catalog.clearCache()
+    }
+  }
 }
