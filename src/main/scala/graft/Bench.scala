@@ -110,7 +110,15 @@ object Bench {
       val med = runs.sortBy(_._1).apply((runs.length - 1) / 2)
       (name, med._1, med._2, med._3, runs.forall(_._4), runs.map(_._1))
     }
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // Default OUT lives outside the working tree: the committed
+    // BENCH_LOCAL_DETAIL.json is adjudication-grade evidence from a
+    // calibration-≈1.0 session, and a default-path run (e.g. the driver's
+    // own per-round bench, historically ~1.5× inflated) used to overwrite
+    // it in place — where the round-end auto-commit would then replace the
+    // clean committed copy with the contaminated one (the r12/r13
+    // artifact-hygiene nit). Committing fresh numbers is now a deliberate
+    // act: SPARK_GRAFT_BENCH_OUT=BENCH_LOCAL.json (or cp from /tmp).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/BENCH_LOCAL.json")
     val json = renderLine(
       results.map { case (k, v, g, j, ok, _) => (k, v, g, j, ok) },
       warmFailed.length, sfDir, outFile,
