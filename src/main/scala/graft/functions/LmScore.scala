@@ -41,11 +41,14 @@ object LmScore {
     // under-split corpus would run it on one thread. Identity at
     // production splits.
     //
-    // Empty tokens: `split(trim(text), "\s+")` can only emit "" at
-    // position 0 (leading non-space whitespace) or as the sole element of
-    // an empty doc — never mid-array (the regex collapses runs) — so
-    // dropping them from the ARRAY before pairing preserves exactly the
-    // adjacencies the oracle's post-explode `WHERE tok <> ''` keeps.
+    // Empty tokens: `split(trim(text), "\s+")` can emit "" only at the
+    // ENDS of the array — leading (position 0) when the doc starts with
+    // non-space whitespace trim doesn't strip (tab/newline), trailing
+    // likewise (Spark's split keeps trailing empties, limit -1), or as the
+    // sole element of an empty doc. Never mid-array (the regex collapses
+    // runs), so dropping them from the ARRAY before pairing preserves
+    // exactly the adjacencies the oracle's post-explode
+    // `WHERE tok <> ''` keeps.
     val base = graft.operators.Spread(docs).select(col(idCol).as("__id"),
       filter(TextOps.tokens(col(textCol)), t => t =!= "").as("__tk"))
     val big = base.where(size(col("__tk")) >= 2)

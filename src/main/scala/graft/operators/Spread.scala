@@ -24,7 +24,24 @@ object Spread {
     * parallel per-row work — and a pipeline author who knows their corpus
     * arrives well-split (or benches micro-inputs where the exchange
     * overhead exceeds the win) can disable it globally. */
-  def apply(df: DataFrame): DataFrame = {
+  def apply(df: DataFrame): DataFrame =
+    spreadWith(df, want => df.repartition(want))
+
+  /** [[apply]], but the spread exchange HASH-partitions on `keys` instead
+    * of round-robin — for producers whose first downstream shuffle would
+    * re-cluster on (a superset of) a key already present on the compact
+    * raw rows. Hash partitioning on `keys` satisfies any clustered
+    * distribution over a superset of `keys`, so that downstream aggregate
+    * plans WITHOUT its own exchange: the spread's one exchange does double
+    * duty (TfIdf: spread by doc_id ⇒ the (doc_id, token) tf aggregate over
+    * the exploded rows is partition-local). Only safe when `keys` spread
+    * the small input evenly — a per-document id does; a skewed category
+    * would funnel the spread it exists to provide. */
+  def byKey(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame =
+    spreadWith(df, want => df.repartition(want, keys: _*))
+
+  private def spreadWith(df: DataFrame,
+                         re: Int => DataFrame): DataFrame = {
     val spark = df.sparkSession
     // Streaming frames have no static partition count to inspect (.rdd on
     // one throws the batch-execution analysis error) and their micro-batch
@@ -38,7 +55,7 @@ object Spread {
     if (df.isStreaming || disabled) df
     else {
       val want = spark.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+      if (df.rdd.getNumPartitions < want) re(want) else df
     }
   }
 }

@@ -1,40 +1,56 @@
 #!/usr/bin/env bash
-# Regenerates BENCH_SF1.md — the committed two-point (sf0.1 → sf1) scaling
-# table for the top-22 most expensive registry queries. The r13 parallelism
-# -starvation find proved the two-point run is the arbiter single-scale A/Bs
-# cannot be (a one-file 10x corpus ran the shingle family on 2 of 32
-# threads, invisible at sf0.1); this script makes that run per-round and
-# diffable instead of hand-rolled.
+# Regenerates BENCH_SF1.md — the committed scaling table for the top-22
+# most expensive registry queries. The r13 parallelism-starvation find
+# proved the multi-point run is the arbiter single-scale A/Bs cannot be (a
+# one-file 10x corpus ran the shingle family on 2 of 32 threads, invisible
+# at sf0.1); this script makes that run per-round and diffable instead of
+# hand-rolled.
+#
+# Two scale points (sf0.1, sf1 = 10x) for all 22; a THIRD middle point
+# (sf0.3 = ScaleUp 3x) for the top-10 by sf1 cost, so a non-monotone
+# regime change (cache cliff, broadcast-to-shuffle flip) can't hide
+# between the two outer points — the per-segment exponents bracket it.
 #
 # Usage (repo root): tools/benchsf1.sh [outfile]
 # Needs: compiled classes (sbt compile), /root/testdata/sf0.1, testdata-sf1/
 # (regenerate the latter with: tools/run.sh graft.ScaleUp /root/testdata/sf0.1 testdata-sf1 10)
+# The sf0.3 corpus is generated on demand into testdata-sf0.3/.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 OUT="${1:-BENCH_SF1.md}"
 SF01=/root/testdata/sf0.1
+SF03=testdata-sf0.3
 SF1=testdata-sf1
 [ -d "$SF1" ] || { echo "missing $SF1 — see header for the ScaleUp command" >&2; exit 2; }
+[ -d "$SF03" ] || {
+  echo "[benchsf1] generating $SF03 (ScaleUp 3x)..." >&2
+  tools/run.sh graft.ScaleUp "$SF01" "$SF03" 3 >/dev/null
+}
 
 # Top-22 by sf0.1 cost (the r13 selection; revisit when the registry's
 # expensive tail changes).
 QUERIES=q01_pricing_summary,q111_aligned_runs,q116_minhash_error,q118_dup_cluster_histogram,q126_source_copy_matrix,q135_dup_graph_degrees,q137_lsh_recall_curve,q146_pagerank,q152_split_leakage,q157_method_agreement,q167_dedup_savings,q170_greedy_cover,q181_pair_explain,q42_ngram_jaccard,q43_minhash_lsh,q65_dedup_components,q69_corpus_curation,q70_minhash_components,q73_incremental_minhash,q76_line_dedup,q77_containment_pairs,q84_near_dup_keep_best
+# Top-10 by sf1 cost (r14 BENCH_SF1 ordering) — the three-point subset.
+TOP10=q69_corpus_curation,q111_aligned_runs,q116_minhash_error,q137_lsh_recall_curve,q181_pair_explain,q167_dedup_savings,q118_dup_cluster_histogram,q126_source_copy_matrix,q65_dedup_components,q70_minhash_components
 
-run_point () { # $1 = sf dir, $2 = detail-out prefix
+run_point () { # $1 = sf dir, $2 = detail-out prefix, $3 = query list
   SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=24g \
-  SPARK_GRAFT_BENCH_REPS=3 SPARK_GRAFT_BENCH_ONLY="$QUERIES" \
+  SPARK_GRAFT_BENCH_REPS=3 SPARK_GRAFT_BENCH_ONLY="$3" \
   SPARK_GRAFT_BENCH_OUT="$2.json" tools/run.sh graft.Bench >/dev/null
 }
 
 echo "[benchsf1] sf0.1 point (3 reps)..." >&2
-run_point "$SF01" /tmp/benchsf1_a
+run_point "$SF01" /tmp/benchsf1_a "$QUERIES"
+echo "[benchsf1] sf0.3 point, top-10 (3 reps)..." >&2
+run_point "$SF03" /tmp/benchsf1_m "$TOP10"
 echo "[benchsf1] sf1 point (3 reps)..." >&2
-run_point "$SF1" /tmp/benchsf1_b
+run_point "$SF1" /tmp/benchsf1_b "$QUERIES"
 
 python3 - "$OUT" <<'EOF'
-import json, math, subprocess, sys, datetime
+import json, math, statistics, subprocess, sys, datetime
 out = sys.argv[1]
 a = json.load(open("/tmp/benchsf1_a_DETAIL.json"))
+m = json.load(open("/tmp/benchsf1_m_DETAIL.json"))
 b = json.load(open("/tmp/benchsf1_b_DETAIL.json"))
 head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                       capture_output=True, text=True).stdout.strip() or "?"
@@ -46,13 +62,20 @@ for q in sorted(a):
     exp = math.log(t1 / t0) / math.log(10)
     exps.append(exp)
     rows.append(f"| `{q}` | {t0:.3f} | {t1:.3f} | {t1/t0:.2f}x | {exp:.2f} |")
-exps.sort()
-med = exps[len(exps)//2] if exps else float("nan")
+rows3 = []
+for q in sorted(m):
+    if not (q in a and q in b and a[q]["ok"] and m[q]["ok"] and b[q]["ok"]):
+        rows3.append(f"| `{q}` | FAILED | — | — |"); continue
+    t0, tm, t1 = a[q]["sec"], m[q]["sec"], b[q]["sec"]
+    e_lo = math.log(tm / t0) / math.log(3)       # sf0.1 -> sf0.3 (3x)
+    e_hi = math.log(t1 / tm) / math.log(10 / 3)  # sf0.3 -> sf1 (10/3 x)
+    rows3.append(f"| `{q}` | {t0:.3f} | {tm:.3f} | {t1:.3f} "
+                 f"| {e_lo:.2f} | {e_hi:.2f} |")
 now = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
 with open(out, "w") as f:
-    f.write(f"""# BENCH_SF1 — one-scale-up bench point (generated)
+    f.write(f"""# BENCH_SF1 — scale-up bench points (generated)
 
-Two-point scaling run, regenerated per round by `tools/benchsf1.sh`
+Scaling run, regenerated per round by `tools/benchsf1.sh`
 (generated {now} at HEAD {head}): top-22 most expensive registry queries
 at sf0.1 and the `testdata-sf1/` 10x corpus (`graft.ScaleUp` key-disjoint
 replicas, replica-private content universes, so pair work grows LINEARLY
@@ -67,7 +90,28 @@ the r13 shingle-starvation class; investigate before shipping).
 |---|---|---|---|---|
 """)
     f.write("\n".join(rows) + "\n\n")
-    f.write(f"Top-{len(exps)} exponents: median **{med:.2f}**, mean "
-            f"{sum(exps)/len(exps):.2f}, max **{max(exps):.2f}**.\n")
-print(f"wrote {out}: median exp {med:.2f}, max {max(exps):.2f}")
+    if exps:
+        f.write(f"Top-{len(exps)} exponents: median "
+                f"**{statistics.median(exps):.2f}**, mean "
+                f"{sum(exps)/len(exps):.2f}, max **{max(exps):.2f}**.\n")
+    else:
+        f.write("ALL QUERIES FAILED at one or both scale points — "
+                "no exponents; inspect the detail JSONs in /tmp.\n")
+    f.write("""
+## Three-point segment exponents (top-10 by sf1 cost)
+
+Middle point `testdata-sf0.3/` (ScaleUp 3x). Per-segment exponents
+bracket any regime change between the outer points: a segment exponent
+far above the two-point exp (and above 1) flags a cliff the end-to-end
+fit averaged away.
+
+| query | sf0.1 s | sf0.3 s | sf1 s | exp 0.1→0.3 | exp 0.3→1 |
+|---|---|---|---|---|---|
+""")
+    f.write("\n".join(rows3) + "\n")
+if exps:
+    print(f"wrote {out}: median exp {statistics.median(exps):.2f}, "
+          f"max {max(exps):.2f}")
+else:
+    print(f"wrote {out}: ALL FAILED — no exponents")
 EOF
