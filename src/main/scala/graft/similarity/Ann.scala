@@ -145,7 +145,7 @@ object Ann {
     // The prepared corpus feeds FOUR consumers — the centroid-stride count,
     // the seed collect, each Lloyd pass, and the final cell-assigned probe
     // plan — so the scan+cast+norm is cached once here instead of
-    // recomputed per driver action (refineCentroids detects the existing
+    // recomputed per driver action (buildCentroids detects the existing
     // cache and leaves ownership with us). Left cached for the returned
     // plan's execution; callers running many builds per session clear the
     // session cache between them (the bench does per rep).
@@ -157,9 +157,7 @@ object Ann {
     // well-split and parallelizes without help.
     val c = prepared(corpus, idCol, vecCol, "corpus_id", "cv", "cn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val seeds = pickCentroids(c, nlist)
-    val centroids =
-      if (lloydIters > 0) refineCentroids(c, seeds, lloydIters) else seeds
+    val centroids = buildCentroids(c, nlist, lloydIters)
     val cCells = assignCells(c, "cv", centroids, 1).withColumnRenamed("cell_1", "cell")
     val qPrepped = prepared(queries, idCol, vecCol, "query_id", "qv", "qn")
     // Queries probe their nprobe nearest cells (explode over cell ranks).
@@ -189,9 +187,7 @@ object Ann {
   def clusterAssign(corpus: DataFrame, idCol: String, vecCol: String,
                     nlist: Int, lloydIters: Int = 0): DataFrame = {
     val c = prepared(corpus, idCol, vecCol, "corpus_id", "cv", "cn")
-    val seeds = pickCentroids(c, nlist)
-    val cents =
-      if (lloydIters > 0) refineCentroids(c, seeds, lloydIters) else seeds
+    val cents = buildCentroids(c, nlist, lloydIters)
     assignCells(c, "cv", cents, 1)
       .select(col("corpus_id").as(idCol), col("cell_1").as("cell"))
   }
@@ -219,9 +215,7 @@ object Ann {
                     lloydIters: Int = 0): DataFrame = {
     val c = prepared(corpus, idCol, vecCol, "corpus_id", "cv", "cn")
       .where(col("cn") > 0)
-    val seeds = pickCentroids(c, nlist)
-    val cents =
-      if (lloydIters > 0) refineCentroids(c, seeds, lloydIters) else seeds
+    val cents = buildCentroids(c, nlist, lloydIters)
     val asgRaw = assignCells(c, "cv", cents, 1)
       .select(col("corpus_id").as("id"), col("cv").as("vec"),
         col("cn").as("norm"), col("cell_1").as("block"))
@@ -248,68 +242,96 @@ object Ann {
     * replaces for the non-negative counts involved) moves into the plan,
     * so the count stage and the seed scan schedule inside a single action
     * (which also doubles as the cache warm-up for the shared prep). */
-  private def pickCentroids(prep: DataFrame, nlist: Int): Array[(Int, Array[Double], Double)] = {
-    withAqeOff(prep.sparkSession) {
-      prep
-        .crossJoin(broadcast(prep.agg(count(lit(1)).as("__cnt"))))
-        .where(pmod(col("corpus_id"),
-          greatest(lit(1L), expr(s"__cnt DIV $nlist"))) === 0)
-        .orderBy(col("corpus_id")).limit(nlist).collect()
-        .zipWithIndex.map { case (r, i) =>
-          (i, r.getSeq[Double](r.fieldIndex("cv")).toArray,
-            r.getDouble(r.fieldIndex("cn")))
-        }
+  private def pickCentroids(prep: DataFrame, nlist: Int): Array[(Int, Array[Double], Double)] =
+    prep
+      .crossJoin(broadcast(prep.agg(count(lit(1)).as("__cnt"))))
+      .where(pmod(col("corpus_id"),
+        greatest(lit(1L), expr(s"__cnt DIV $nlist"))) === 0)
+      .orderBy(col("corpus_id")).limit(nlist).collect()
+      .zipWithIndex.map { case (r, i) =>
+        (i, r.getSeq[Double](r.fieldIndex("cv")).toArray,
+          r.getDouble(r.fieldIndex("cn")))
+      }
+
+  /** Seed pick + optional Lloyd refinement, with every bounded collect
+    * planned on a CHILD session (`spark.newSession()` — same SparkContext,
+    * shared cache manager, fresh SQL-conf state; the pattern
+    * [[graft.operators.Graph]]'s contraction loop established) configured
+    * with AQE off and ONE post-shuffle partition:
+    *
+    *  - The index-BUILD actions (seed pick, Lloyd mean collects) produce
+    *    ≤nlist rows BY CONSTRUCTION at every scale — their exchanges move
+    *    centroid-count rows, so AQE's runtime re-planning can never improve
+    *    them, while its stage-by-stage materialization turns each 2-stage
+    *    collect into 2–3 driver-round-trip jobs whose scheduling gaps
+    *    dominate the whole index build on small corpora (measured: ~19 %
+    *    of q63). shuffle.partitions=1 is the static form of the coalescing
+    *    AQE would have done: the reduce side holds ≤nlist rows.
+    *  - The CALLER's session confs are never touched, so concurrent
+    *    queries on other threads — batch or streaming, including a
+    *    stream's FIRST micro-batch, whose planned shuffle partition count
+    *    is pinned into its checkpoint permanently — plan under their own
+    *    settings. (This retires the r13/r14 conf-flip guards: there is no
+    *    window to guard.)
+    *
+    * The rebind is a GLOBAL temp view (cross-session by definition): the
+    * child resolves the view to `prep`'s own analyzed plan, so the shared
+    * cache manager still substitutes the caller's persisted
+    * InMemoryRelation — zero-copy, no RDD round-trip — and the first child
+    * action doubles as the cache warm-up for the shared prep. The PROBE
+    * plan the builders feed stays on the caller's session and keeps AQE —
+    * that one scans the corpus and benefits at scale. */
+  private def buildCentroids(prep: DataFrame, nlist: Int,
+                             lloydIters: Int): Array[(Int, Array[Double], Double)] = {
+    val owner = prep.sparkSession
+    // Lloyd refinement runs iters+1 actions over prep — cache it for the
+    // build unless the caller already owns the cache (ivfTopK does: one
+    // cache shared across build AND probe). Seed-only builds are a single
+    // action; caching would cost more than it saves.
+    val weCache = lloydIters > 0 &&
+      prep.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (weCache) prep.persist()
+    val viewName = "graft_ann_idx_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    prep.createOrReplaceGlobalTempView(viewName)
+    try {
+      val child = indexSession(owner)
+      val db = owner.conf.get("spark.sql.globalTempDatabase", "global_temp")
+      val prepIdx = child.table(s"$db.$viewName")
+      val seeds = pickCentroids(prepIdx, nlist)
+      if (lloydIters > 0) refineCentroids(prepIdx, seeds, lloydIters)
+      else seeds
+    } finally {
+      owner.catalog.dropGlobalTempView(viewName)
+      if (weCache) prep.unpersist(blocking = false)
     }
   }
 
-  /** Runs `f` with adaptive execution disabled in the session, restoring
-    * the previous setting after. The index-BUILD actions (seed pick, Lloyd
-    * mean collects) produce ≤nlist rows BY CONSTRUCTION at every scale —
-    * their exchanges move centroid-count rows, so AQE's runtime re-planning
-    * can never improve them, while its stage-by-stage materialization turns
-    * each 2-stage collect into 2–3 driver-round-trip jobs whose scheduling
-    * gaps dominate the whole index build on small corpora (measured: ~19 %
-    * of q63). The PROBE plan the builders feed keeps AQE — that one scans
-    * the corpus and benefits at scale.
-    *
-    * ==Scope caveat (library callers)==
-    * Spark has no public per-plan AQE toggle, so the flip is SESSION-
-    * visible for the duration of the bounded collect: any OTHER thread
-    * that plans a query on the same session inside that window plans with
-    * AQE off and shuffle.partitions=1. Two guards bound the blast radius:
-    *
-    *  1. If the session has ANY active structured-streaming query, the
-    *     confs are NOT touched and `f` runs under the session's normal
-    *     settings (slightly more scheduling overhead on the bounded
-    *     collects — correctness identical). A stateful stream whose FIRST
-    *     micro-batch planned inside the window would otherwise pin
-    *     shuffle-partitions=1 into its checkpoint permanently.
-    *  2. The flip-run-restore is synchronized per session, so two
-    *     concurrent index builds can't interleave restores and leak the
-    *     pinned confs past both windows.
-    *
-    * A concurrent BATCH query on another thread of the same session can
-    * still plan inside the window (its plan is merely less adaptive, never
-    * wrong); callers running a multi-tenant session that cannot tolerate
-    * that should build indexes on `spark.cloneSession()` — clones share
-    * the cache manager, so the shared prep cache still hits. */
-  private[similarity] def withAqeOff[T](spark: org.apache.spark.sql.SparkSession)(f: => T): T =
-    if (spark.streams.active.nonEmpty) f
-    else spark.synchronized { withAqeOffUnguarded(spark)(f) }
+  /** One child session per OWNER session, created on first index build and
+    * reused after: a fresh `SessionState` (analyzer, optimizer, catalogs)
+    * costs ~100-200 ms to build — per-BUILD that doubled the sub-second
+    * IVF queries; per-OWNER it is one-time noise. Weak keys so a retired
+    * owner session is collectable (the child references the shared context
+    * and state, never the owner itself). The child's two confs are fixed
+    * at creation and never mutated, so reuse across concurrent builds is
+    * safe — view names are per-build-unique and the collects are
+    * stateless. */
+  private val indexSessions =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      org.apache.spark.sql.SparkSession]()
 
-  private def withAqeOffUnguarded[T](spark: org.apache.spark.sql.SparkSession)(f: => T): T = {
-    // Also pin the collect's post-shuffle side to ONE partition: the
-    // reduce stage of these actions holds ≤nlist rows at any corpus size
-    // (map-side partials are already ≤nlist rows per task), so the
-    // session's shuffle.partitions would fan those few rows across dozens
-    // of near-empty tasks — exactly the coalescing AQE would have done,
-    // done statically since the row bound is known by construction.
-    val keys = Seq("spark.sql.adaptive.enabled" -> "false",
-      "spark.sql.shuffle.partitions" -> "1")
-    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
-    keys.foreach { case (k, v) => spark.conf.set(k, v) }
-    try f finally prev.foreach { case (k, old) =>
-      old.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  private def indexSession(owner: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.SparkSession = indexSessions.synchronized {
+    val cached = indexSessions.get(owner)
+    if (cached != null) cached
+    else {
+      val child = owner.newSession()
+      graft.plans.Expressions.ensureRegistered(child)
+      child.conf.set("spark.sql.adaptive.enabled", "false")
+      child.conf.set("spark.sql.shuffle.partitions", "1")
+      indexSessions.put(owner, child)
+      child
+    }
   }
 
   /** Lloyd (k-means) refinement of the seed centroids: re-assign every
@@ -327,45 +349,37 @@ object Ann {
     * deterministic truncation, identical on engine and oracle. */
   private[similarity] val MeanScale = 16777216.0 // 2^24
 
+  /** Lloyd passes over the CHILD-bound prep frame ([[buildCentroids]] owns
+    * session setup and the caller-side cache lifecycle). */
   private def refineCentroids(prep: DataFrame,
                               init: Array[(Int, Array[Double], Double)],
                               iters: Int): Array[(Int, Array[Double], Double)] = {
     var cents = init
-    // Each iteration collects cell means: cache the cast+norm — but only
-    // when the CALLER hasn't already (ivfTopK shares one cache across all
-    // its driver actions; dropping it here would force the final probe
-    // plan to recompute the scan).
-    val weCache = prep.storageLevel == org.apache.spark.storage.StorageLevel.NONE
-    if (weCache) prep.persist()
-    try {
-      for (_ <- 0 until iters) {
-        // ONE array-sum aggregate, not dim scalar sums: identical math
-        // (see VectorFloorSum's scaladoc), but the plan carries 2 aggregate
-        // expressions instead of dim+1 — the per-column form's optimizer/
-        // planner cost per pass dominated this tiny-output action, and a
-        // production 768-dim embedding column can't spell 768 columns.
-        val means = withAqeOff(prep.sparkSession) {
-          assignCells(prep, "cv", cents, 1)
-            .groupBy(col("cell_1"))
-            .agg(count(lit(1)).as("__n"),
-              graft.plans.Expressions.vectorFloorSum(col("cv"), MeanScale).as("__s"))
-            .collect()
-        }
-          .map { r =>
-            val n = r.getLong(1).toDouble
-            r.getInt(0) -> r.getSeq[Long](2).iterator
-              .map(s => math.floor(s.toDouble / n) / MeanScale)
-              .toArray
-          }.toMap
-        cents = cents.map { case (cid, oldVec, oldNorm) =>
-          means.get(cid) match {
-            case Some(v) => (cid, v, math.sqrt(v.map(x => x * x).sum))
-            case None => (cid, oldVec, oldNorm)
-          }
+    for (_ <- 0 until iters) {
+      // ONE array-sum aggregate, not dim scalar sums: identical math
+      // (see VectorFloorSum's scaladoc), but the plan carries 2 aggregate
+      // expressions instead of dim+1 — the per-column form's optimizer/
+      // planner cost per pass dominated this tiny-output action, and a
+      // production 768-dim embedding column can't spell 768 columns.
+      val means = assignCells(prep, "cv", cents, 1)
+        .groupBy(col("cell_1"))
+        .agg(count(lit(1)).as("__n"),
+          graft.plans.Expressions.vectorFloorSum(col("cv"), MeanScale).as("__s"))
+        .collect()
+        .map { r =>
+          val n = r.getLong(1).toDouble
+          r.getInt(0) -> r.getSeq[Long](2).iterator
+            .map(s => math.floor(s.toDouble / n) / MeanScale)
+            .toArray
+        }.toMap
+      cents = cents.map { case (cid, oldVec, oldNorm) =>
+        means.get(cid) match {
+          case Some(v) => (cid, v, math.sqrt(v.map(x => x * x).sum))
+          case None => (cid, oldVec, oldNorm)
         }
       }
-      cents
-    } finally if (weCache) prep.unpersist(blocking = false) // also on a throwing iteration
+    }
+    cents
   }
 
   /** Adds cell_1..cell_n = indices of the n nearest centroids (by cosine).

@@ -8,32 +8,40 @@ class AnnSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
-  test("withAqeOff: flips and restores confs; refuses to flip under an active stream") {
+  test("IVF index build runs concurrently with an active stream; caller confs never touched") {
+    // The r14 design flipped session confs around the bounded index-build
+    // collects and so had to REFUSE under an active stream (a stateful
+    // stream's first micro-batch planning inside the window would pin
+    // shuffle-partitions=1 into its checkpoint forever). The build now
+    // plans those collects on a child session, so it must run TO COMPLETION
+    // while a stream is active on the caller's session, with the caller's
+    // confs bit-identical throughout.
     val aqeKey = "spark.sql.adaptive.enabled"
     val partKey = "spark.sql.shuffle.partitions"
     val (aqe0, part0) = (spark.conf.get(aqeKey), spark.conf.get(partKey))
-    // No stream: confs pinned inside, restored after (even on throw).
-    Ann.withAqeOff(spark) {
-      assert(spark.conf.get(aqeKey) == "false" && spark.conf.get(partKey) == "1")
-    }
-    assert(spark.conf.get(aqeKey) == aqe0 && spark.conf.get(partKey) == part0)
-    intercept[RuntimeException] {
-      Ann.withAqeOff(spark) { throw new RuntimeException("boom") }
-    }
-    assert(spark.conf.get(aqeKey) == aqe0 && spark.conf.get(partKey) == part0)
-    // Active stream on the session: the confs must NOT be touched — a
-    // stateful stream whose first micro-batch planned inside the window
-    // would pin shuffle-partitions=1 into its checkpoint forever.
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Long]
-    val query = ms.toDF().writeStream.format("noop").start()
+    val query = ms.toDF().groupBy(col("value") % 2).count()
+      .writeStream.outputMode("complete").format("noop").start()
     try {
       assert(spark.streams.active.nonEmpty)
-      Ann.withAqeOff(spark) {
-        assert(spark.conf.get(aqeKey) == aqe0 && spark.conf.get(partKey) == part0,
-          "conf flipped while a stream was active on the session")
-      }
+      val emb = Tables.embeddings(spark, SparkTestSession.sf)
+      val q = emb.where(col("vec_id") < 5)
+      // Lloyd iterations exercise BOTH child-session collect shapes (seed
+      // pick + mean refinement) while the stream is live.
+      val out = Ann.ivfTopK(q, emb, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 3, lloydIters = 1)
+      assert(out.count() > 0)
+      assert(spark.conf.get(aqeKey) == aqe0 && spark.conf.get(partKey) == part0,
+        "index build mutated the caller session's confs")
+      // The stream still makes progress after (and despite) the build.
+      ms.addData(1L, 2L, 3L)
+      query.processAllAvailable()
+      assert(query.isActive)
+      // No leaked cross-session rebind views.
+      assert(!spark.catalog.listTables("global_temp").collect()
+        .exists(_.name.startsWith("graft_ann_idx_")))
     } finally query.stop()
   }
 
