@@ -10,14 +10,20 @@ import graft.sources.CsvReaders
 /** The end-to-end analytics job — the reference's richest entry point
   * (`python -m src.analytics.binance_analysis`, SURVEY §3.3) as one Spark
   * job: load candles → build the feature frame ONCE (cached — ~10 artifact
-  * queries fan out from it) → emit every artifact table.
+  * queries fan out from it) → emit every artifact table, including the
+  * optional trades/orderbook reports (`summary_large_trades.json`,
+  * `summary_orderbook.json`, `binance_analysis.py:692-728`) when those
+  * inputs are supplied.
   *
   * Usage: Analyze <candlesPath(.csv glob|parquet)> <outDir> [focusSymbol]
+  *   (trades/book inputs via the Main CLI `analyze --trades/--book` flags)
   */
 object Analyze {
 
   def run(spark: SparkSession, candles: DataFrame, outDir: String,
-          focusSymbol: Option[String] = None): Unit = {
+          focusSymbol: Option[String] = None,
+          trades: Option[DataFrame] = None,
+          book: Option[DataFrame] = None): Unit = {
     val feats = Crypto.addFeatures(candles).cache()
     try {
       val focus = focusSymbol.orElse(
@@ -68,6 +74,32 @@ object Analyze {
         AggOps.overallSummary(f, col("typical_price")), s"$outDir/summary_overall.json")
       Artifacts.writeJsonSummary(
         AggOps.coverage(f, col("open_time")), s"$outDir/summary_coverage.json")
+      // O4 sampled activity-vs-volatility scatter table (the table behind
+      // vol_vs_volume_scatter.png, binance_analysis.py:713): deterministic
+      // exact-5000 sample of the focus frame, reproducible across engines.
+      Artifacts.writeCsv(WindowOps.deterministicSample(
+          f.select(col("open_time"), col("log_volume"), col("abs_ret")),
+          concat_ws(":", col("symbol"), col("open_time").cast("string")), 5000),
+        s"$outDir/vol_vs_volume_sample")
+      // Optional J1/F5/P24 large-trades report (binance_analysis.py:692-724):
+      // scalar summary + top-50 rows by notional, forward returns attached
+      // from the candles' minute buckets.
+      trades.foreach { tr =>
+        val (top, summary) = Crypto.largeTradesReport(tr, feats
+          .select(col("symbol"), col("open_time"), col("close")),
+          quantile = 0.995, topN = 50)
+        Artifacts.writeJsonSummaryWithRows(summary,
+          top.select(col("trade_time").as("ts"), col("minute"),
+            col("price"), col("qty"), round(col("notional"), 8).as("notional"),
+            col("fwd_ret_5").as("ret_5m"), col("fwd_ret_15").as("ret_15m"),
+            col("fwd_ret_60").as("ret_60m")),
+          "top_rows", s"$outDir/summary_large_trades.json")
+      }
+      // Optional A14/A15 orderbook snapshot report (:727-728).
+      book.foreach { ob =>
+        Artifacts.writeJsonSummary(Crypto.orderbookReport(ob, topN = 20),
+          s"$outDir/summary_orderbook.json")
+      }
     } finally feats.unpersist()
   }
 

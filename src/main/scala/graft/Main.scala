@@ -15,6 +15,7 @@ import graft.sources.{Rest, Synthetic}
   *   collect-orderbooks  --pairs ... --out data
   *   etl                 --data data --warehouse warehouse
   *   analyze             --in <csv-glob|parquet> --out artifacts [--focus SYM]
+  *                       [--trades <csv|parquet>] [--book <csv|parquet>]
   *
   * `OFFLINE=1` (the reference's fixture switch, `src/binance/api.py:56-64`)
   * swaps every REST fetch for the deterministic synthetic sources, so the
@@ -189,6 +190,7 @@ object Main {
       |  collect-orderbooks  --pairs BTCUSDT,ETHUSDT --out data
       |  etl                 --data data --warehouse warehouse
       |  analyze             --in <csv-glob|parquet> --out artifacts [--focus SYM]
+      |                      [--trades <csv|parquet>] [--book <csv|parquet>]
       |OFFLINE=1 swaps REST fetches for deterministic synthetic fixtures.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
@@ -227,8 +229,16 @@ object Main {
         val candles =
           if (in.endsWith(".csv")) sources.CsvReaders.readKlinesCsv(spark, in)
           else spark.read.parquet(in)
+        val trades = opts.kv.get("trades").map { p =>
+          if (p.endsWith(".csv")) sources.CsvReaders.readTradesCsv(spark, p)
+          else spark.read.parquet(p)
+        }
+        val book = opts.kv.get("book").map { p =>
+          if (p.endsWith(".csv")) sources.CsvReaders.readOrderbookCsv(spark, p)
+          else spark.read.parquet(p)
+        }
         Analyze.run(spark, candles, opts.get("out", "artifacts"),
-          opts.kv.get("focus"))
+          opts.kv.get("focus"), trades, book)
       case other =>
         println(s"unknown subcommand: $other"); usage()
     } finally spark.stop()

@@ -65,7 +65,20 @@ object Crypto {
     * join trades to candles on the minute bucket, attach forward returns,
     * keep trades above the notional quantile, top-k by notional. */
   def largeTrades(trades: DataFrame, candles: DataFrame, quantile: Double,
-                  topN: Int): DataFrame = {
+                  topN: Int): DataFrame =
+    largeTradesReport(trades, candles, quantile, topN)._1
+
+  /** [[largeTrades]] plus the one-row scalar report the reference's JSON
+    * artifact carries alongside the top rows
+    * (`binance_analysis.py:433-440`): total trade rows, the notional
+    * threshold at `quantile`, and the count at-or-above it. Both frames
+    * derive from the same threshold plan; they are separate ACTIONS, so an
+    * artifact job that writes both scans the trades twice — trades tables
+    * are minute-bucketed fact slices, not the 100 TB corpus, and the
+    * alternative (caching) would pin an arbitrarily large frame for two
+    * small reports. */
+  def largeTradesReport(trades: DataFrame, candles: DataFrame,
+                        quantile: Double, topN: Int): (DataFrame, DataFrame) = {
     val withMinute = trades
       .withColumn("notional", col("price") * col("qty"))
       .withColumn("minute", TimeOps.minuteFloor(col("trade_time")))
@@ -76,7 +89,12 @@ object Crypto {
       .select(col("symbol"), col("open_time").as("minute"),
         col("fwd_ret_5"), col("fwd_ret_15"), col("fwd_ret_60"))
     val joined = JoinOps.bucketAlignJoin(big, candleSide, Seq("symbol", "minute"))
-    WindowOps.topK(joined, Seq(col("notional").desc, col("trade_id")), topN)
+    val top = WindowOps.topK(joined, Seq(col("notional").desc, col("trade_id")), topN)
+    val summary = withMinute.crossJoin(broadcast(thr)).agg(
+      count(lit(1)).as("rows_total"),
+      round(max(col("thr")), 8).as("threshold_notional"),
+      sum(when(col("notional") >= col("thr"), 1L).otherwise(0L)).as("rows_large"))
+    (top, summary)
   }
 
   /** Orderbook analytics (W4/A14/A15, `binance_analysis.py:483-512`): level
@@ -100,4 +118,32 @@ object Crypto {
       .agg(round(sum(col("qty")), 8).as("depth_qty"),
            round(sum(col("qty") * col("price")), 8).as("depth_notional"))
       .orderBy(col("symbol"), col("side"))
+
+  /** The orderbook snapshot report (`binance_analysis.py:499-524`) as ONE
+    * one-row frame: row count + snapshot time bounds, best bid/ask with
+    * spread and mid, and the top-`topN` per-side depth pivoted to scalar
+    * columns (`depth_topN_{bid,ask}_{qty,notional}`). Side values are
+    * normalized (lower/trim) and non-bid/ask rows dropped first, matching
+    * the reference's cleaning. Multi-symbol books aggregate ACROSS symbols
+    * (the reference reads one symbol's snapshot; per-symbol reports come
+    * from [[depth]]/[[bestBidAsk]] directly). Three one-row aggregates
+    * crossJoined — each is a single map-side-combined pass, no corpus-sized
+    * join sides. */
+  def orderbookReport(book: DataFrame, topN: Int = 20): DataFrame = {
+    val cleaned = book.withColumn("side", lower(trim(col("side"))))
+      .where(col("side").isin("bid", "ask"))
+    val meta = cleaned.agg(count(lit(1)).as("rows_total"),
+      min(col("update_time")).as("ts_min"), max(col("update_time")).as("ts_max"))
+    val best = bestBidAsk(cleaned)
+    val d = depth(cleaned, topN).groupBy().agg(
+      round(sum(when(col("side") === "bid", col("depth_qty"))), 8)
+        .as(s"depth_top${topN}_bid_qty"),
+      round(sum(when(col("side") === "ask", col("depth_qty"))), 8)
+        .as(s"depth_top${topN}_ask_qty"),
+      round(sum(when(col("side") === "bid", col("depth_notional"))), 8)
+        .as(s"depth_top${topN}_bid_notional"),
+      round(sum(when(col("side") === "ask", col("depth_notional"))), 8)
+        .as(s"depth_top${topN}_ask_notional"))
+    meta.crossJoin(broadcast(best)).crossJoin(broadcast(d))
+  }
 }

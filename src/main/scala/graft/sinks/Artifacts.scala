@@ -35,4 +35,20 @@ object Artifacts {
     Files.createDirectories(Paths.get(path).toAbsolutePath.getParent)
     Files.writeString(Paths.get(path), row)
   }
+
+  /** [[writeJsonSummary]] with a BOUNDED row list spliced in as an array
+    * field — the reference's `summary_large_trades.json` shape (scalar
+    * report + `top_rows`, `binance_analysis.py:417-440`). `rows` must be a
+    * top-k/report-sized frame: it is collected driver-side in its frame
+    * order (a LIMIT-ed sorted frame collects sorted). `toJSON` omits null
+    * fields per row, like the scalars in [[writeJsonSummary]]. */
+  def writeJsonSummaryWithRows(summary: DataFrame, rows: DataFrame,
+                               rowsField: String, path: String): Unit = {
+    val head = summary.toJSON.head()
+    val items = rows.toJSON.collect()
+    val base = if (head == "{}") "{" else head.dropRight(1) + ","
+    val json = base + s""""$rowsField":[${items.mkString(",")}]}"""
+    Files.createDirectories(Paths.get(path).toAbsolutePath.getParent)
+    Files.writeString(Paths.get(path), json)
+  }
 }

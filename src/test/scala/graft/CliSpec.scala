@@ -30,6 +30,11 @@ class CliSpec extends AnyFunSuite {
     }
     // Env fallback is whitelisted: only the reference's variables apply.
     assert(Main.parseArgs(Array("etl")).get("data", "data") == "data")
+    // analyze's optional trades/book inputs parse as plain flags.
+    val a = Main.parseArgs(Array("analyze", "--in", "k.csv",
+      "--trades", "t.csv", "--book", "b.parquet"))
+    assert(a.kv.get("trades").contains("t.csv"))
+    assert(a.kv.get("book").contains("b.parquet"))
   }
 
   test("price-ticks online path parses and rounds via fake transport") {
