@@ -40,8 +40,8 @@ object Coverage {
     * human-sized selections this operator contracts for, quietly a
     * multi-hour driver loop at k = 10⁴. Raise via `maxK` explicitly (the
     * escape hatch for a caller who has read this paragraph and accepts the
-    * 2k-job bill); for machine-sized selections use a one-shot proxy
-    * (top-k by distinct-key count) or a partition-local greedy instead. */
+    * 2k-job bill); for machine-sized selections use [[greedyCoverApprox]]
+    * — the distributed two-round greedy with no per-round driver jobs. */
   val DefaultMaxK = 1000
 
   /** @param postings (id, key) rows; duplicates are collapsed
@@ -113,5 +113,112 @@ object Coverage {
     if (covered != null) covered.unpersist(blocking = false)
     p.unpersist(blocking = false)
     out
+  }
+
+  /** Machine-scale approximate greedy max-coverage — the two-round
+    * distributed greedy of Mirzasoleiman et al., "Distributed Submodular
+    * Maximization: Identifying Representative Elements in Massive Data"
+    * (NeurIPS 2013): hash-partition documents into `buckets` groups, run an
+    * in-memory lazy greedy ([[lazyGreedy]], Minoux 1978 acceleration)
+    * selecting up to k PER GROUP inside one distributed job — the corpus
+    * never funnels through the driver — then merge the ≤ buckets·k
+    * candidate docs with the SAME lazy greedy driver-side. Constant-factor
+    * approximation of exact greedy's (1−1/e) guarantee; measured ≥ 0.9×
+    * exact coverage on the q170 fixture at k=100 (CoverageSpec), and
+    * EXACTLY equal to [[greedyCover]] whenever no bucket overflows k picks
+    * (then every doc is a candidate and the merge IS strict greedy).
+    *
+    * Differences from [[greedyCover]] by design:
+    *  - Keys are hashed to 64 bits in-plan (xxhash64) before selection:
+    *    bounds executor/driver memory regardless of key width and is
+    *    engine-deterministic; a (vanishingly unlikely) collision merely
+    *    counts two keys as one.
+    *  - Gains and `covered_cum` are computed over the candidate-restricted
+    *    universe, but the gains of SELECTED docs equal their true marginal
+    *    gains: a pick's gain depends only on its own keys versus previously
+    *    SELECTED docs' keys, and every selected doc is a candidate.
+    *  - Cost shape: one shuffle (doc grouping) + one distributed greedy
+    *    job + a driver merge over ≤ buckets·k docs. No per-round driver
+    *    loop, so k is bounded by memory (each bucket task holds its
+    *    bucket's hashed postings; the driver holds the candidates'), not
+    *    by k × job-latency — the regime [[DefaultMaxK]] guards greedyCover
+    *    against.
+    *
+    * @param buckets partition-local greedy groups; 0 ⇒ defaultParallelism
+    */
+  def greedyCoverApprox(postings: DataFrame, idCol: String, keyCol: String,
+                        k: Int, buckets: Int = 0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val m = if (buckets > 0) buckets else spark.sparkContext.defaultParallelism
+    // Same null tripwire as greedyCover: a null key/id would silently
+    // desynchronize gains (or NPE mid-heap); fail loudly in the plan.
+    val p = postings.select(
+        when(col(idCol).isNull, raise_error(
+          lit("greedyCoverApprox: null id in postings"))).otherwise(col(idCol))
+          .cast("long").as("id"),
+        when(col(keyCol).isNull, raise_error(
+          lit("greedyCoverApprox: null key in postings")))
+          .otherwise(xxhash64(col(keyCol))).as("kh"))
+      .distinct()
+    val docs = p.groupBy(col("id"))
+      .agg(collect_list(col("kh")).as("keys"))
+      .select(col("id"), col("keys"),
+        pmod(xxhash64(col("id")), lit(m.toLong)).cast("int").as("b"))
+      .as[(Long, Array[Long], Int)]
+    val cands = docs.groupByKey(_._3)
+      .flatMapGroups { (_, it) =>
+        lazyGreedy(it.map(t => (t._1, t._2)), k).iterator
+          .map(pk => (pk.id, pk.keys))
+      }
+      .collect()
+    val merged = lazyGreedy(cands.iterator.map(c => (c._1, c._2)), k)
+    merged.iterator.zipWithIndex
+      .map { case (pk, i) => (i + 1, pk.id, pk.gain, pk.coveredCum) }
+      .toSeq.toDF("round", "doc_id", "gain", "covered_cum")
+  }
+
+  private case class Pick(id: Long, keys: Array[Long], gain: Long,
+                          coveredCum: Long)
+
+  /** In-memory lazy greedy (Minoux's accelerated greedy, 1978): max-heap
+    * on stale upper bounds — pop, recompute the true marginal gain against
+    * the covered set, accept iff it still beats the next candidate's bound
+    * (ties to the smaller id, matching [[greedyCover]]'s tiebreak; the
+    * heap also orders equal bounds by ascending id, so the tie WINNER pops
+    * first). Submodularity makes bounds only ever decrease, so acceptance
+    * is exact strict greedy; zero-gain candidates are dropped permanently.
+    * Deterministic for a fixed input set regardless of iterator order. */
+  private def lazyGreedy(docs: Iterator[(Long, Array[Long])],
+                         k: Int): Seq[Pick] = {
+    final class Cand(val id: Long, val keys: Array[Long], var bound: Long)
+    val heap = new java.util.PriorityQueue[Cand](16,
+      (a: Cand, b: Cand) =>
+        if (a.bound != b.bound) java.lang.Long.compare(b.bound, a.bound)
+        else java.lang.Long.compare(a.id, b.id))
+    docs.foreach { case (id, keys) =>
+      heap.add(new Cand(id, keys, keys.length.toLong))
+    }
+    val covered = new java.util.HashSet[java.lang.Long]()
+    val out = scala.collection.mutable.ArrayBuffer[Pick]()
+    while (out.size < k && !heap.isEmpty) {
+      val top = heap.poll()
+      var g = 0L
+      var i = 0
+      while (i < top.keys.length) {
+        if (!covered.contains(top.keys(i))) g += 1
+        i += 1
+      }
+      val nxt = heap.peek()
+      if (g > 0 && (nxt == null || g > nxt.bound ||
+          (g == nxt.bound && top.id < nxt.id))) {
+        var j = 0
+        while (j < top.keys.length) { covered.add(top.keys(j)); j += 1 }
+        out += Pick(top.id, top.keys, g, covered.size.toLong)
+      } else if (g > 0) { top.bound = g; heap.add(top) }
+      // g == 0: gains never increase — drop the candidate permanently.
+    }
+    out.toSeq
   }
 }

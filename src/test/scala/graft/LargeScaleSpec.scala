@@ -493,4 +493,35 @@ class LargeScaleSpec extends AnyFunSuite {
       f"4× nodes cost $ratio%.1f× wall — super-linear; the hub inflow is " +
         "concentrating instead of map-side combining")
   }
+
+  /** Machine-scale coverage selection: the distributed two-round greedy
+    * must scale ~linearly in the posting count at a FIXED machine-sized k
+    * (k=500 — beyond greedyCover's driver-loop comfort), with the
+    * pathological 20%-identical cluster contributing one candidate doc
+    * per bucket at most. Work profile: one doc-grouping shuffle + one
+    * partition-local greedy pass + a bounded driver merge. */
+  private def coverPipeline(n: Long): Long = {
+    val postings = Dedup.shinglePostings(corpus(n), "doc_id", "text", 3)
+    operators.Coverage.greedyCoverApprox(postings, "id", "shh", k = 500)
+      .count()
+  }
+
+  test("approx greedy cover scales ~linearly at machine-sized k", LargeScale) {
+    val small = 250000L
+    val large = 1000000L
+    coverPipeline(10000L)
+    val (pSmall, tSmall) = timed(coverPipeline(small))
+    val (pLarge, tLarge) = timed(coverPipeline(large))
+    // The templated vocabulary is finite (9973×211×37 combos but shingle
+    // universe far smaller); selection must still fill a large k.
+    assert(pSmall > 100 && pSmall <= 500, s"unexpected pick count $pSmall")
+    assert(pLarge > 100 && pLarge <= 500, s"unexpected pick count $pLarge")
+    val ratio = tLarge / tSmall
+    info(f"greedyCoverApprox: $small%,d docs in $tSmall%.1f s; $large%,d " +
+      f"docs in $tLarge%.1f s (ratio $ratio%.1f× for 4× data, " +
+      f"picks $pSmall/$pLarge)")
+    assert(ratio < 10.0,
+      f"4× data cost $ratio%.1f× wall — super-linear; the local greedy or " +
+        "the candidate merge is not bounding its work")
+  }
 }

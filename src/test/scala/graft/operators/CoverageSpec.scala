@@ -52,6 +52,59 @@ class CoverageSpec extends AnyFunSuite {
     assert(got(1) == ((2, 2L, 1L, 3L)))
   }
 
+  test("greedyCoverApprox: single bucket degenerates to exact greedy; multi-bucket stays in band") {
+    val p = for {
+      id <- 1L to 40L
+      j <- 0 until 6
+    } yield id -> s"k${(id * 7 + j * j) % 53}"
+    val exact = run(p, 6)
+    // buckets=1: the local round IS strict greedy over the whole corpus,
+    // and the merge re-runs greedy over exactly its picks — ids, gains and
+    // covered_cum all match (key universes differ only by xxhash64, which
+    // is injective on these tiny key sets in practice).
+    val one = Coverage.greedyCoverApprox(p.toDF("id", "sh"), "id", "sh", 6,
+        buckets = 1)
+      .as[(Int, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(one == exact)
+    // Multi-bucket: a bucket CAN drop a doc exact greedy would pick later
+    // (the GreeDi trade), so require the quality band + greedy invariants,
+    // not equality.
+    val multi = Coverage.greedyCoverApprox(p.toDF("id", "sh"), "id", "sh", 6,
+        buckets = 8)
+      .as[(Int, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(multi.map(_._4).max >= (0.9 * exact.map(_._4).max).toLong)
+    assert(multi.map(_._3).sum == multi.last._4)
+    // Tie and duplicate handling mirror greedyCover's.
+    val ties = Seq(7L -> "x", 7L -> "y", 4L -> "p", 4L -> "q")
+    val t = Coverage.greedyCoverApprox(ties.toDF("id", "sh"), "id", "sh", 1)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(t == Seq((1, 4L, 2L, 2L)))
+  }
+
+  test("greedyCoverApprox reaches >=90% of exact coverage on the q170 fixture at k=100") {
+    // The q170 registry fixture: 3-shingle postings over the documents
+    // table. Exact greedy pays 2 driver jobs per round (the DefaultMaxK
+    // rationale); the approx path pays one distributed job + a driver
+    // merge, and must land within the GreeDi quality band.
+    val postings = graft.dedup.Dedup.shinglePostings(
+      graft.Tables.documents(spark, SparkTestSession.sf), "doc_id", "text", 3)
+    val k = 100
+    val exact = Coverage.greedyCover(postings, "id", "shh", k)
+      .as[(Int, Long, Long, Long)].collect()
+    val approx = Coverage.greedyCoverApprox(postings, "id", "shh", k)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(exact.nonEmpty && approx.nonEmpty)
+    val exactCov = exact.map(_._4).max.toDouble
+    val approxCov = approx.map(_._4).max.toDouble
+    assert(approxCov >= 0.9 * exactCov,
+      s"approx covered $approxCov < 90% of exact $exactCov")
+    // Contract sanity: rounds are 1..n, gains non-increasing, cum = Σ gains.
+    assert(approx.map(_._1).toSeq == (1 to approx.length))
+    assert(approx.sliding(2).forall(w => w.size < 2 || w(0)._3 >= w(1)._3),
+      "approx gains must be non-increasing (greedy invariant)")
+    assert(approx.map(_._3).sum == approx.last._4)
+  }
+
   test("matches a driver-side greedy reference on a random-ish fixture") {
     val p = for {
       id <- 1L to 40L
