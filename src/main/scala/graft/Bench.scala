@@ -163,12 +163,16 @@ object Bench {
     * correction from one regime): q01 parquet scan + wide agg (IO+agg),
     * q76 text line dedup (CPU + shuffle), q50 pivot + correlation matrix
     * (join/shuffle), q03 calendar rollup (agg), q81 sequence packing
-    * (window + cumsum). References are the r13 final-HEAD committed
-    * medians from a calibration≈1.0 session (q76/q01 cross-checked
-    * against the r8–r13 judge sessions). Update a ref only when that
-    * query itself changes shape. */
+    * (window + cumsum). References are final-HEAD committed medians from
+    * calibration≈1.0 sessions (q76/q01 cross-checked against the r8–r13
+    * judge sessions). Update a ref only when that query itself changes
+    * shape — as q76 did at r13 final HEAD: the Spread added to
+    * segmentDedup's block explode (the shinglePostings starvation fix,
+    * deliberate ~0.1 s sf0.1 exchange for the sf1 win) moved its honest
+    * median 0.28 → 0.40; ref refreshed at r15 from the r14
+    * calibration-1.01 committed detail. */
   private[graft] val calibrationRefs: Map[String, Double] = Map(
-    "q76_line_dedup" -> 0.28,
+    "q76_line_dedup" -> 0.40,
     "q01_pricing_summary" -> 0.20,
     "q50_corr_matrix" -> 0.17,
     "q03_daily_summary" -> 0.12,
