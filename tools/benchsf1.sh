@@ -33,44 +33,61 @@ QUERIES=q01_pricing_summary,q111_aligned_runs,q116_minhash_error,q118_dup_cluste
 # Top-10 by sf1 cost (r14 BENCH_SF1 ordering) — the three-point subset.
 TOP10=q69_corpus_curation,q111_aligned_runs,q116_minhash_error,q137_lsh_recall_curve,q181_pair_explain,q167_dedup_savings,q118_dup_cluster_histogram,q126_source_copy_matrix,q65_dedup_components,q70_minhash_components
 
+# Reps per query (median taken by Bench itself). Default 3; raise via
+# BENCHSF1_REPS on a host with bursty interference — a noise burst
+# spanning two of three reps drags the median, and the burst length
+# observed on shared-VM hosts (tens of seconds) makes reps correlated,
+# so more reps genuinely de-noise where a wider median window cannot.
+REPS="${BENCHSF1_REPS:-3}"
+
 run_point () { # $1 = sf dir, $2 = detail-out prefix, $3 = query list
   SPARK_GRAFT_SF_DIR="$1" SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=24g \
-  SPARK_GRAFT_BENCH_REPS=3 SPARK_GRAFT_BENCH_ONLY="$3" \
+  SPARK_GRAFT_BENCH_REPS="$REPS" SPARK_GRAFT_BENCH_ONLY="$3" \
   SPARK_GRAFT_BENCH_OUT="$2.json" tools/run.sh graft.Bench >/dev/null
 }
 
-echo "[benchsf1] sf0.1 point (3 reps)..." >&2
+echo "[benchsf1] sf0.1 point ($REPS reps)..." >&2
 run_point "$SF01" /tmp/benchsf1_a "$QUERIES"
-echo "[benchsf1] sf0.3 point, top-10 (3 reps)..." >&2
+echo "[benchsf1] sf0.3 point, top-10 ($REPS reps)..." >&2
 run_point "$SF03" /tmp/benchsf1_m "$TOP10"
-echo "[benchsf1] sf1 point (3 reps)..." >&2
+echo "[benchsf1] sf1 point ($REPS reps)..." >&2
 run_point "$SF1" /tmp/benchsf1_b "$QUERIES"
 
-python3 - "$OUT" <<'EOF'
+python3 - "$OUT" "$REPS" <<'EOF'
 import json, math, statistics, subprocess, sys, datetime
-out = sys.argv[1]
+out, reps = sys.argv[1], sys.argv[2]
 a = json.load(open("/tmp/benchsf1_a_DETAIL.json"))
 m = json.load(open("/tmp/benchsf1_m_DETAIL.json"))
 b = json.load(open("/tmp/benchsf1_b_DETAIL.json"))
 head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                       capture_output=True, text=True).stdout.strip() or "?"
-rows, exps = [], []
+rows, exps, exps_min = [], [], []
 for q in sorted(a):
     t0, t1 = a[q]["sec"], b[q]["sec"]
     if not (a[q]["ok"] and b[q]["ok"]):
-        rows.append(f"| `{q}` | {t0:.3f} | {t1:.3f} | FAILED | — |"); continue
+        rows.append(f"| `{q}` | {t0:.3f} | {t1:.3f} | FAILED | — | — |")
+        continue
     exp = math.log(t1 / t0) / math.log(10)
-    exps.append(exp)
-    rows.append(f"| `{q}` | {t0:.3f} | {t1:.3f} | {t1/t0:.2f}x | {exp:.2f} |")
+    # Min-of-reps exponent: host interference is ONE-SIDED (a noise burst
+    # only ever adds time), so when a burst spans most reps the median is
+    # dragged up and fabricates a super-linear flag; the per-point minimum
+    # is the interference-robust bound on intrinsic cost. A query is only
+    # genuinely super-linear when BOTH columns say so.
+    e_min = math.log(min(b[q]["reps"]) / min(a[q]["reps"])) / math.log(10)
+    exps.append(exp); exps_min.append(e_min)
+    rows.append(f"| `{q}` | {t0:.3f} | {t1:.3f} | {t1/t0:.2f}x "
+                f"| {exp:.2f} | {e_min:.2f} |")
 rows3 = []
 for q in sorted(m):
     if not (q in a and q in b and a[q]["ok"] and m[q]["ok"] and b[q]["ok"]):
-        rows3.append(f"| `{q}` | FAILED | — | — |"); continue
+        rows3.append(f"| `{q}` | FAILED | — | — | — | — | — |"); continue
     t0, tm, t1 = a[q]["sec"], m[q]["sec"], b[q]["sec"]
     e_lo = math.log(tm / t0) / math.log(3)       # sf0.1 -> sf0.3 (3x)
     e_hi = math.log(t1 / tm) / math.log(10 / 3)  # sf0.3 -> sf1 (10/3 x)
+    e_hi_min = (math.log(min(b[q]["reps"]) / min(m[q]["reps"]))
+                / math.log(10 / 3))
     rows3.append(f"| `{q}` | {t0:.3f} | {tm:.3f} | {t1:.3f} "
-                 f"| {e_lo:.2f} | {e_hi:.2f} |")
+                 f"| {e_lo:.2f} | {e_hi:.2f} | {e_hi_min:.2f} |")
 now = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
 with open(out, "w") as f:
     f.write(f"""# BENCH_SF1 — scale-up bench points (generated)
@@ -79,21 +96,29 @@ Scaling run, regenerated per round by `tools/benchsf1.sh`
 (generated {now} at HEAD {head}): top-22 most expensive registry queries
 at sf0.1 and the `testdata-sf1/` 10x corpus (`graft.ScaleUp` key-disjoint
 replicas, replica-private content universes, so pair work grows LINEARLY
-in the factor). local[32], 3 reps (median), the committed Bench session
-config.
+in the factor). local[32], {reps} reps (median), the committed Bench
+session config.
 
-exp = ln(t_sf1 / t_sf0.1) / ln(10): 1.0 = linear in rows, < 1 =
-per-query fixed overhead amortizing, > 1 = super-linear (a scale bug —
-the r13 shingle-starvation class; investigate before shipping).
+exp = ln(t_sf1 / t_sf0.1) / ln(10) over the per-point MEDIANS: 1.0 =
+linear in rows, < 1 = per-query fixed overhead amortizing, > 1 =
+super-linear (a scale bug — the r13 shingle-starvation class;
+investigate before shipping). exp_min is the same fit over the
+per-point MINIMUM rep: host interference only ever ADDS time, so a
+noise burst spanning most reps drags the median into a false flag
+while the minimum bounds the intrinsic cost — treat a query as
+genuinely super-linear only when BOTH columns flag it.
 
-| query | sf0.1 s | sf1 s | ratio | exp |
-|---|---|---|---|---|
+| query | sf0.1 s | sf1 s | ratio | exp | exp_min |
+|---|---|---|---|---|---|
 """)
     f.write("\n".join(rows) + "\n\n")
     if exps:
         f.write(f"Top-{len(exps)} exponents: median "
                 f"**{statistics.median(exps):.2f}**, mean "
-                f"{sum(exps)/len(exps):.2f}, max **{max(exps):.2f}**.\n")
+                f"{sum(exps)/len(exps):.2f}, max **{max(exps):.2f}**; "
+                f"min-of-reps fit: median "
+                f"{statistics.median(exps_min):.2f}, max "
+                f"**{max(exps_min):.2f}**.\n")
     else:
         f.write("ALL QUERIES FAILED at one or both scale points — "
                 "no exponents; inspect the detail JSONs in /tmp.\n")
@@ -103,10 +128,12 @@ the r13 shingle-starvation class; investigate before shipping).
 Middle point `testdata-sf0.3/` (ScaleUp 3x). Per-segment exponents
 bracket any regime change between the outer points: a segment exponent
 far above the two-point exp (and above 1) flags a cliff the end-to-end
-fit averaged away.
+fit averaged away. The short upper segment (3.3x) is the most
+noise-sensitive fit in this file — its min-of-reps column decides
+whether a >1 median reading is a cliff or a burst.
 
-| query | sf0.1 s | sf0.3 s | sf1 s | exp 0.1→0.3 | exp 0.3→1 |
-|---|---|---|---|---|---|
+| query | sf0.1 s | sf0.3 s | sf1 s | exp 0.1→0.3 | exp 0.3→1 | 0.3→1 min |
+|---|---|---|---|---|---|---|
 """)
     f.write("\n".join(rows3) + "\n")
 if exps:
