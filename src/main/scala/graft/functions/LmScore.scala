@@ -69,15 +69,24 @@ object LmScore {
     // contribute no bigrams — so it derives from `base`, not `big`.
     val v = base.select(explode(col("__tk")).as("__tok"))
       .select(countDistinct(col("__tok")).as("__v"))
-    big.join(c12, Seq("__w1", "__w2")).join(c1, Seq("__w1"))
+    // Score each DISTINCT bigram once on the vocabulary-sized tables —
+    // c12 ⋈ c1 (on w1) ⋈ V are all vocab-bounded — then join the
+    // instance frame against the scored table a single time. Joining
+    // instances against c12 and c1 separately would shuffle the
+    // INSTANCE frame twice (once on (w1,w2), then again on w1); this
+    // shape pays the instance-sized exchange once, and the w1 join
+    // moves only distinct bigrams.
+    //
+    // Per-bigram NLL floored to exact micro-nats BEFORE the per-doc
+    // mean: round(avg(double), 6) sums in partition order — the
+    // q108/q149 cross-engine hazard. -ln((c12+1)/(c1+V)) ≥ 0 because
+    // c12 ≤ c1 and V ≥ 1, so the truncating div matches DuckDB's //.
+    val scored = c12.join(c1, Seq("__w1"))
       .crossJoin(broadcast(v))
-      // Per-bigram NLL floored to exact micro-nats BEFORE the per-doc
-      // mean: round(avg(double), 6) sums in partition order — the
-      // q108/q149 cross-engine hazard. -ln((c12+1)/(c1+V)) ≥ 0 because
-      // c12 ≤ c1 and V ≥ 1, so the truncating div matches DuckDB's //.
-      .withColumn("__nllq",
+      .select(col("__w1"), col("__w2"),
         floor(-log((col("__c12") + 1.0) / (col("__c1") + col("__v")))
-          * lit(1000000d)))
+          * lit(1000000d)).as("__nllq"))
+    big.join(scored, Seq("__w1", "__w2"))
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_bigrams"),
         expr("sum(__nllq) div count(*)").as("avg_nll_micro"))
