@@ -79,7 +79,8 @@ class BenchRenderSpec extends AnyFunSuite {
     // One query of the pair is enough; a foreign SF or no calibration query
     // yields no field rather than a misleading number.
     assert(Bench.calibrationInflation(
-      Seq("q76_line_dedup" -> 0.56), "/root/testdata/sf0.1").exists(c => math.abs(c - 2.0) < 1e-6))
+      Seq("q76_line_dedup" -> Bench.calibrationRefs("q76_line_dedup") * 2.0),
+      "/root/testdata/sf0.1").exists(c => math.abs(c - 2.0) < 1e-6))
     assert(Bench.calibrationInflation(
       Bench.calibrationRefs.toSeq, "/root/testdata/sf0.01").isEmpty)
     assert(Bench.calibrationInflation(
