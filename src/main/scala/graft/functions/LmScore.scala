@@ -59,29 +59,37 @@ object LmScore {
       .select(col("__id"), col("p.__w1").as("__w1"), col("p.__w2").as("__w2"))
     val c12 = big.groupBy(col("__w1"), col("__w2"))
       .agg(count(lit(1)).as("__c12"))
-    // c(w1·) = Σ_w2 c(w1,w2): derived from the distinct-bigram table, NOT
-    // a third aggregation over the instance join — ReuseExchange shares
-    // c12's (w1,w2) exchange and no bigram instance shuffles twice.
-    val c1 = c12.groupBy(col("__w1")).agg(sum(col("__c12")).as("__c1"))
+    // c(w1·) = Σ_w2 c(w1,w2): a SUM WINDOW over the c12 table's w1
+    // partition (the q57 dfreq trick), not a groupBy-then-rejoin. The
+    // aggregate spelling re-plans c12's whole upstream chain inside c1's
+    // subtree — tokenize, explode, and the instance-sized (w1,w2)
+    // exchange all appear TWICE in the static plan, with only
+    // ReuseExchange between them at runtime — and then pays a join to
+    // attach c1 back. The window attaches the sum in place: one
+    // vocab-sized exchange on w1, zero joins, and the instance-sized
+    // chain exists exactly once in the plan. Skew bound: a hot w1
+    // (stop word) partitions by its DISTINCT successor count, orders of
+    // magnitude below its instance count.
     // V is one scalar: computed distributed, joined as a 1-row broadcast
     // (a literal would force an eager action at plan-construction time).
     // It counts EVERY non-empty token — including one-token docs, which
     // contribute no bigrams — so it derives from `base`, not `big`.
     val v = base.select(explode(col("__tk")).as("__tok"))
       .select(countDistinct(col("__tok")).as("__v"))
-    // Score each DISTINCT bigram once on the vocabulary-sized tables —
-    // c12 ⋈ c1 (on w1) ⋈ V are all vocab-bounded — then join the
-    // instance frame against the scored table a single time. Joining
-    // instances against c12 and c1 separately would shuffle the
-    // INSTANCE frame twice (once on (w1,w2), then again on w1); this
-    // shape pays the instance-sized exchange once, and the w1 join
-    // moves only distinct bigrams.
+    // Score each DISTINCT bigram once on the vocabulary-sized table —
+    // c12 + its c1 window + the V broadcast — then join the instance
+    // frame against the scored table a single time. Joining instances
+    // against c12 and c1 separately would shuffle the INSTANCE frame
+    // twice (once on (w1,w2), then again on w1); this shape pays the
+    // instance-sized exchange once.
     //
     // Per-bigram NLL floored to exact micro-nats BEFORE the per-doc
     // mean: round(avg(double), 6) sums in partition order — the
     // q108/q149 cross-engine hazard. -ln((c12+1)/(c1+V)) ≥ 0 because
     // c12 ≤ c1 and V ≥ 1, so the truncating div matches DuckDB's //.
-    val scored = c12.join(c1, Seq("__w1"))
+    val scored = c12
+      .withColumn("__c1", sum(col("__c12"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("__w1"))))
       .crossJoin(broadcast(v))
       .select(col("__w1"), col("__w2"),
         floor(-log((col("__c12") + 1.0) / (col("__c1") + col("__v")))

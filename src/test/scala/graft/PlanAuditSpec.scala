@@ -113,5 +113,37 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
               "Expressions.minPairLong/maxPairLong (flat buffers, hash-aggregable)")
       }
     }
+
+    /** The r15 exchange diets, pinned by SHUFFLE COUNT so a refactor (or a
+      * Spark upgrade changing a planning rule) that silently re-introduces
+      * the removed corpus-sized exchange fails a named test instead of a
+      * bench regression two rounds later. Counts are for AQE-off,
+      * materialize-off plans on the shared test session. */
+    def shuffles(name: String): Int =
+      nodes(SparkEntry.queries(name)(spark, SparkTestSession.sf)
+        .queryExecution.executedPlan)
+        .count(_.getClass.getSimpleName.startsWith("ShuffleExchange"))
+
+    test("q57 plan: the spread exchange does double duty for the tf aggregate") {
+      // 5 shuffles: Spread.byKey(doc_id) repartition (which ALSO satisfies
+      // the (doc_id, token) tf aggregate's distribution — the r15 diet),
+      // the token exchange under the dfreq window, the scalar n_docs
+      // SinglePartition, the top-k window partition, and the
+      // output-contract sort. A 6th shuffle means the tf groupBy planned
+      // its own exchange again.
+      assert(shuffles("q57_tfidf") == 5)
+    }
+
+    test("q86 plan: one instance-sized aggregate, c1 as a window over c12") {
+      // 9 shuffles: three tokenize-producer spreads (instance side, c12
+      // side, V side), c12's (w1,w2) aggregate exchange, the VOCAB-sized
+      // w1 exchange for the c1 sum window, V's distinct + SinglePartition
+      // pair, the per-doc aggregate, and the output-contract sort. A 10th
+      // means either the instance frame re-shuffles for a second
+      // vocabulary join (the pre-r15 c12-then-c1 join shape) or c1
+      // regressed to an aggregate spelling that re-plans the whole
+      // instance-sized chain inside its own subtree.
+      assert(shuffles("q86_bigram_lm_score") == 9)
+    }
   }
 }
