@@ -182,6 +182,37 @@ object Main {
       path
     }
 
+  /** Warehouse status — the dashboard's live status panel
+    * (`src/dashboard/app.py:114-124`: `SELECT COUNT(*), MIN(open_time),
+    * MAX(open_time) FROM candles`), re-expressed as one
+    * [[operators.AggOps.tableStats]] pass over the warehouse table and
+    * emitted as a single JSON line (the engine's artifact contract; the
+    * Streamlit rendering is presentation layer). A missing/empty table
+    * reports `available:false` instead of failing — the panel's
+    * "недоступен" warning branch. */
+  def status(spark: SparkSession, warehouseDir: String,
+             table: String = "candles"): String = {
+    // Per-table (timestamp, value) columns mirror the warehouse schema the
+    // ETL dispatcher writes (db/schema.sql:6-32 families).
+    val cols = Map(
+      "candles" -> ("open_time", "volume"),
+      "trades" -> ("trade_time", "qty"),
+      "order_books" -> ("update_time", "qty"))
+    val (tsCol, valCol) = cols.getOrElse(table, ("open_time", "volume"))
+    operators.UpsertRouter.read(spark, s"$warehouseDir/$table") match {
+      case Some(df) if df.columns.contains(tsCol) =>
+        val r = operators.AggOps.tableStats(df, col(tsCol), col(valCol)).first()
+        val n = r.getLong(r.fieldIndex("n"))
+        if (n == 0L) s"""{"table":"$table","available":false,"n":0}"""
+        else
+          s"""{"table":"$table","available":true,"n":$n,""" +
+            s""""min_ts":"${r.get(r.fieldIndex("min_ts"))}",""" +
+            s""""max_ts":"${r.get(r.fieldIndex("max_ts"))}",""" +
+            s""""sum_value":${r.get(r.fieldIndex("sum_value"))}}"""
+      case _ => s"""{"table":"$table","available":false}"""
+    }
+  }
+
   private def usage(): Unit = println(
     """kp-crypto (Spark) — subcommands:
       |  price-ticks         --n 5 --delay 1.0
@@ -189,6 +220,7 @@ object Main {
       |  collect-trades      --pairs BTCUSDT,ETHUSDT --out data
       |  collect-orderbooks  --pairs BTCUSDT,ETHUSDT --out data
       |  etl                 --data data --warehouse warehouse
+      |  status              --warehouse warehouse [--table candles]
       |  analyze             --in <csv-glob|parquet> --out artifacts [--focus SYM]
       |                      [--trades <csv|parquet>] [--book <csv|parquet>]
       |OFFLINE=1 swaps REST fetches for deterministic synthetic fixtures.""".stripMargin)
@@ -223,6 +255,9 @@ object Main {
         EtlLoader.loadAll(spark, opts.get("data", "data"),
             opts.get("warehouse", "warehouse"))
           .foreach { case (f, t) => println(s"[etl] $f -> $t") }
+      case "status" =>
+        println(status(spark, opts.get("warehouse", "warehouse"),
+          opts.get("table", "candles")))
       case "analyze" =>
         val in = opts.kv.getOrElse("in",
           sys.error("analyze requires --in <csv-glob|parquet>"))

@@ -126,5 +126,20 @@ class CliSpec extends AnyFunSuite {
     EtlLoader.loadAll(spark, data, wh)
     assert(operators.UpsertWriter.read(spark, s"$wh/candles").get.count() == 10)
     assert(operators.UpsertWriter.read(spark, s"$wh/trades").get.count() == 50)
+
+    // status subcommand (app.py:114-124 panel): count + covered period of
+    // the warehouse table as one JSON line; a missing table reports
+    // available:false instead of failing (the panel's warning branch).
+    val st = Main.status(spark, wh, "candles")
+    assert(st.contains(""""table":"candles""""), st)
+    assert(st.contains(""""available":true"""), st)
+    assert(st.contains(""""n":10"""), st)
+    assert(st.contains(""""min_ts":""") && st.contains(""""max_ts":"""), st)
+    val expMin = operators.UpsertWriter.read(spark, s"$wh/candles").get
+      .agg(org.apache.spark.sql.functions.min(col("open_time"))).first().get(0)
+    assert(st.contains(s""""min_ts":"$expMin""""), s"$st vs $expMin")
+    assert(Main.status(spark, wh, "trades").contains(""""n":50"""))
+    assert(Main.status(spark, wh, "no_such_table")
+      .contains(""""available":false"""))
   }
 }
