@@ -147,7 +147,36 @@ object Coverage {
     * @param buckets partition-local greedy groups; 0 ⇒ defaultParallelism
     */
   def greedyCoverApprox(postings: DataFrame, idCol: String, keyCol: String,
-                        k: Int, buckets: Int = 0): DataFrame = {
+                        k: Int, buckets: Int = 0): DataFrame =
+    greedyCoverBucketed(postings, idCol, keyCol, k, buckets)
+
+  /** EXACT greedy max-coverage for the small-corpus regime — the same
+    * selection as [[greedyCover]], computed inside ONE distributed job
+    * instead of 2k driver-iterated rounds: with a single bucket every doc
+    * lands in one [[lazyGreedy]] group, whose accelerated greedy IS strict
+    * greedy (the Minoux bound argument in its scaladoc), and the driver
+    * re-merge over the group's own ≤k picks reproduces them in order by
+    * the greedy prefix property (at step i the merge's covered set equals
+    * exact greedy's, pick i maximizes the marginal over the remaining
+    * SELECTED docs because it maximizes it over ALL remaining docs, and
+    * the smaller-id tiebreak is shared — CoverageSpec asserts row-for-row
+    * equality against [[greedyCover]]).
+    *
+    * Gains count xxhash64 key HASHES rather than raw keys (identical
+    * barring 64-bit collision — the q42-family tolerance, and a no-op for
+    * callers whose keys are already hashes). The price of the single job
+    * is the single-TASK funnel: one task holds every distinct (id, key)
+    * posting as an 8-byte hash, so this is the regime for corpora the
+    * caller KNOWS are task-sized (the q170 dispatch argues ~10⁸ postings
+    * ≈ 1.6 GB as the practical ceiling); past that, dispatch to
+    * [[greedyCoverApprox]] (constant-factor, fully distributed) or
+    * [[greedyCover]] (exact, 2k driver jobs). */
+  def greedyCoverExactSmall(postings: DataFrame, idCol: String,
+                            keyCol: String, k: Int): DataFrame =
+    greedyCoverBucketed(postings, idCol, keyCol, k, buckets = 1)
+
+  private def greedyCoverBucketed(postings: DataFrame, idCol: String, keyCol: String,
+                        k: Int, buckets: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = postings.sparkSession
     import spark.implicits._

@@ -224,6 +224,7 @@ object Graph {
     val rowsPerPart = loop.conf
       .get("spark.graft.cc.rowsPerPartition", "100000").toLong
     var (cur, curRdd, curStats) = (null: DataFrame, null: org.apache.spark.rdd.RDD[Row], (0L, 0L))
+    var midKeep: org.apache.spark.rdd.RDD[Row] = null
     var converged = false
     var it = 0
     try {
@@ -231,30 +232,76 @@ object Graph {
       cur = m0._1; curRdd = m0._2; curStats = m0._3
       converged = curStats._1 == 0L // no edges: already a (trivial) fixpoint
       while (!converged && it < maxIters) {
-        // Manual adaptive coalescing: size the round's shuffles from the
-        // PREVIOUS round's exact edge count — contraction shrinks the set
+        // Manual adaptive coalescing: size the action's shuffles from the
+        // PREVIOUS action's exact edge count — contraction shrinks the set
         // every round, and a tiny round on the caller's full partition
         // count is pure task overhead. Never exceeds the caller's setting,
         // so cluster-scale inputs keep full parallelism.
         val parts = math.max(1L,
           math.min(basePartsN.toLong, curStats._1 / rowsPerPart + 1L))
         loop.conf.set("spark.sql.shuffle.partitions", parts.toString)
-        // Engage the hot/cold join only when this round COULD contain a
+        // Engage the hot/cold join only when this action COULD contain a
         // hot node (total edges > hotDegree); otherwise the plain join is
-        // provably skew-safe and saves the broadcast jobs.
+        // provably skew-safe and saves the broadcast jobs. Decided from
+        // the fused pair's INPUT edge count — conservative, since
+        // contraction never mints a hot node the input's total-edge bound
+        // didn't already cover.
         val hd = if (curStats._1 > hotDegree) Some(hotDegree) else None
-        val (next, nextRdd, nextStats) =
-          materialize(loop, smallStar(largeStar(cur, hd), hd))
-        converged = nextStats == curStats
+        // TWO large/small-star alternations per driver action: the action
+        // (scheduling + the convergence aggregate) is the per-round fixed
+        // bill, and contraction needs O(log n) rounds either way, so
+        // fusing halves the job count. Two details make it not-slower:
+        //  - the intermediate round persists LAZILY (no action of its
+        //    own): the second pair's joins/unions reference it from
+        //    several branches, and the one job's stages run sequentially,
+        //    so the first stage to touch it computes-and-caches and the
+        //    rest hit cache (without this the fused plan re-evaluated the
+        //    first round ~4×: measured 2.5× q65 wall);
+        //  - the convergence aggregate reads BOTH halves in the same
+        //    action (a tagged union), so the fixpoint is detected at the
+        //    exact round it happens — a pair-boundary-only check ran two
+        //    provably-no-op extra rounds per query (measured: rounds 4→6
+        //    on the q65 graph).
+        val mid = smallStar(largeStar(cur, hd), hd)
+        val midRdd = mid.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+        midKeep = midRdd
+        val midDf = loop.createDataFrame(midRdd, edgeSchema)
+        val nextRdd = smallStar(largeStar(midDf, hd), hd).rdd
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        if (loop.sparkContext.getCheckpointDir.isDefined) nextRdd.checkpoint()
+        val next = loop.createDataFrame(nextRdd, edgeSchema)
+        // bit_xor, not sum: order-independent, and cannot overflow under
+        // ANSI. One collect materializes next (and therefore mid) and
+        // returns both halves' (count, checksum).
+        val statRows = next.select(lit(1).as("__half"), col("src"), col("dst"))
+          .union(midDf.select(lit(0).as("__half"), col("src"), col("dst")))
+          .groupBy(col("__half"))
+          .agg(count(lit(1)).as("__n"),
+            coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)).as("__x"))
+          .collect()
+        def statsOf(h: Int): (Long, Long) = statRows.find(_.getInt(0) == h)
+          .map(r => (r.getLong(1), r.getLong(2))).getOrElse((0L, 0L))
+        val midStats = statsOf(0)
+        val nextStats = statsOf(1)
+        // midStats == curStats ⇒ cur was already the fixpoint (the pair
+        // was the detection overshoot); nextStats == midStats ⇒ the
+        // fixpoint landed mid-pair. Either way next carries the fixpoint
+        // content — contraction's potential strictly decreases until the
+        // fixpoint, so content equality across one or two rounds can
+        // never be a cycle.
+        converged = nextStats == midStats || midStats == curStats
         curRdd.unpersist(blocking = false)
+        midRdd.unpersist(blocking = false)
+        midKeep = null
         cur = next; curRdd = nextRdd; curStats = nextStats
-        it += 1
+        it += 2
       }
     } catch {
-      // On any failure, release this round's cache — nothing downstream
-      // can use it.
+      // On any failure, release this round's caches — nothing downstream
+      // can use them.
       case e: Throwable =>
         if (curRdd != null) curRdd.unpersist(blocking = false)
+        if (midKeep != null) midKeep.unpersist(blocking = false)
         throw e
     }
     if (!converged) {

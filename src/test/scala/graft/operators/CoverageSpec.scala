@@ -81,6 +81,21 @@ class CoverageSpec extends AnyFunSuite {
     assert(t == Seq((1, 4L, 2L, 2L)))
   }
 
+  test("greedyCoverExactSmall is row-for-row greedyCover on the q170 fixture") {
+    // The q170 small-regime dispatch's exactness claim: the one-job
+    // single-task path must reproduce the 2k-driver-job exact greedy
+    // EXACTLY (rounds, ids, gains, covered_cum) — not just within the
+    // GreeDi band — because the registry switches between them by corpus
+    // size and the DuckDB oracle unrolls strict greedy.
+    val postings = graft.dedup.Dedup.shinglePostings(
+      graft.Tables.documents(spark, SparkTestSession.sf), "doc_id", "text", 3)
+    val exact = Coverage.greedyCover(postings, "id", "shh", 5)
+      .as[(Int, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val small = Coverage.greedyCoverExactSmall(postings, "id", "shh", 5)
+      .as[(Int, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(small == exact)
+  }
+
   test("greedyCoverApprox reaches >=90% of exact coverage on the q170 fixture at k=100") {
     // The q170 registry fixture: 3-shingle postings over the documents
     // table. Exact greedy pays 2 driver jobs per round (the DefaultMaxK
