@@ -52,3 +52,23 @@ Global / excludeLintKeys += showSuccess
 Test / testOptions ++= (
   if (sys.env.contains("GRAFT_LARGE_SCALE")) Seq.empty
   else Seq(Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.LargeScale")))
+
+// PlanAuditSpec pins per-query SHUFFLE counts against a golden profile,
+// and shuffle counts are CACHE-SENSITIVE: when another suite's lazily
+// persisted frame (Materialize.lazyCache) canonically matches a subplan,
+// cache substitution replaces the subtree — exchanges and all — with an
+// InMemoryRelation scan, and the audited count silently drops (11
+// in-suite failures at r16 when the pins widened from 2 queries to the
+// full registry). A static-plan audit must see a clean session, so it
+// runs in its OWN forked JVM (fresh SparkContext, empty cache manager)
+// while every other suite shares the usual one.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value.toVector
+  def group(name: String, ts: Seq[TestDefinition]) =
+    Tests.Group(name, ts,
+      Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
+  val (audit, rest) = tests.partition(_.name == "graft.PlanAuditSpec")
+  Seq(group("plan-audit-isolated", audit), group("main", rest))
+    .filter(_.tests.nonEmpty)
+}

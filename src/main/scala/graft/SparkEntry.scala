@@ -3088,24 +3088,37 @@ object SparkEntry {
     // under the terminal round(6). Marginal entropies ride along to
     // normalize against.
     "q176_mutual_info" -> ((s, d) => {
-      val cells = mat(t(s, d, "documents").groupBy(col("lang"), col("source"))
-        .agg(count(lit(1)).as("n")))
-      val nl = cells.groupBy(col("lang")).agg(sum(col("n")).as("nl"))
-      val ns = cells.groupBy(col("source")).agg(sum(col("n")).as("ns"))
-      val tot = cells.agg(sum(col("n")).as("nn"))
-      val mi = cells.join(broadcast(nl), Seq("lang"))
-        .join(broadcast(ns), Seq("source")).crossJoin(broadcast(tot))
-        .agg(sum(col("n")).cast("long").as("n_docs"),
-          round(sum((col("n") / col("nn")) *
-            log((col("n").cast("double") * col("nn")) /
-              (col("nl").cast("double") * col("ns")))), 6).as("mi_nats"))
-      val hl = nl.crossJoin(broadcast(tot))
-        .agg(round(-sum((col("nl") / col("nn")) * log(col("nl") / col("nn"))), 6)
-          .as("h_lang"))
-      val hs = ns.crossJoin(broadcast(tot))
-        .agg(round(-sum((col("ns") / col("nn")) * log(col("ns") / col("nn"))), 6)
+      // Marginals as WINDOWS over the cell table instead of the r12 shape
+      // (three aggregates broadcast-joined back + three scalar crosses):
+      // the cell table is bounded by |langs|×|sources| BY CONSTRUCTION, so
+      // the unpartitioned total window's single task holds a dim-product
+      // frame, never corpus rows — and the one-pass plan drops 5
+      // broadcast-build jobs and a materialize from a query that is pure
+      // fixed overhead (16 jobs for 0.2 s of work). Entropy terms count
+      // each marginal once via a row_number==1 guard; the float sums stay
+      // in the q108/q149 partition-order class, under the terminal
+      // round(6) exactly as before.
+      import org.apache.spark.sql.expressions.Window
+      val wl = Window.partitionBy(col("lang"))
+      val ws = Window.partitionBy(col("source"))
+      val cells = t(s, d, "documents").groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("lang"), col("source"), col("n"),
+          sum(col("n")).over(wl).as("nl"),
+          sum(col("n")).over(ws).as("ns"),
+          sum(col("n")).over(Window.partitionBy()).as("nn"),
+          row_number().over(wl.orderBy(col("source"))).as("rl"),
+          row_number().over(ws.orderBy(col("lang"))).as("rs"))
+      cells.agg(sum(col("n")).cast("long").as("n_docs"),
+        round(sum((col("n") / col("nn")) *
+          log((col("n").cast("double") * col("nn")) /
+            (col("nl").cast("double") * col("ns")))), 6).as("mi_nats"),
+        round(-sum(when(col("rl") === 1,
+          (col("nl") / col("nn")) * log(col("nl") / col("nn")))), 6)
+          .as("h_lang"),
+        round(-sum(when(col("rs") === 1,
+          (col("ns") / col("nn")) * log(col("ns") / col("nn")))), 6)
           .as("h_source"))
-      mi.crossJoin(broadcast(hl)).crossJoin(broadcast(hs))
     }),
 
     // Jackknife-over-sources standard error of the corpus mean quality —

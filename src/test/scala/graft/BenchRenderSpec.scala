@@ -96,6 +96,58 @@ class BenchRenderSpec extends AnyFunSuite {
     assert((j2 \ "calibration_inflation") == JNothing)
   }
 
+  test("value bounds bracket raw and corrected in BOTH host regimes") {
+    val res = mk(4)
+    val raw = res.map(_._2).sum
+    // Degraded host (calibration > 1): corrected is the low end.
+    val j = check(Bench.renderLine(res, 0, "/sf", "out.json", Some(2.0)))
+    val (JDouble(lo), JDouble(hi)) = ((j \ "value_lo"), (j \ "value_hi"))
+    assert(math.abs(lo - raw / 2.0) < 0.01 && math.abs(hi - raw) < 0.01)
+    // Single-thread-friendly host (calibration < 1, the RUNLOG_r15 §6
+    // over-correction regime): RAW is the low end — the bounds sort.
+    val j2 = check(Bench.renderLine(res, 0, "/sf", "out.json", Some(0.8)))
+    val (JDouble(lo2), JDouble(hi2)) = ((j2 \ "value_lo"), (j2 \ "value_hi"))
+    assert(math.abs(lo2 - raw) < 0.01 && math.abs(hi2 - raw / 0.8) < 0.01)
+    // No calibration -> no bounds.
+    assert((check(Bench.renderLine(res, 0, "/sf", "out.json")) \
+      "value_lo") == JNothing)
+  }
+
+  test("per-query inflation stats ride in the line; absent when unavailable") {
+    val j = check(Bench.renderLine(mk(10), 0, "/sf", "out.json", None,
+      Some((1.05, 3.2, 9))))
+    assert((j \ "infl_p50") == JDouble(1.05))
+    assert((j \ "infl_max") == JDouble(3.2))
+    assert((j \ "infl_n") == JInt(9))
+    assert((check(Bench.renderLine(mk(3), 0, "/sf", "out.json")) \
+      "infl_p50") == JNothing)
+  }
+
+  test("inflationStats: order statistics separate bursty from uniform hosts") {
+    assert(Bench.inflationStats(Nil).isEmpty)
+    assert(Bench.inflationStats(Seq(Double.NaN, -1.0)).isEmpty)
+    // Bursty (r15 driver shape): p50 flat, the max carries the spike.
+    val bursty = Bench.inflationStats(
+      Seq(1.0, 1.0, 0.9, 1.1, 1.0, 1.0, 1.0, 1.0, 1.0, 4.8)).get
+    assert(bursty._1 == 1.0 && bursty._2 == 4.8 && bursty._3 == 10)
+    // Uniformly degraded: both lift together.
+    val uniform = Bench.inflationStats(Seq.fill(10)(2.5)).get
+    assert(uniform._1 == 2.5 && uniform._2 == 2.5)
+  }
+
+  test("gc flag names allocation-heavy queries, ignores sub-floor noise") {
+    val res = Seq(
+      ("q001_healthy", 2.0, 0.05, 3, true),   // 2.5% of wall — under the line
+      ("q002_gc_heavy", 2.0, 0.5, 3, true),   // 25% — flagged
+      ("q003_tiny", 0.3, 0.2, 3, true))       // below the 0.5 s wall floor
+    val j = check(Bench.renderLine(res, 0, "/sf", "out.json"))
+    assert((j \ "gc_flag_n") == JInt(1))
+    assert((j \ "gc_flag").asInstanceOf[JArray].arr ==
+      List(JString("q002_gc_heavy")))
+    val clean = check(Bench.renderLine(mk(5), 0, "/sf", "out.json"))
+    assert((clean \ "gc_flag_n") == JNothing)
+  }
+
   test("adjusted total = raw / inflation rides in the same headline") {
     val res = mk(4)
     val raw = res.map(_._2).sum

@@ -524,4 +524,95 @@ class LargeScaleSpec extends AnyFunSuite {
       f"4× data cost $ratio%.1f× wall — super-linear; the local greedy or " +
         "the candidate merge is not bounding its work")
   }
+
+  /** Bounded near-dup GROUPS (4 variants per group, a couple of tokens
+    * differing) — the LSH-EVAL family (q137 recall curve, q171 precision,
+    * q116 estimator error) lists candidate/truth PAIRS, so its linearity
+    * claim only makes sense on a corpus whose true-pair count grows
+    * linearly with docs (≤ C(4,2) per group); the 20%-identical
+    * mega-cluster of the other drills would make the pair LISTING itself
+    * quadratic by semantics, not by defect. Cross-group token collisions
+    * (entity residues) add realistic sub-threshold noise pairs. */
+  private def evalCorpus(n: Long): DataFrame =
+    spark.range(n).select(col("id").as("doc_id"))
+      .withColumn("__g", expr("doc_id div 4"))
+      .withColumn("__v", col("doc_id") % 4)
+      .withColumn("text", concat(
+        lit("group story about entity "), (col("__g") % 99991).cast("string"),
+        lit(" covering subject "), (col("__g") % 4391).cast("string"),
+        lit(" in considerable shared detail across all variant copies "),
+        lit("tail marker "), col("__v").cast("string"),
+        when(col("__v") === 0, lit(" alpha beta gamma"))
+          .otherwise(lit(" alpha beta delta"))))
+      .drop("__g", "__v")
+
+  /** The q137/q171/q116 chain on one corpus: df-capped truth pair core,
+    * banded candidates, recall at the ≥0.5-Jaccard band, and the minhash
+    * estimator's mean error over truth∩candidates.
+    * @return (nTrue500, nDetected500, nCandidates, meanAbsErrMilli) */
+  private def lshEvalPipeline(docs: DataFrame): (Long, Long, Long, Long) = {
+    val postings = Dedup.shinglePostings(docs, "doc_id", "text", 3)
+      .localCheckpoint()
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3,
+      numHashes = 8).localCheckpoint()
+    val banded = Dedup.minhashBandPostingsFromSignatures(sig, numHashes = 8,
+      bands = 4)
+    val cand = Dedup.candidatePairsFromBandPostings(banded).localCheckpoint()
+    val truth = Dedup.pairOverlapCounts(postings, maxDocFreq = Some(100L))
+      .withColumn("j_milli", expr("inter * 1000 div (n_a + n_b - inter)"))
+      .localCheckpoint()
+    val rec = truth.where(col("j_milli") >= 500)
+      .join(cand.withColumn("__det", lit(1L)), Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("__det"), lit(0L))).as("n_det"))
+      .first()
+    val sa = sig.select(col("id").as("id_a") +:
+      (0 until 8).map(i => col(s"mh$i").as(s"a$i")): _*)
+    val sb = sig.select(col("id").as("id_b") +:
+      (0 until 8).map(i => col(s"mh$i").as(s"b$i")): _*)
+    val matches = (0 until 8)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val err = cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), (matches * 125).as("est_milli"))
+      .join(truth.select(col("id_a"), col("id_b"), col("j_milli")),
+        Seq("id_a", "id_b"))
+      .agg(avg(abs(col("est_milli") - col("j_milli"))).as("mae"))
+      .first()
+    (rec.getLong(0), rec.getLong(1), cand.count(),
+      math.round(err.getDouble(0)))
+  }
+
+  test("LSH recall/precision/estimator eval scales ~linearly with stable bands",
+      LargeScale) {
+    val small = 250000L
+    val large = 1000000L
+    lshEvalPipeline(evalCorpus(10000L))
+    val ((tr1, det1, cand1, err1), tSmall) =
+      timed(lshEvalPipeline(evalCorpus(small)))
+    val ((tr2, det2, cand2, err2), tLarge) =
+      timed(lshEvalPipeline(evalCorpus(large)))
+    // Truth/candidate pairs must track docs ~linearly (bounded groups).
+    assert(tr1 > small / 4 && tr2 > large / 4, s"thin truth sets: $tr1/$tr2")
+    assert(cand2 < cand1 * 8, s"candidate pairs grew super-linearly: $cand1 → $cand2")
+    val rec1 = det1 * 1000 / tr1
+    val rec2 = det2 * 1000 / tr2
+    val ratio = tLarge / tSmall
+    info(f"lsh-eval: $small%,d docs in $tSmall%.1f s; $large%,d docs in " +
+      f"$tLarge%.1f s (ratio $ratio%.1f× for 4× data; recall " +
+      f"$rec1/$rec2 milli, est MAE $err1/$err2 milli, cands $cand1%,d/$cand2%,d)")
+    // Recall at the ≥0.5 band and the estimator's error are functions of
+    // the (scale-invariant) group Jaccard structure — they must hold a
+    // stable band across a 4× corpus, or the banding/verify stages are
+    // quietly scale-dependent.
+    assert(rec1 >= 500 && rec2 >= 500, s"recall collapsed: $rec1/$rec2 milli")
+    assert(math.abs(rec1 - rec2) <= 100,
+      s"recall band moved across scale: $rec1 → $rec2 milli")
+    assert(err1 <= 300 && err2 <= 300, s"estimator MAE broke band: $err1/$err2")
+    assert(math.abs(err1 - err2) <= 100,
+      s"estimator MAE moved across scale: $err1 → $err2 milli")
+    assert(ratio < 10.0,
+      f"4× data cost $ratio%.1f× wall — super-linear; a pair core is not " +
+        "bounding its work")
+  }
 }

@@ -105,8 +105,13 @@ super-linear (a scale bug — the r13 shingle-starvation class;
 investigate before shipping). exp_min is the same fit over the
 per-point MINIMUM rep: host interference only ever ADDS time, so a
 noise burst spanning most reps drags the median into a false flag
-while the minimum bounds the intrinsic cost — treat a query as
-genuinely super-linear only when BOTH columns flag it.
+while the minimum bounds the intrinsic cost. exp_min is ADVISORY,
+never a veto — at the default 3 reps the minimum is a weak 3-sample
+statistic, and an INTERMITTENT real cliff (e.g. spill triggered on 2
+of 3 reps) can leave one clean rep. A median-only flag therefore
+warrants a re-run at higher BENCHSF1_REPS (bursts are tens of
+seconds, so extra reps genuinely de-noise); only dismiss it as host
+noise once the high-rep re-run's median clears.
 
 | query | sf0.1 s | sf1 s | ratio | exp | exp_min |
 |---|---|---|---|---|---|

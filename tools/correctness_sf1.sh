@@ -1,9 +1,13 @@
 #!/usr/bin/env bash
 # Regenerates CORRECTNESS_SF1.md — the DuckDB oracle gate on the
 # testdata-sf1/ 10x corpus (100x the driver-gated sf0.01 scale) for the
-# TOP-50 most bench-expensive registry queries (r15 widening; was top-22).
-# This is the family where integer-exact headroom, LSH/band collision
-# structure, bloom decontamination and CC round counts actually stress.
+# TOP-103 most bench-expensive registry queries (r16 widening; r15 was
+# top-50, r14 top-22): the r15 set plus the next 50 by committed sf0.1
+# bench cost plus the drift family (q94/q95/q96 — float-statistic
+# queries whose integer-grid headroom deserves a decade of stress even
+# though they are cheap). This is the family where integer-exact
+# headroom, LSH/band collision structure, bloom decontamination,
+# window/sessionization shapes and CC round counts actually stress.
 #
 # Usage (repo root): tools/correctness_sf1.sh [outfile]
 # Needs: compiled classes, testdata-sf1/ (tools/run.sh graft.ScaleUp
@@ -14,7 +18,7 @@ OUT="${1:-CORRECTNESS_SF1.md}"
 SF1=testdata-sf1
 [ -d "$SF1" ] || { echo "missing $SF1 — see header" >&2; exit 2; }
 
-# Top-50 by committed sf0.1 bench cost (BENCH_LOCAL_DETAIL.json).
+# Top-50 by committed sf0.1 bench cost (BENCH_LOCAL_DETAIL.json)...
 NAMES=(
   q65_dedup_components q170_greedy_cover q167_dedup_savings
   q84_near_dup_keep_best q118_dup_cluster_histogram q70_minhash_components
@@ -33,9 +37,26 @@ NAMES=(
   q82_semantic_dedup q110_ngram_novelty q158_cdc_chunk_dedup
   q32_anomaly_topk q203_decile_divergence q63_ann_ivf_lloyd
   q85_vocab_topk q103_source_diversity
+  # ...plus the next 50 by the same ordering + the drift family (r16).
+  q143_large_orders q140_event_transitions q138_small_qty_parts
+  q100_quality_deciles q177_jackknife_se q131_dup_quality_gap
+  q44_simhash_dedup q145_column_profile q186_quality_volume_curve
+  q56_ann_ivf q107_cluster_balanced_sample q173_keyword_search
+  q90_ewma q14_depth_topn q196_retention_bitmap q154_returned_revenue
+  q75_mixture_sample q174_lang_margin q76_line_dedup q130_lang_confusion
+  q191_recall_at_k q142_winsorized_quality q18_book_levels
+  q134_shipping_priority q184_seasonal_decomposition q162_ship_priority_mix
+  q189_vocab_bands q178_ab_test q139_supplier_nations
+  q127_boilerplate_segments q114_self_repetition q183_iqr_outliers
+  q163_event_trigrams q102_temperature_mix q119_inter_event_gaps
+  q166_promo_share q141_interval_join_outer q59_cluster_histogram
+  q106_incremental_embedding q161_rolling_wau q160_argmax_join
+  q101_sessionization q89_ann_recall q172_twap q45_embedding_dedup
+  q190_dq_rules q54_cube_agg q155_key_skew q117_cms_error q33_rollup_agg
+  q94_ks_drift q95_chi2_drift q96_psi_drift
 )
 
-VOUT=/tmp/vsf1_top50
+VOUT=/tmp/vsf1_top103
 rm -rf "$VOUT"
 echo "[sf1-gate] Verify ${#NAMES[@]} queries on $SF1..." >&2
 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=24g \
