@@ -533,18 +533,25 @@ class LargeScaleSpec extends AnyFunSuite {
     * mega-cluster of the other drills would make the pair LISTING itself
     * quadratic by semantics, not by defect. Cross-group token collisions
     * (entity residues) add realistic sub-threshold noise pairs. */
-  private def evalCorpus(n: Long): DataFrame =
+  private def evalCorpus(n: Long): DataFrame = {
+    // EVERY 3-gram shingle must carry a group-specific token: an
+    // all-generic shingle ("shared detail across") has corpus-wide doc
+    // frequency, the truth core's df cap drops it, and within-group
+    // Jaccard ON THE KEPT SHINGLES collapses below the 0.5 band (the
+    // first cut of this drill found that the hard way — zero truth
+    // pairs). Three large co-residue moduli keep every surviving
+    // shingle's df at ~n/M ≤ 13 docs even at 1M — inside the cap at BOTH
+    // scales, so the band structure is scale-invariant by construction.
+    val e = (expr("doc_id div 4") % 99991).cast("string")
+    val s = (expr("doc_id div 4") % 89989).cast("string")
+    val t = (expr("doc_id div 4") % 79987).cast("string")
+    val v = (col("doc_id") % 4).cast("string")
     spark.range(n).select(col("id").as("doc_id"))
-      .withColumn("__g", expr("doc_id div 4"))
-      .withColumn("__v", col("doc_id") % 4)
       .withColumn("text", concat(
-        lit("group story about entity "), (col("__g") % 99991).cast("string"),
-        lit(" covering subject "), (col("__g") % 4391).cast("string"),
-        lit(" in considerable shared detail across all variant copies "),
-        lit("tail marker "), col("__v").cast("string"),
-        when(col("__v") === 0, lit(" alpha beta gamma"))
-          .otherwise(lit(" alpha beta delta"))))
-      .drop("__g", "__v")
+        lit("e"), e, lit(" alpha e"), e, lit(" beta s"), s,
+        lit(" gamma s"), s, lit(" delta t"), t, lit(" epsilon t"), t,
+        lit(" zeta e"), e, lit(" eta s"), s, lit(" theta tail"), v))
+  }
 
   /** The q137/q171/q116 chain on one corpus: df-capped truth pair core,
     * banded candidates, recall at the ≥0.5-Jaccard band, and the minhash
@@ -564,7 +571,7 @@ class LargeScaleSpec extends AnyFunSuite {
     val rec = truth.where(col("j_milli") >= 500)
       .join(cand.withColumn("__det", lit(1L)), Seq("id_a", "id_b"), "left")
       .agg(count(lit(1)).as("n_true"),
-        sum(coalesce(col("__det"), lit(0L))).as("n_det"))
+        coalesce(sum(coalesce(col("__det"), lit(0L))), lit(0L)).as("n_det"))
       .first()
     val sa = sig.select(col("id").as("id_a") +:
       (0 until 8).map(i => col(s"mh$i").as(s"a$i")): _*)
@@ -580,7 +587,7 @@ class LargeScaleSpec extends AnyFunSuite {
       .agg(avg(abs(col("est_milli") - col("j_milli"))).as("mae"))
       .first()
     (rec.getLong(0), rec.getLong(1), cand.count(),
-      math.round(err.getDouble(0)))
+      math.round(if (err.isNullAt(0)) 0.0 else err.getDouble(0)))
   }
 
   test("LSH recall/precision/estimator eval scales ~linearly with stable bands",
