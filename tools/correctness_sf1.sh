@@ -10,11 +10,14 @@
 # counts actually stress.
 #
 # Also refreshes ORACLE_TIMING_sf1.json (the sf1 single-node DuckDB
-# denominator) from the same run.
+# denominator; multi-threaded — check.py uses a default duckdb.connect()).
 #
 # Usage (repo root): tools/correctness_sf1.sh [outfile]
 #   SF1_ONLY="q65_dedup_components q42_ngram_jaccard" limits to a subset
-#   (local iteration; the committed artifact should be a full run).
+#   (local iteration). A subset run REQUIRES an explicit [outfile] — the
+#   default outfile is the committed full-registry artifact, and a subset
+#   run must never overwrite it with a subset-sized "full" claim
+#   (ADVICE-r16); subset reports are additionally titled SUBSET.
 # Needs: compiled classes, testdata-sf1/ (tools/run.sh graft.ScaleUp
 # /root/testdata/sf0.1 testdata-sf1 10), duckdb (driver-side python).
 set -euo pipefail
@@ -22,6 +25,11 @@ cd "$(dirname "$0")/.."
 OUT="${1:-CORRECTNESS_SF1.md}"
 SF1=testdata-sf1
 [ -d "$SF1" ] || { echo "missing $SF1 — see header" >&2; exit 2; }
+if [ -n "${SF1_ONLY:-}" ] && [ $# -lt 1 ]; then
+  echo "SF1_ONLY is set: pass an explicit outfile (refusing to overwrite" \
+       "the committed full-registry $OUT with a subset report)" >&2
+  exit 2
+fi
 
 # shellcheck disable=SC2206
 NAMES=(${SF1_ONLY:-})
@@ -32,34 +40,48 @@ echo "[sf1-gate] Verify ${SF1_ONLY:+subset }on $SF1..." >&2
 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=24g \
   tools/run.sh graft.Verify "$SF1" "$VOUT" ${NAMES[@]+"${NAMES[@]}"} >/dev/null
 echo "[sf1-gate] DuckDB oracle compare (--timing)..." >&2
-CHECK_OUT=$(python3 tools/check.py "$SF1" "$VOUT" --timing ${NAMES[@]+"${NAMES[@]}"} 2>&1 | grep -E "^(PASS|FAIL)|pass, ")
+# check.py exits 1 on any FAIL; under pipefail that used to abort the
+# script here — after the ~2 h run, with NO report written (ADVICE-r16:
+# the FAIL branch of the template was unreachable). Capture the exit code
+# and keep going so a failing gate still leaves diagnosable evidence.
+CHECK_RC=0
+CHECK_OUT=$(python3 tools/check.py "$SF1" "$VOUT" --timing \
+  ${NAMES[@]+"${NAMES[@]}"} 2>&1 | grep -E "^(PASS|FAIL)|pass, ") \
+  || CHECK_RC=$?
 if [ -z "${SF1_ONLY:-}" ] && [ -f "$VOUT/oracle_timing.json" ]; then
   cp "$VOUT/oracle_timing.json" ORACLE_TIMING_sf1.json
   echo "[sf1-gate] refreshed ORACLE_TIMING_sf1.json" >&2
 fi
 
-N=$(grep -cE "^(PASS|FAIL)" <<<"$CHECK_OUT")
-python3 - "$OUT" "$N" <<EOF
+# grep -c exits 1 at zero matches — benign here (N=0 is itself reported).
+N=$(grep -cE "^(PASS|FAIL)" <<<"$CHECK_OUT" || true)
+NFAIL=$(grep -cE "^FAIL" <<<"$CHECK_OUT" || true)
+SUBSET="${SF1_ONLY:+subset}"
+python3 - "$OUT" "$N" "$NFAIL" "$CHECK_RC" "$SUBSET" <<EOF
 import subprocess, sys, datetime
-out, n = sys.argv[1], sys.argv[2]
+out, n, nfail, rc, subset = sys.argv[1:6]
 head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
                       capture_output=True, text=True).stdout.strip() or "?"
 now = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
 check = """$CHECK_OUT"""
 tail = [l for l in check.splitlines() if "pass, " in l]
 summary = tail[-1] if tail else "NO SUMMARY LINE — inspect manually"
+if nfail != "0" or rc != "0":
+    summary += f" — GATE FAILED (check.py exit {rc})"
+scope = (f"SUBSET ({n} of the registry — NOT a full-registry gate)"
+         if subset else f"full-registry ({n} queries)")
 with open(out, "w") as f:
-    f.write(f"""# CORRECTNESS_SF1 — full-registry DuckDB gate at sf1 (generated)
+    f.write(f"""# CORRECTNESS_SF1 — {scope} DuckDB gate at sf1 (generated)
 
-The r13 sf0.1 gate argument, taken one decade further: all {n} registry
+The r13 sf0.1 gate argument, taken one decade further: {"the listed subset of" if subset else f"all {n}"} registry
 queries hash-matched against DuckDB on the \`testdata-sf1/\` 10x corpus
 — 100x the driver-gated scale. This is the family where integer-exact
 headroom, LSH/band collision structure, bloom decontamination and CC
 round counts actually stress.
 
 Generated {now} at HEAD {head} by \`tools/correctness_sf1.sh\`
-(graft.Verify on testdata-sf1 + tools/check.py --timing; same run
-refreshes ORACLE_TIMING_sf1.json).
+(graft.Verify on testdata-sf1 + tools/check.py --timing; a full run
+also refreshes ORACLE_TIMING_sf1.json).
 
 ## Result: {summary}
 
@@ -69,3 +91,4 @@ refreshes ORACLE_TIMING_sf1.json).
 """)
 print(f"wrote {out}: {summary}")
 EOF
+exit "$CHECK_RC"
