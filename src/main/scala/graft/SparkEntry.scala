@@ -2923,9 +2923,14 @@ object SparkEntry {
     // Coverage.greedyCoverExactSmall — strict greedy in ONE distributed
     // job (vs greedyCover's 2k driver-iterated jobs, which dominated the
     // suite's job bill at 38 jobs for k=5) — and past the single-task
-    // funnel's ceiling (~10⁸ postings at ~10³ distinct shingles/doc, the
-    // bound argued at the operator) the GreeDi approx path keeps every
-    // stage distributed. Both regimes count shingle HASHES engine-side vs
+    // funnel's ceiling the GreeDi approx path keeps every stage
+    // distributed. The doc-row-count branch here only decides whether the
+    // full postings frame is worth materializing at all; the funnel's
+    // actual memory argument (~10⁸ postings ≈ 1.6 GB/task) is enforced
+    // INSIDE greedyCoverExactSmall by a measured postings COUNT
+    // (Coverage.exactSmallBuckets — VERDICT-r16: a row-count guard alone
+    // would admit a 100k-doc corpus of pathologically long documents).
+    // Both regimes count shingle HASHES engine-side vs
     // raw strings oracle-side — equal barring 64-bit collision, the
     // q42-family tolerance; the small regime is row-for-row greedyCover
     // (CoverageSpec pins it), so the strict-greedy oracle gates every

@@ -150,6 +150,15 @@ object Coverage {
                         k: Int, buckets: Int = 0): DataFrame =
     greedyCoverBucketed(postings, idCol, keyCol, k, buckets)
 
+  /** Memory ceiling for the [[greedyCoverExactSmall]] single-task funnel:
+    * one task holds every distinct (id, key) posting as an 8-byte hash, so
+    * ~10⁸ postings ≈ 1.6 GB of heap is the practical limit (the q170
+    * dispatch argument). Above it the guard widens to multi-bucket GreeDi
+    * — enforced by a measured postings COUNT, not assumed from a doc count
+    * (VERDICT-r16: a 100k-doc corpus of pathologically long documents
+    * could exceed the funnel's memory argument under a row-count guard). */
+  val ExactSmallMaxPostings = 100000000L
+
   /** EXACT greedy max-coverage for the small-corpus regime — the same
     * selection as [[greedyCover]], computed inside ONE distributed job
     * instead of 2k driver-iterated rounds: with a single bucket every doc
@@ -165,32 +174,71 @@ object Coverage {
     * Gains count xxhash64 key HASHES rather than raw keys (identical
     * barring 64-bit collision — the q42-family tolerance, and a no-op for
     * callers whose keys are already hashes). The price of the single job
-    * is the single-TASK funnel: one task holds every distinct (id, key)
-    * posting as an 8-byte hash, so this is the regime for corpora the
-    * caller KNOWS are task-sized (the q170 dispatch argues ~10⁸ postings
-    * ≈ 1.6 GB as the practical ceiling); past that, dispatch to
-    * [[greedyCoverApprox]] (constant-factor, fully distributed) or
-    * [[greedyCover]] (exact, 2k driver jobs). */
+    * is the single-TASK funnel, so the distinct-postings frame is
+    * materialized ([[graft.Materialize]]) and COUNTED first, and the
+    * bucket count dispatches on that measurement via
+    * [[exactSmallBuckets]]: ≤ `maxPostings` stays the exact single-bucket
+    * greedy; above it the same call degrades to the multi-bucket GreeDi
+    * approximation (expected ≤ `maxPostings` postings per bucket task) —
+    * the funnel's memory argument is enforced by the guard, not assumed.
+    * The materialization also means the shingle/distinct stage computes
+    * once and both the count and the greedy read the checkpoint. */
   def greedyCoverExactSmall(postings: DataFrame, idCol: String,
-                            keyCol: String, k: Int): DataFrame =
-    greedyCoverBucketed(postings, idCol, keyCol, k, buckets = 1)
+                            keyCol: String, k: Int,
+                            maxPostings: Long = ExactSmallMaxPostings)
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = postings.sparkSession
+    val p = graft.Materialize(
+      preparedPostings(postings, idCol, keyCol, "greedyCoverExactSmall"))
+    val n = p.count()
+    val out = greedyFromPrepared(p, k,
+      exactSmallBuckets(n, maxPostings, spark.sparkContext.defaultParallelism))
+    // The result is a driver-local LocalRelation (the merge collects ≤
+    // buckets·k picks), so the prepared frame can be released immediately.
+    p.unpersist(blocking = false)
+    out
+  }
+
+  /** Bucket-count dispatch for [[greedyCoverExactSmall]]: 1 (exact greedy)
+    * while the measured posting count fits the single-task funnel, else
+    * enough GreeDi buckets that the EXPECTED postings per bucket task fit
+    * `maxPostings` (never fewer than the parallelism — no point shipping an
+    * over-ceiling corpus to fewer tasks than the cluster has slots). */
+  private[graft] def exactSmallBuckets(nPostings: Long, maxPostings: Long,
+                                       parallelism: Int): Int =
+    if (nPostings <= maxPostings) 1
+    else math.max(math.max(parallelism, 1),
+      math.ceil(nPostings.toDouble / maxPostings).toInt)
+
+  /** Null-tripwired distinct (id, kh) postings — the shared front of the
+    * bucketed paths. Same tripwire rationale as [[greedyCover]]: a null
+    * key/id would silently desynchronize gains (or NPE mid-heap); fail
+    * loudly in the plan. */
+  private def preparedPostings(postings: DataFrame, idCol: String,
+                               keyCol: String, tag: String): DataFrame =
+    postings.select(
+        when(col(idCol).isNull, raise_error(
+          lit(s"$tag: null id in postings"))).otherwise(col(idCol))
+          .cast("long").as("id"),
+        when(col(keyCol).isNull, raise_error(
+          lit(s"$tag: null key in postings")))
+          .otherwise(xxhash64(col(keyCol))).as("kh"))
+      .distinct()
 
   private def greedyCoverBucketed(postings: DataFrame, idCol: String, keyCol: String,
                         k: Int, buckets: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val spark = postings.sparkSession
+    greedyFromPrepared(
+      preparedPostings(postings, idCol, keyCol, "greedyCoverApprox"),
+      k, buckets)
+  }
+
+  private def greedyFromPrepared(p: DataFrame, k: Int,
+                                 buckets: Int): DataFrame = {
+    val spark = p.sparkSession
     import spark.implicits._
     val m = if (buckets > 0) buckets else spark.sparkContext.defaultParallelism
-    // Same null tripwire as greedyCover: a null key/id would silently
-    // desynchronize gains (or NPE mid-heap); fail loudly in the plan.
-    val p = postings.select(
-        when(col(idCol).isNull, raise_error(
-          lit("greedyCoverApprox: null id in postings"))).otherwise(col(idCol))
-          .cast("long").as("id"),
-        when(col(keyCol).isNull, raise_error(
-          lit("greedyCoverApprox: null key in postings")))
-          .otherwise(xxhash64(col(keyCol))).as("kh"))
-      .distinct()
     val docs = p.groupBy(col("id"))
       .agg(collect_list(col("kh")).as("keys"))
       .select(col("id"), col("keys"),

@@ -96,6 +96,40 @@ class CoverageSpec extends AnyFunSuite {
     assert(small == exact)
   }
 
+  test("greedyCoverExactSmall enforces its funnel ceiling on measured postings, not doc count") {
+    // VERDICT-r16 hardening: the single-task funnel's ~10^8-postings memory
+    // argument must be enforced by the guard itself — a SMALL-doc-count
+    // corpus of pathologically long documents (many keys per doc) has to
+    // route to the multi-bucket GreeDi path once its measured distinct
+    // posting count exceeds the ceiling.
+    // Dispatch function first: the ceiling is a postings count.
+    assert(Coverage.exactSmallBuckets(100L, 100L, 8) == 1,
+      "at the ceiling: exact single-bucket")
+    assert(Coverage.exactSmallBuckets(101L, 100L, 8) == 8,
+      "just over: parallelism-many GreeDi buckets")
+    assert(Coverage.exactSmallBuckets(10000L, 100L, 8) == 100,
+      "far over: enough buckets that EXPECTED postings/bucket fit the cap")
+    assert(Coverage.exactSmallBuckets(0L, 100L, 0) == 1 &&
+      Coverage.exactSmallBuckets(101L, 100L, 0) >= 1,
+      "degenerate parallelism never yields zero buckets")
+    // End-to-end: 6 docs x 50 distinct keys = 300 postings >> maxPostings=64
+    // routes to GreeDi buckets — and because every doc still fits the
+    // candidate merge, the routed result must STILL equal strict greedy
+    // (correctness is preserved on both sides of the guard; only the
+    // funnel's task-memory shape changes).
+    val longDocs = for {
+      id <- 1L to 6L
+      j <- 0 until 50
+    } yield id -> s"key_${id}_$j" // disjoint: greedy picks ids ascending
+    val df = longDocs.toDF("id", "sh")
+    val exact = Coverage.greedyCover(df, "id", "sh", 3)
+      .as[(Int, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    val routed = Coverage.greedyCoverExactSmall(df, "id", "sh", 3,
+        maxPostings = 64L)
+      .as[(Int, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(routed == exact)
+  }
+
   test("greedyCoverApprox reaches >=90% of exact coverage on the q170 fixture at k=100") {
     // The q170 registry fixture: 3-shingle postings over the documents
     // table. Exact greedy pays 2 driver jobs per round (the DefaultMaxK
