@@ -30,10 +30,27 @@ import org.apache.spark.sql.SparkSession
   * query names, comma-separated) restricts the run for local iteration; a
   * filter matching nothing aborts loudly instead of printing an empty
   * healthy-looking line.
+  *
+  * SPARK_GRAFT_BENCH_COMPOSITE=detail1.json,detail2.json,… switches to
+  * COMPOSITE mode: no Spark session runs — the listed single-session
+  * detail files (Bench's own output format) are merged into one artifact
+  * whose per-query figure is the MEDIAN of the sessions' medians, labeled
+  * `"composite":true` with per-query session counts. Rationale
+  * (VERDICT-r16 #1): the build host suffers hypervisor-neighbor CPU-steal
+  * bursts, and landing ONE burst-free session took a six-run lottery in
+  * r16 — a cross-session median converts that retry loop into an
+  * averaging problem, because a burst inflates different queries in
+  * different sessions. The single-session path is unchanged; a composite
+  * is always labeled so it can never masquerade as a measured session.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.env.get("SPARK_GRAFT_BENCH_COMPOSITE").foreach { paths =>
+      sys.exit(runComposite(paths.split(",").map(_.trim).filter(_.nonEmpty),
+        sfDir,
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/BENCH_COMPOSITE.json")))
+    }
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -167,6 +184,97 @@ object Bench {
   private[graft] def num(v: Double, dp: Int): String =
     s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
 
+  /** One query's record in a single-session detail file. */
+  private[graft] case class SessionEntry(sec: Double, gcSec: Double,
+                                         jobs: Int, ok: Boolean)
+
+  /** Parses a single-session detail file (Bench's OWN single-line format —
+    * the regex is safe for the same reason [[refMedians]]'s is: Bench
+    * itself writes it). Unknown/extra fields (`infl`, `reps`) pass through
+    * unparsed. */
+  private[graft] def parseDetail(text: String): Map[String, SessionEntry] = {
+    val re = ("\"(q[^\"]+)\":\\{\"sec\":([0-9.]+),\"gc_sec\":([0-9.eE+-]+)," +
+      "\"jobs\":(-?\\d+),\"ok\":(true|false)").r
+    re.findAllMatchIn(text).map { m =>
+      m.group(1) -> SessionEntry(m.group(2).toDouble, m.group(3).toDouble,
+        m.group(4).toInt, m.group(5) == "true")
+    }.toMap
+  }
+
+  /** Cross-session merge: per query, the MEDIAN of the sessions' (already
+    * per-rep-median) seconds, taken over OK sessions when any exist (a
+    * throwing session records its time-to-throw, which would drag the
+    * median toward a fake fast reading — same exclusion rationale as the
+    * calibration basket's). The median SESSION's gc/jobs ride along so the
+    * diagnostics stay attributable to the reported figure; `ok` is true
+    * only when EVERY contributing session was ok, so one bad session still
+    * flags the query. Returns (name, medianEntry, nSessions, allSecs). */
+  private[graft] def compositeEntries(
+      sessions: Seq[Map[String, SessionEntry]])
+      : Seq[(String, SessionEntry, Int, Seq[Double])] = {
+    sessions.flatMap(_.keys).distinct.sorted.map { name =>
+      val es = sessions.flatMap(_.get(name))
+      val basis = { val ok = es.filter(_.ok); if (ok.nonEmpty) ok else es }
+      val med = basis.sortBy(_.sec).apply((basis.length - 1) / 2)
+      (name, med.copy(ok = es.forall(_.ok)), es.length, es.map(_.sec))
+    }
+  }
+
+  /** Composite mode (SPARK_GRAFT_BENCH_COMPOSITE): merge N session detail
+    * files, write the composite line + detail, print the line. Returns the
+    * process exit code (loud on unreadable/empty inputs — a silently-empty
+    * composite would read as a healthy 0-second suite). */
+  private[graft] def runComposite(paths: Seq[String], sfDir: String,
+                                  outFile: String): Int = {
+    val sessions = paths.map { p =>
+      val parsed =
+        try parseDetail(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(p)))
+        catch { case t: Throwable =>
+          System.err.println(s"composite: cannot read $p — $t")
+          Map.empty[String, SessionEntry]
+        }
+      if (parsed.isEmpty)
+        System.err.println(s"composite: no query entries parsed from $p")
+      parsed
+    }
+    if (paths.length < 2 || sessions.exists(_.isEmpty)) {
+      System.err.println("composite: need >= 2 readable session detail " +
+        s"files, got ${sessions.count(_.nonEmpty)} of ${paths.length}")
+      return 2
+    }
+    val entries = compositeEntries(sessions)
+    val results = entries.map { case (k, e, _, _) =>
+      (k, e.sec, e.gcSec, e.jobs, e.ok) }
+    val refs =
+      if (sfDir.replaceAll("/+$", "").endsWith("sf0.1")) refMedians()
+      else Map.empty[String, Double]
+    val json = renderLine(results, 0, sfDir, outFile,
+      calibrationInflation(results.collect {
+        case (k, v, _, _, ok) if ok => (k, v) }, sfDir),
+      inflationStats(results.collect { case (k, v, _, _, ok)
+        if ok && refs.get(k).exists(_ > 0) && v > 0 => v / refs(k) }),
+      compositeSessions = Some(paths.length))
+    val detail = entries.map { case (k, e, n, secs) =>
+      val infl = refs.get(k).filter(_ > 0).filter(_ => e.sec > 0)
+        .map(r => s""","infl":${num(e.sec / r, 2)}""").getOrElse("")
+      "\"" + k + s"""":{"sec":${num(e.sec, 3)},"gc_sec":${num(e.gcSec, 2)},""" +
+        s""""jobs":${e.jobs},"ok":${e.ok}$infl,"sessions":$n,""" +
+        s""""session_secs":${secs.map(num(_, 3)).mkString("[", ",", "]")}}"""
+    }.mkString("{", ",", "}")
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outFile), json + "\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outFile.stripSuffix(".json") + "_DETAIL.json"),
+        detail + "\n")
+    } catch { case t: Throwable =>
+      System.err.println(s"composite: write failed — $t"); return 2
+    }
+    println(json)
+    0
+  }
+
   /** The calibration BASKET: cheap, stable queries whose committed sf0.1
     * medians anchor the environment-inflation reading. Their job is to
     * make an environment-contaminated run flag ITSELF: driver single-rep
@@ -288,7 +396,8 @@ object Bench {
                                 warmFailedN: Int, sfDir: String,
                                 outFile: String,
                                 calibration: Option[Double] = None,
-                                inflStats: Option[(Double, Double, Int)] = None)
+                                inflStats: Option[(Double, Double, Int)] = None,
+                                compositeSessions: Option[Int] = None)
       : String = {
     val total = results.map(_._2).sum
     val gcTotal = results.map(_._3).sum
@@ -348,8 +457,12 @@ object Bench {
       val gcf = if (gcFlagged.isEmpty) ""
         else s""","gc_flag_n":${gcFlagged.length},"gc_flag":""" +
           gcFlagged.take(3).mkString("[\"", "\",\"", "\"]")
+      // A merged artifact must never masquerade as a measured session: the
+      // label rides in the head (always fits), with the session count.
+      val comp = compositeSessions
+        .map(n => s""","composite":true,"sessions":$n""").getOrElse("")
       val head =
-        s"""{"metric":"total","value":${num(total, dp)},"unit":"sec"$adj$bounds$infl""" +
+        s"""{"metric":"total","value":${num(total, dp)},"unit":"sec"$comp$adj$bounds$infl""" +
           s""","gc_sec":${num(gcTotal, 1)},"jobs":$jobsTotal$top$fl$wf$cal$gcf""" +
           s""","sf":"$sfDir","detail":"${outFile.stripSuffix(".json")}_DETAIL.json""""
       // Budget whatever the envelope left for per-query entries, slowest

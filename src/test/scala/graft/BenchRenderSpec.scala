@@ -164,4 +164,79 @@ class BenchRenderSpec extends AnyFunSuite {
     assert((check(Bench.renderLine(res, 0, "/root/testdata/sf0.1",
       "out.json", Some(0.0))) \ "value_est_corrected") == JNothing)
   }
+
+  test("composite label + session count ride in the head; absent on single sessions") {
+    val j = check(Bench.renderLine(mk(4), 0, "/sf", "out.json",
+      compositeSessions = Some(3)))
+    assert((j \ "composite") == JBool(true))
+    assert((j \ "sessions") == JInt(3))
+    // The single-session path is unchanged: no composite fields.
+    val single = check(Bench.renderLine(mk(4), 0, "/sf", "out.json"))
+    assert((single \ "composite") == JNothing)
+    assert((single \ "sessions") == JNothing)
+    // The label survives the degraded large-registry renders (it must
+    // never be truncated away — that's the masquerade the field prevents).
+    val big = check(Bench.renderLine(mk(1000), 0, "/sf", "out.json",
+      compositeSessions = Some(5)))
+    assert((big \ "composite") == JBool(true))
+  }
+
+  test("parseDetail reads Bench's own detail format, with and without infl") {
+    val detail = """{"q01_a":{"sec":0.500,"gc_sec":0.01,"jobs":4,"ok":true,""" +
+      """"infl":1.02,"reps":[0.5,0.6]},""" +
+      """"q02_b":{"sec":2.000,"gc_sec":0.00,"jobs":-1,"ok":false,"reps":[2.0]}}"""
+    val got = Bench.parseDetail(detail)
+    assert(got == Map(
+      "q01_a" -> Bench.SessionEntry(0.5, 0.01, 4, true),
+      "q02_b" -> Bench.SessionEntry(2.0, 0.0, -1, false)))
+  }
+
+  test("compositeEntries: cross-session median over OK sessions, attributable diagnostics") {
+    def e(sec: Double, jobs: Int = 1, ok: Boolean = true) =
+      Bench.SessionEntry(sec, 0.0, jobs, ok)
+    val s1 = Map("q1" -> e(1.0, jobs = 10), "q2" -> e(5.0))
+    val s2 = Map("q1" -> e(9.0, jobs = 20), "q2" -> e(4.0, ok = false))
+    val s3 = Map("q1" -> e(2.0, jobs = 30), "q3" -> e(7.0))
+    val got = Bench.compositeEntries(Seq(s1, s2, s3))
+      .map { case (k, en, n, secs) => k -> ((en, n, secs)) }.toMap
+    // q1: median of (1,9,2) = 2 — and the 2.0 SESSION's jobs ride along.
+    assert(got("q1")._1 == e(2.0, jobs = 30) && got("q1")._2 == 3)
+    assert(got("q1")._3 == Seq(1.0, 9.0, 2.0))
+    // q2: the failed session's time-to-throw is EXCLUDED from the median
+    // basis (5.0 wins, not 4.0) but still poisons ok.
+    assert(got("q2")._1.sec == 5.0 && !got("q2")._1.ok && got("q2")._2 == 2)
+    // q3: present in one session only — median is that session, count says so.
+    assert(got("q3")._1 == e(7.0) && got("q3")._2 == 1)
+  }
+
+  test("runComposite merges detail files end-to-end and refuses bad input") {
+    val dir = java.nio.file.Files.createTempDirectory("bench-composite")
+    def write(name: String, text: String): String = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.writeString(p, text)
+      p.toString
+    }
+    val a = write("a.json",
+      """{"q1_x":{"sec":1.000,"gc_sec":0.01,"jobs":3,"ok":true,"reps":[1.0]}}""")
+    val b = write("b.json",
+      """{"q1_x":{"sec":3.000,"gc_sec":0.02,"jobs":3,"ok":true,"reps":[3.0]}}""")
+    val c = write("c.json",
+      """{"q1_x":{"sec":2.000,"gc_sec":0.03,"jobs":3,"ok":true,"reps":[2.0]}}""")
+    val out = dir.resolve("comp.json").toString
+    val rc = Bench.runComposite(Seq(a, b, c), "/sf", out)
+    assert(rc == 0)
+    val line = parse(java.nio.file.Files.readString(dir.resolve("comp.json")))
+    assert((line \ "composite") == JBool(true))
+    assert((line \ "sessions") == JInt(3))
+    assert((line \ "queries" \ "q1_x") == JDouble(2.0))
+    val det = parse(java.nio.file.Files.readString(
+      dir.resolve("comp_DETAIL.json")))
+    assert((det \ "q1_x" \ "sec") == JDouble(2.0))
+    assert((det \ "q1_x" \ "sessions") == JInt(3))
+    assert((det \ "q1_x" \ "session_secs").asInstanceOf[JArray].arr.length == 3)
+    // Loud refusal: fewer than two sessions, or an unreadable/empty file.
+    assert(Bench.runComposite(Seq(a), "/sf", out) == 2)
+    assert(Bench.runComposite(Seq(a, dir.resolve("nope.json").toString),
+      "/sf", out) == 2)
+  }
 }
