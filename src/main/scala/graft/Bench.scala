@@ -157,7 +157,12 @@ object Bench {
       calibrationInflation(results.collect {
         case (k, v, _, _, ok, _) if ok => (k, v) }, sfDir),
       inflationStats(results.collect {
-        case (k, v, _, _, ok, _) if ok => inflOf(k, v) }.flatten))
+        case (k, v, _, _, ok, _) if ok => inflOf(k, v) }.flatten),
+      // Ratio only on full sf0.1 runs: the denominator is the whole-suite
+      // oracle, so a BENCH_ONLY subset's "ratio" would be meaningless.
+      oracle = if (only.isEmpty &&
+          sfDir.replaceAll("/+$", "").endsWith("sf0.1")) oracleTotal()
+        else None)
     // The JSON goes BOTH to stdout (last line, machine-clean — sbt is
     // configured with StdoutOutput so no [info] prefix) and to a known
     // file, so a parser that sees interleaved launcher noise still has an
@@ -208,14 +213,26 @@ object Bench {
     * calibration basket's). The median SESSION's gc/jobs ride along so the
     * diagnostics stay attributable to the reported figure; `ok` is true
     * only when EVERY contributing session was ok, so one bad session still
-    * flags the query. Returns (name, medianEntry, nSessions, allSecs). */
+    * flags the query. An EVEN basis averages the two middle walls
+    * (ADVICE-r17: the lower-middle alone is systematically optimistic —
+    * host interference only ever ADDS time, so the faster middle is the
+    * flattering end); its gc/jobs ride from the SLOWER middle so the
+    * diagnostics still describe one real session, read conservatively.
+    * Returns (name, medianEntry, nSessions, allSecs). */
   private[graft] def compositeEntries(
       sessions: Seq[Map[String, SessionEntry]])
       : Seq[(String, SessionEntry, Int, Seq[Double])] = {
     sessions.flatMap(_.keys).distinct.sorted.map { name =>
       val es = sessions.flatMap(_.get(name))
       val basis = { val ok = es.filter(_.ok); if (ok.nonEmpty) ok else es }
-      val med = basis.sortBy(_.sec).apply((basis.length - 1) / 2)
+      val sorted = basis.sortBy(_.sec)
+      val n = sorted.length
+      val med =
+        if (n % 2 == 1) sorted(n / 2)
+        else {
+          val lo = sorted(n / 2 - 1); val hi = sorted(n / 2)
+          hi.copy(sec = (lo.sec + hi.sec) / 2)
+        }
       (name, med.copy(ok = es.forall(_.ok)), es.length, es.map(_.sec))
     }
   }
@@ -254,7 +271,13 @@ object Bench {
         case (k, v, _, _, ok) if ok => (k, v) }, sfDir),
       inflationStats(results.collect { case (k, v, _, _, ok)
         if ok && refs.get(k).exists(_ > 0) && v > 0 => v / refs(k) }),
-      compositeSessions = Some(paths.length))
+      compositeSessions = Some(paths.length),
+      // Composites only ever merge full sf0.1 sessions (the committed
+      // evidence path), so the suite denominator applies whenever the
+      // artifact is at sf0.1.
+      oracle = if (sfDir.replaceAll("/+$", "").endsWith("sf0.1"))
+          oracleTotal()
+        else None)
     val detail = entries.map { case (k, e, n, secs) =>
       val infl = refs.get(k).filter(_ > 0).filter(_ => e.sec > 0)
         .map(r => s""","infl":${num(e.sec / r, 2)}""").getOrElse("")
@@ -332,6 +355,36 @@ object Bench {
     }.find(_.nonEmpty).getOrElse(Map.empty)
   }
 
+  /** Candidate locations of the committed sf0.1 oracle denominator
+    * (`SPARK_GRAFT_BENCH_ORACLE` override, then the repo-root artifact —
+    * same resolution order rationale as [[refDetailCandidates]]). */
+  private def oracleCandidates: Seq[String] =
+    sys.env.get("SPARK_GRAFT_BENCH_ORACLE").toSeq ++
+      Seq("ORACLE_TIMING_sf0.1.json", "/root/repo/ORACLE_TIMING_sf0.1.json")
+
+  /** (total_sec, generation HEAD) parsed from the committed
+    * ORACLE_TIMING_sf0.1.json (check.py --timing's own format — trusted
+    * for the same reason [[refMedians]]'s regex is). The HEAD field is
+    * stamped by check.py since r18; older artifacts yield None and the
+    * ratio still renders. None when no readable artifact has a positive
+    * total — the ratio fields are then simply absent, never 0/NaN. */
+  private[graft] def oracleTotal(paths: Seq[String] = oracleCandidates)
+      : Option[(Double, Option[String])] = {
+    val totRe = """"total_sec":\s*([0-9.]+)""".r
+    val headRe = """"head":\s*"([0-9a-f]+)"""".r
+    paths.iterator.flatMap { p =>
+      try {
+        val f = java.nio.file.Paths.get(p)
+        if (!java.nio.file.Files.isReadable(f)) None
+        else {
+          val s = java.nio.file.Files.readString(f)
+          totRe.findFirstMatchIn(s).map(m =>
+            (m.group(1).toDouble, headRe.findFirstMatchIn(s).map(_.group(1))))
+        }
+      } catch { case _: Throwable => None }
+    }.find(_._1 > 0)
+  }
+
   /** Basket refs from the committed detail when ALL basket queries are
     * present there (a partial artifact would silently re-weight the
     * geomean); the audited fallback literals otherwise. */
@@ -397,7 +450,8 @@ object Bench {
                                 outFile: String,
                                 calibration: Option[Double] = None,
                                 inflStats: Option[(Double, Double, Int)] = None,
-                                compositeSessions: Option[Int] = None)
+                                compositeSessions: Option[Int] = None,
+                                oracle: Option[(Double, Option[String])] = None)
       : String = {
     val total = results.map(_._2).sum
     val gcTotal = results.map(_._3).sum
@@ -461,8 +515,20 @@ object Bench {
       // label rides in the head (always fits), with the session count.
       val comp = compositeSessions
         .map(n => s""","composite":true,"sessions":$n""").getOrElse("")
+      // Self-adjudicating suite ratio (VERDICT-r17 #1): value / the
+      // committed same-scale DuckDB denominator, with the denominator and
+      // the HEAD it was generated at riding along, so the round-over-round
+      // signal the runlog reads no longer needs hand-computation from two
+      // artifacts. RAW-over-oracle on purpose — the ratio inherits the
+      // session's environment, which calibration_inflation/infl_* already
+      // adjudicate in the same line.
+      val orc = oracle.filter(_._1 > 0).map { case (osec, ohead) =>
+        s""","ratio_vs_oracle":${num(total / osec, 3)}""" +
+          s""","oracle_total_sec":${num(osec, 1)}""" +
+          ohead.map(h => s""","oracle_head":"$h"""").getOrElse("")
+      }.getOrElse("")
       val head =
-        s"""{"metric":"total","value":${num(total, dp)},"unit":"sec"$comp$adj$bounds$infl""" +
+        s"""{"metric":"total","value":${num(total, dp)},"unit":"sec"$comp$orc$adj$bounds$infl""" +
           s""","gc_sec":${num(gcTotal, 1)},"jobs":$jobsTotal$top$fl$wf$cal$gcf""" +
           s""","sf":"$sfDir","detail":"${outFile.stripSuffix(".json")}_DETAIL.json""""
       // Budget whatever the envelope left for per-query entries, slowest

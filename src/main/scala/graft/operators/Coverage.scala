@@ -121,8 +121,10 @@ object Coverage {
     * (NeurIPS 2013): hash-partition documents into `buckets` groups, run an
     * in-memory lazy greedy ([[lazyGreedy]], Minoux 1978 acceleration)
     * selecting up to k PER GROUP inside one distributed job — the corpus
-    * never funnels through the driver — then merge the ≤ buckets·k
-    * candidate docs with the SAME lazy greedy driver-side. Constant-factor
+    * never funnels through the driver — then merge the candidates with the
+    * SAME lazy greedy through a [[MergeFanIn]]-ary tree whose final
+    * driver-side merge sees ≤ fanIn·k docs (one level, i.e. a direct
+    * driver merge, whenever buckets ≤ fanIn). Constant-factor
     * approximation of exact greedy's (1−1/e) guarantee; measured ≥ 0.9×
     * exact coverage on the q170 fixture at k=100 (CoverageSpec), and
     * EXACTLY equal to [[greedyCover]] whenever no bucket overflows k picks
@@ -138,11 +140,11 @@ object Coverage {
     *    gains: a pick's gain depends only on its own keys versus previously
     *    SELECTED docs' keys, and every selected doc is a candidate.
     *  - Cost shape: one shuffle (doc grouping) + one distributed greedy
-    *    job + a driver merge over ≤ buckets·k docs. No per-round driver
-    *    loop, so k is bounded by memory (each bucket task holds its
-    *    bucket's hashed postings; the driver holds the candidates'), not
-    *    by k × job-latency — the regime [[DefaultMaxK]] guards greedyCover
-    *    against.
+    *    job + ⌈log_fanIn(buckets)⌉ merge levels ending in a driver merge
+    *    over ≤ fanIn·k docs. No per-round driver loop, so k is bounded by
+    *    memory (each bucket task holds its bucket's hashed postings; any
+    *    merge point holds ≤ fanIn groups' picks), not by k × job-latency —
+    *    the regime [[DefaultMaxK]] guards greedyCover against.
     *
     * @param buckets partition-local greedy groups; 0 ⇒ defaultParallelism
     */
@@ -192,8 +194,22 @@ object Coverage {
     val p = graft.Materialize(
       preparedPostings(postings, idCol, keyCol, "greedyCoverExactSmall"))
     val n = p.count()
-    val out = greedyFromPrepared(p, k,
-      exactSmallBuckets(n, maxPostings, spark.sparkContext.defaultParallelism))
+    val buckets =
+      exactSmallBuckets(n, maxPostings, spark.sparkContext.defaultParallelism)
+    // Loud degradation (ADVICE-r17): above the ceiling this call is no
+    // longer EXACT greedy but the GreeDi approximation — a caller whose
+    // oracle unrolls strict greedy (the q170 contract) must be able to see
+    // why an over-ceiling corpus mismatches, instead of debugging a silent
+    // guard. Warning, not error: the selection is still the documented
+    // constant-factor approximation, and the guard exists precisely so the
+    // funnel's memory argument survives such corpora.
+    if (buckets > 1)
+      System.err.println(
+        s"greedyCoverExactSmall: measured $n distinct postings exceed " +
+          s"maxPostings=$maxPostings — degrading from exact greedy to the " +
+          s"$buckets-bucket GreeDi approximation (constant-factor band, " +
+          "not strict greedy)")
+    val out = greedyFromPrepared(p, k, buckets)
     // The result is a driver-local LocalRelation (the merge collects ≤
     // buckets·k picks), so the prepared frame can be released immediately.
     p.unpersist(blocking = false)
@@ -226,30 +242,71 @@ object Coverage {
           .otherwise(xxhash64(col(keyCol))).as("kh"))
       .distinct()
 
+  /** Fan-in ceiling of the GreeDi merge TREE (VERDICT-r17 #3: the flat
+    * merge collected buckets·k candidate docs WITH their full key arrays
+    * to the driver — with buckets = ceil(postings / maxPostings) that
+    * driver funnel grows linearly in corpus size at fixed k). With the
+    * tree, any single merge point — distributed task or the final driver
+    * merge — sees candidates from at most this many groups: ≤ fanIn·k
+    * docs, whose key arrays total ≤ fanIn input groups' picks. Each
+    * intermediate level is itself a GreeDi round (the multi-round
+    * composition of Mirzasoleiman et al. §4 — constant-factor bounds
+    * compose), and a level only exists when the group count exceeds the
+    * fan-in, so the ≤32-bucket corpora of every gated scale run the exact
+    * same single-level plan as before. 32 balances tree depth (1M buckets
+    * → 4 levels) against per-task candidate memory. */
+  val MergeFanIn = 32
+
   private def greedyCoverBucketed(postings: DataFrame, idCol: String, keyCol: String,
-                        k: Int, buckets: Int): DataFrame = {
+                        k: Int, buckets: Int, fanIn: Int = MergeFanIn): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     greedyFromPrepared(
       preparedPostings(postings, idCol, keyCol, "greedyCoverApprox"),
-      k, buckets)
+      k, buckets, fanIn)
   }
 
-  private def greedyFromPrepared(p: DataFrame, k: Int,
-                                 buckets: Int): DataFrame = {
+  /** [[greedyCoverApprox]] with an explicit merge-tree fan-in — the test
+    * seam for exercising multi-level merges on corpora small enough to
+    * cross-check against exact greedy (CoverageSpec). */
+  private[graft] def greedyCoverApproxFan(postings: DataFrame, idCol: String,
+      keyCol: String, k: Int, buckets: Int, fanIn: Int): DataFrame = {
+    require(fanIn >= 2, s"fanIn must be >= 2, got $fanIn")
+    greedyCoverBucketed(postings, idCol, keyCol, k, buckets, fanIn)
+  }
+
+  private def greedyFromPrepared(p: DataFrame, k: Int, buckets: Int,
+                                 fanIn: Int = MergeFanIn): DataFrame = {
     val spark = p.sparkSession
     import spark.implicits._
     val m = if (buckets > 0) buckets else spark.sparkContext.defaultParallelism
-    val docs = p.groupBy(col("id"))
-      .agg(collect_list(col("kh")).as("keys"))
-      .select(col("id"), col("keys"),
-        pmod(xxhash64(col("id")), lit(m.toLong)).cast("int").as("b"))
-      .as[(Long, Array[Long], Int)]
-    val cands = docs.groupByKey(_._3)
-      .flatMapGroups { (_, it) =>
-        lazyGreedy(it.map(t => (t._1, t._2)), k).iterator
-          .map(pk => (pk.id, pk.keys))
-      }
-      .collect()
+    // One greedy level: hash docs into nb groups, select ≤ k per group
+    // with the partition-local lazy greedy. The same function serves the
+    // leaf level (over all docs) and every merge level (over the previous
+    // level's picks) — GreeDi composes, so stacking levels keeps the
+    // constant-factor band while capping any one group's candidate count.
+    def level(docs: DataFrame, nb: Int): DataFrame =
+      docs.select(col("id"), col("keys"),
+          pmod(xxhash64(col("id")), lit(nb.toLong)).cast("int").as("b"))
+        .as[(Long, Array[Long], Int)]
+        .groupByKey(_._3)
+        .flatMapGroups { (_, it) =>
+          lazyGreedy(it.map(t => (t._1, t._2)), k).iterator
+            .map(pk => (pk.id, pk.keys))
+        }
+        .toDF("id", "keys")
+    var cur = level(p.groupBy(col("id"))
+      .agg(collect_list(col("kh")).as("keys")), m)
+    // Merge tree: fold the group count by fanIn per level until the FINAL
+    // driver merge sees at most fanIn groups' picks. Extreme-bucket-count
+    // example: 10^6 leaf buckets → levels of 31250 / 977 / 31 groups →
+    // driver collect ≤ 31·k docs, where the flat merge would have
+    // collected 10^6·k.
+    var nb = m
+    while (nb > fanIn) {
+      nb = math.ceil(nb.toDouble / fanIn).toInt
+      cur = level(cur, nb)
+    }
+    val cands = cur.as[(Long, Array[Long])].collect()
     val merged = lazyGreedy(cands.iterator.map(c => (c._1, c._2)), k)
     merged.iterator.zipWithIndex
       .map { case (pk, i) => (i + 1, pk.id, pk.gain, pk.coveredCum) }

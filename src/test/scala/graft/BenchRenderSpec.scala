@@ -209,6 +209,79 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(got("q3")._1 == e(7.0) && got("q3")._2 == 1)
   }
 
+  test("compositeEntries: an even basis averages the two middle walls, attributes conservatively") {
+    def e(sec: Double, jobs: Int = 1, ok: Boolean = true) =
+      Bench.SessionEntry(sec, 0.0, jobs, ok)
+    // ADVICE-r17: the lower-middle of an even basis is the FASTER of the
+    // two central sessions — systematically optimistic on a host whose
+    // noise only ever adds time. Four sessions (1,9,2,6): middles 2 and 6
+    // -> reported wall 4.0, with the SLOWER middle's jobs riding along.
+    val got = Bench.compositeEntries(Seq(
+      Map("q1" -> e(1.0, jobs = 10)), Map("q1" -> e(9.0, jobs = 20)),
+      Map("q1" -> e(2.0, jobs = 30)), Map("q1" -> e(6.0, jobs = 40))))
+      .map { case (k, en, n, secs) => k -> ((en, n, secs)) }.toMap
+    assert(got("q1")._1.sec == 4.0)
+    assert(got("q1")._1.jobs == 40, "diagnostics from the slower middle")
+    assert(got("q1")._2 == 4)
+    // Two sessions: plain average (the n=2 case the advice called out).
+    val two = Bench.compositeEntries(Seq(
+      Map("q1" -> e(1.0)), Map("q1" -> e(3.0))))
+    assert(two.head._2.sec == 2.0)
+    // Odd counts are untouched: exact middle element.
+    val three = Bench.compositeEntries(Seq(
+      Map("q1" -> e(1.0)), Map("q1" -> e(9.0)), Map("q1" -> e(2.0))))
+    assert(three.head._2.sec == 2.0)
+  }
+
+  test("ratio_vs_oracle + denominator + its HEAD ride in the line head, absent without an oracle") {
+    val res = mk(4)
+    val raw = res.map(_._2).sum
+    val j = check(Bench.renderLine(res, 0, "/root/testdata/sf0.1",
+      "out.json", oracle = Some((raw * 4, Some("abc1234")))))
+    assert((j \ "ratio_vs_oracle") == JDouble(0.25))
+    assert((j \ "oracle_total_sec") == JDouble(
+      BigDecimal(raw * 4).setScale(1, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert((j \ "oracle_head") == JString("abc1234"))
+    // Pre-r18 oracle artifact (no head field): ratio still renders.
+    val noHead = check(Bench.renderLine(res, 0, "/root/testdata/sf0.1",
+      "out.json", oracle = Some((raw * 4, None))))
+    assert((noHead \ "ratio_vs_oracle") == JDouble(0.25))
+    assert((noHead \ "oracle_head") == JNothing)
+    // No oracle / degenerate denominator: no fields, never NaN/Infinity.
+    assert((check(Bench.renderLine(res, 0, "/sf", "out.json")) \
+      "ratio_vs_oracle") == JNothing)
+    assert((check(Bench.renderLine(res, 0, "/sf", "out.json",
+      oracle = Some((0.0, None)))) \ "ratio_vs_oracle") == JNothing)
+    // Head fields survive the degraded large-registry renders — the ratio
+    // is the round-over-round signal and must never truncate away.
+    val big = check(Bench.renderLine(mk(1000), 0, "/root/testdata/sf0.1",
+      "out.json", oracle = Some((100.0, Some("abc1234"))),
+      compositeSessions = Some(3)))
+    assert((big \ "ratio_vs_oracle") != JNothing)
+    assert((big \ "composite") == JBool(true))
+  }
+
+  test("oracleTotal parses check.py's timing artifact, tolerates missing head and files") {
+    val dir = java.nio.file.Files.createTempDirectory("bench-oracle")
+    def write(name: String, text: String): String = {
+      val p = dir.resolve(name); java.nio.file.Files.writeString(p, text)
+      p.toString
+    }
+    val withHead = write("o1.json",
+      """{"head": "f21b888", "queries": {"q1": 1.5}, "total_sec": 329.297}""")
+    assert(Bench.oracleTotal(Seq(withHead)) ==
+      Some((329.297, Some("f21b888"))))
+    val noHead = write("o2.json", """{"queries": {}, "total_sec": 12.5}""")
+    assert(Bench.oracleTotal(Seq(noHead)) == Some((12.5, None)))
+    // Resolution order: first readable artifact with a positive total wins;
+    // unreadable paths and zero totals are skipped, an empty list is None.
+    val zero = write("o3.json", """{"total_sec": 0.0}""")
+    assert(Bench.oracleTotal(Seq(
+      dir.resolve("absent.json").toString, zero, withHead)) ==
+      Some((329.297, Some("f21b888"))))
+    assert(Bench.oracleTotal(Nil).isEmpty)
+  }
+
   test("runComposite merges detail files end-to-end and refuses bad input") {
     val dir = java.nio.file.Files.createTempDirectory("bench-composite")
     def write(name: String, text: String): String = {

@@ -130,6 +130,48 @@ class CoverageSpec extends AnyFunSuite {
     assert(routed == exact)
   }
 
+  test("merge tree: multi-level fan-in bounds every merge point and stays exact/banded") {
+    // VERDICT-r17 #3: the flat merge collected buckets·k candidates (full
+    // key arrays) to the driver — linear in corpus size at extreme bucket
+    // counts. fanIn=2 over 9 leaf buckets forces three merge LEVELS
+    // (9 → 5 → 3 → 2 groups) before a ≤ 2·k-candidate driver merge.
+    // Disjoint per-doc keys mean no level ever drops a doc as zero-gain
+    // and no group overflows k, so the tree must reproduce exact greedy
+    // row-for-row (rounds, ids, gains, covered_cum) — every level's
+    // greedy passes all picks through unchanged.
+    val disjoint = for {
+      id <- 1L to 30L
+      j <- 0 until (2 + (id % 5)).toInt
+    } yield id -> s"key_${id}_$j"
+    val exact = run(disjoint, 30)
+    assert(exact.length == 30)
+    val treed = Coverage.greedyCoverApproxFan(disjoint.toDF("id", "sh"),
+        "id", "sh", k = 30, buckets = 9, fanIn = 2)
+      .as[(Int, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(treed == exact)
+    // Overlapping keys + small k: groups genuinely drop docs, so require
+    // the GreeDi band and the greedy invariants (levels compose — the
+    // Mirzasoleiman multi-round argument), not equality.
+    val p = for {
+      id <- 1L to 40L
+      j <- 0 until 6
+    } yield id -> s"k${(id * 7 + j * j) % 53}"
+    val exact6 = run(p, 6)
+    val t6 = Coverage.greedyCoverApproxFan(p.toDF("id", "sh"), "id", "sh",
+        k = 6, buckets = 9, fanIn = 2)
+      .as[(Int, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(t6.map(_._4).max >= (0.9 * exact6.map(_._4).max).toLong,
+      s"tree coverage ${t6.map(_._4).max} < 90% of exact ${exact6.map(_._4).max}")
+    assert(t6.sliding(2).forall(w => w.size < 2 || w(0)._3 >= w(1)._3),
+      "tree gains must be non-increasing (greedy invariant)")
+    assert(t6.map(_._3).sum == t6.last._4)
+    // fanIn < 2 would never shrink the group count — loud, not an
+    // infinite level loop.
+    intercept[IllegalArgumentException] {
+      Coverage.greedyCoverApproxFan(p.toDF("id", "sh"), "id", "sh", 3, 4, 1)
+    }
+  }
+
   test("greedyCoverApprox reaches >=90% of exact coverage on the q170 fixture at k=100") {
     // The q170 registry fixture: 3-shingle postings over the documents
     // table. Exact greedy pays 2 driver jobs per round (the DefaultMaxK

@@ -14,7 +14,7 @@ writes {"total_sec":…, "queries":{name:sec}} to
 numbers ratio against, reproducible in-band instead of via a hand-rolled
 harness.
 """
-import sys, os, json, glob, time
+import sys, os, json, glob, time, subprocess
 import duckdb
 import pandas as pd
 
@@ -99,7 +99,18 @@ def main():
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     if timing:
+        # "head" records the repo HEAD the denominator was generated at, so
+        # a bench artifact stamping ratio_vs_oracle can name WHICH oracle
+        # measurement it divided by (VERDICT-r17 #1: the ratio's provenance
+        # used to need hand-reconstruction from git history).
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ).stdout.strip() or None
         out = {"total_sec": round(sum(times.values()), 3), "queries": times}
+        if head:
+            out["head"] = head
         with open(f"{out_dir}/oracle_timing.json", "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
         print(f"oracle timing: {out['total_sec']} s over {len(times)} queries "

@@ -44,10 +44,15 @@ echo "[sf1-gate] DuckDB oracle compare (--timing)..." >&2
 # script here — after the ~2 h run, with NO report written (ADVICE-r16:
 # the FAIL branch of the template was unreachable). Capture the exit code
 # and keep going so a failing gate still leaves diagnosable evidence.
+# The raw output goes to a file FIRST so CHECK_RC is check.py's OWN exit
+# code — in the old `check.py | grep` pipeline under pipefail, grep
+# finding no PASS/FAIL lines turned a check.py SUCCESS into a reported
+# "check.py exit 1" (ADVICE-r17: misattributed, though conservative).
 CHECK_RC=0
-CHECK_OUT=$(python3 tools/check.py "$SF1" "$VOUT" --timing \
-  ${NAMES[@]+"${NAMES[@]}"} 2>&1 | grep -E "^(PASS|FAIL)|pass, ") \
-  || CHECK_RC=$?
+CHECK_RAW=/tmp/sf1_check_raw.txt
+python3 tools/check.py "$SF1" "$VOUT" --timing \
+  ${NAMES[@]+"${NAMES[@]}"} >"$CHECK_RAW" 2>&1 || CHECK_RC=$?
+CHECK_OUT=$(grep -E "^(PASS|FAIL)|pass, " "$CHECK_RAW" || true)
 if [ -z "${SF1_ONLY:-}" ] && [ -f "$VOUT/oracle_timing.json" ]; then
   cp "$VOUT/oracle_timing.json" ORACLE_TIMING_sf1.json
   echo "[sf1-gate] refreshed ORACLE_TIMING_sf1.json" >&2
