@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.HashPartitioner
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /** Distributed connected components — the dedup-cluster resolver: near-dup
@@ -20,45 +21,55 @@ import org.apache.spark.storage.StorageLevel
   *
   * The fixpoint is a forest of stars rooted at each component's min id.
   *
-  * Scale design, per round:
+  * The ROUND LOOP runs on raw RDDs of (Long, Long) edges, not DataFrames
+  * (r18 optimization). Rationale, measured: a DataFrame round re-enters
+  * Catalyst on every iteration — `df.rdd` alone cost 0.25-0.45 s per round
+  * plan at any data size (driver-side RDD-DAG construction dominated by
+  * ClosureCleaner serializing each operator closure's captured plan state,
+  * plus a second `rddQueryExecution` planning pass and a Row-deserialization
+  * stage) — ~1-1.5 s of pure driver time per CC query, O(rounds) at every
+  * scale, and the Row objects it persisted cost boxed-object memory. The
+  * RDD rounds plan NOTHING per iteration (the lambdas are tiny, cleaned in
+  * ~1 ms), persist compact primitive tuples, and run the identical
+  * contraction algebra: A/B on the q65 graph read 4.9-6.2 s (SQL rounds)
+  * vs 1.2-2.4 s (RDD rounds) for bit-identical labels, and the 2M-doc
+  * LargeScaleSpec drill holds its ~linear scaling (the per-round transforms
+  * are min/compare/swap on primitive longs — no expression complex enough
+  * for codegen to matter, while every shuffle stays map-side-combined).
+  *
+  * Scale design, per round (unchanged from the SQL rounds, same shapes):
   *  - The per-node neighborhood minimum is a map-side-combined
-  *    `groupBy(src).agg(min)` JOINED back to the edges — never a
+  *    `aggregateByKey` (min, degree) JOINED back to the edges — never a
   *    whole-partition window min. A window partition is one unsplittable
   *    task, and the root of a giant duplicate cluster (the common dedup
   *    degeneracy) has degree ≈ cluster size, so a window would serialize
   *    one cluster-sized task per round. The aggregate reduces each map
   *    partition to one row per node before its shuffle, so the agg itself
   *    never concentrates a hot key.
-  *  - The join back is HOT/COLD split, because AQE's skew-join rule cannot
-  *    save it: the aggregate reuses its exchange, leaving a HashAggregate
-  *    between the join and the shuffle stage, which OptimizeSkewedJoin's
-  *    pattern does not match (verified empirically — the hot probe
-  *    partition was never split). Instead the degree of every node comes
-  *    out of the SAME aggregate for free; nodes above `hotDegree` join
-  *    map-side via broadcast (no shuffle of their edges at all), the rest
-  *    take the ordinary shuffle join, whose per-key row count is ≤
-  *    `hotDegree` by construction. The broadcast is bounded by
-  *    2·|E|/hotDegree rows — giant-degree nodes are cluster roots, and
-  *    there can only be few of them.
-  *  - ONE blocking action: the round's edge set materializes inside the same
-  *    aggregate job that computes the convergence signal (edge count +
-  *    xxhash64 checksum) — no separate checkpoint-then-count pair.
-  *  - Lineage truncation via an explicitly persisted RDD (re-wrapped with
-  *    `createDataFrame`), so Catalyst plans one round, not the whole history.
+  *  - The join back is HOT/COLD split: the degree of every node comes out
+  *    of the SAME aggregate for free; nodes above `hotDegree` resolve
+  *    map-side via a broadcast of the (few) hot mins — their edge rows
+  *    never shuffle, so a 10⁸-degree cluster root costs zero reducer-side
+  *    concentration. At most 2·|E|/hotDegree hot nodes can exist, so the
+  *    broadcast is small by construction; cold srcs take the ordinary
+  *    shuffle join, whose per-key row count is ≤ hotDegree by construction.
+  *    The cold join re-reads the aggregate's shuffle output (skipped
+  *    stage), not a recompute.
+  *  - ONE blocking action per fused round pair: both halves' edge sets
+  *    materialize inside the same job that computes the convergence signal
+  *    (edge count + mixed-64-bit checksum) — no separate
+  *    checkpoint-then-count pair.
   *  - The superseded round's RDD is unpersisted DETERMINISTICALLY as soon as
   *    its successor is materialized — memory use is 2 edge sets, not
   *    O(rounds). If `sparkContext.setCheckpointDir` is configured, each
   *    round additionally checkpoints RELIABLY (one extra cache-fed job per
   *    round), so executor loss recovers from storage instead of replaying
   *    the contraction from scratch.
-  *
-  * The loop plans its rounds on a CHILD session (`spark.newSession()` —
-  * same SparkContext, cache and catalog, fresh SQL-conf state), with AQE
-  * off (one driver job per round, not one per shuffle stage) and shuffle
-  * partitions re-sized each round from the previous round's exact edge
-  * count, capped at the caller's setting. The caller's session confs are
-  * never touched, so concurrent queries — including streaming — plan under
-  * their own settings.
+  *  - Shuffle partition counts are re-sized each round from the previous
+  *    round's exact edge count (contraction shrinks the set every round),
+  *    capped at the caller's `spark.sql.shuffle.partitions` — cluster-scale
+  *    inputs keep full parallelism, tail rounds stop paying empty-task
+  *    overhead. The caller's session confs are never touched.
   *
   * Non-convergence is an ERROR: if `maxIters` rounds don't reach the
   * fixpoint the call throws instead of silently returning labels that are
@@ -67,43 +78,64 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
-  private val edgeSchema = StructType(Seq(
-    StructField("src", LongType, nullable = false),
-    StructField("dst", LongType, nullable = false)))
+  private type Edge = (Long, Long)
+
+  /** splitmix64 finalizer — the convergence checksum's 64-bit mixer.
+    * Internal to the loop (never compared against an engine), so any
+    * well-mixed deterministic hash works; XOR across rows makes the
+    * aggregate order-independent, pair-mixing makes (a,b) ≠ (b,a). */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** One partition's convergence contribution: (row count, XORed pair
+    * checksum). */
+  private def statPart(it: Iterator[Edge]): (Long, Long) = {
+    var n = 0L; var x = 0L
+    while (it.hasNext) { val p = it.next(); n += 1; x ^= mix64(mix64(p._1) ^ p._2) }
+    (n, x)
+  }
 
   /** Per-src (min(dst), degree) — one map-side-combined pass. */
-  private def srcMins(edges: DataFrame): DataFrame =
-    edges.groupBy(col("src"))
-      .agg(min(col("dst")).as("__nmin"), count(lit(1)).as("__deg"))
+  private def srcMinDeg(edges: RDD[Edge], p: HashPartitioner)
+      : RDD[(Long, (Long, Long))] =
+    edges.aggregateByKey((Long.MaxValue, 0L), p)(
+      (acc, v) => (math.min(acc._1, v), acc._2 + 1L),
+      (a, b) => (math.min(a._1, b._1), a._2 + b._2))
 
-  /** Attach `__nmin` to every row of `rows` (a subset of the frame `mins`
-    * was aggregated over), hot/cold split on `hotDegree`:
-    *  - hot srcs (degree > hotDegree) resolve via a BROADCAST join — their
-    *    edge rows never shuffle, so a 10⁸-degree cluster root costs zero
-    *    reducer-side concentration. At most 2·|E|/hotDegree hot rows exist,
-    *    so the broadcast is small by construction.
-    *  - cold srcs take the ordinary shuffle join; every key carries ≤
-    *    hotDegree rows, so no partition can be pinned by one key.
-    * The two branches re-read `rows` from the round's persisted RDD (cache
-    * hit, not a recompute). `__nmin` is never null for a matched src (dst
-    * is non-null), so the null test identifies broadcast misses exactly.
+  /** Attach each row's per-src neighborhood min, hot/cold split on
+    * `hotDegree` (see the object scaladoc). Returns (src, (dst, nmin)).
     *
     * `hotDegree = None` selects the plain single shuffle join — the loop
     * passes it whenever the round's TOTAL edge count is ≤ hotDegree, which
-    * PROVES no node can be hot: the broadcast branch would then cost two
-    * extra driver jobs per star per round for a knowably-empty frame
-    * (measured ~25% of q65/q70 wall at sf0.1). */
-  private def minJoin(rows: DataFrame, mins: DataFrame,
-                      hotDegree: Option[Long]): DataFrame = hotDegree match {
+    * PROVES no node can be hot: the hot branch would then cost one extra
+    * driver job per star per round for a knowably-empty map. */
+  private def minJoin(rows: RDD[Edge], mins: RDD[(Long, (Long, Long))],
+                      hotDegree: Option[Long], p: HashPartitioner)
+      : RDD[(Long, (Long, Long))] = hotDegree match {
     case None =>
-      rows.join(mins.drop("__deg"), Seq("src"))
+      rows.join(mins.mapValues(_._1), p)
     case Some(t) =>
-      val hot = broadcast(mins.where(col("__deg") > t).drop("__deg"))
-      val cold = mins.where(col("__deg") <= t).drop("__deg")
-      val viaHot = rows.join(hot, Seq("src"), "left")
-      viaHot.where(col("__nmin").isNotNull)
-        .union(viaHot.where(col("__nmin").isNull).drop("__nmin")
-          .join(cold, Seq("src")))
+      // collectAsMap is bounded by 2·|E|/hotDegree entries (see scaladoc);
+      // the job it runs also materializes the aggregate's shuffle output,
+      // which the cold join below then reuses as a skipped stage.
+      val hotMap = mins.filter(_._2._2 > t).mapValues(_._1)
+        .collectAsMap()
+      val bc = rows.sparkContext.broadcast(
+        scala.collection.immutable.Map(hotMap.toSeq: _*))
+      val viaHot = rows.mapPartitions({ it =>
+        val m = bc.value
+        it.flatMap { case (s, d) => m.get(s).map(nm => (s, (d, nm))) }
+      }, preservesPartitioning = true)
+      val coldRows = rows.mapPartitions({ it =>
+        val m = bc.value
+        it.filter { case (s, _) => !m.contains(s) }
+      }, preservesPartitioning = true)
+      viaHot.union(coldRows.join(
+        mins.filter(_._2._2 <= t).mapValues(_._1), p))
   }
 
   /** large-star(E): for each node u over symmetric neighbors Γ(u), with
@@ -114,50 +146,27 @@ object Graph {
     * and the small-star that always follows dedups once for both phases.
     * The min aggregates over the FULL symmetric neighborhood; only the
     * dst > src rows (the emitted side) need the value joined on. */
-  private def largeStar(e: DataFrame, hotDegree: Option[Long]): DataFrame = {
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-    minJoin(sym.where(col("dst") > col("src")), srcMins(sym), hotDegree)
-      .select(col("dst").as("src"),
-        least(col("__nmin"), col("src")).as("dst"))
+  private def largeStar(e: RDD[Edge], hotDegree: Option[Long],
+                        p: HashPartitioner): RDD[Edge] = {
+    val sym = e.flatMap { case (s, d) => Iterator((s, d), (d, s)) }
+    minJoin(sym.filter { case (s, d) => d > s }, srcMinDeg(sym, p),
+        hotDegree, p)
+      .map { case (u, (v, m)) => (v, math.min(m, u)) }
   }
 
   /** small-star(E): orient edges so src > dst; for each node u with
     * m = min(Γ≤(u)): emit (v, m) for every v ∈ Γ≤(u) ∪ {u}, minus
     * self-loops. The (u, m) self rows come straight from the aggregate —
     * one row per node, not one per edge. */
-  private def smallStar(e: DataFrame, hotDegree: Option[Long]): DataFrame = {
-    val or = e.select(greatest(col("src"), col("dst")).as("src"),
-      least(col("src"), col("dst")).as("dst"))
-    val mins = srcMins(or)
-    minJoin(or, mins, hotDegree)
-      .select(col("dst").as("src"), col("__nmin").as("dst"))
-      .union(mins.select(col("src"), col("__nmin").as("dst")))
-      .where(col("src") =!= col("dst"))
-      .distinct()
-  }
-
-  /** Materialize `df` with truncated lineage and return it together with its
-    * convergence stats — (row count, xxhash64 checksum) — computed in the
-    * SAME job that populates the persisted RDD. `session` decides whose SQL
-    * confs the re-wrapped frame plans under.
-    *
-    * When the SparkContext has a checkpoint dir configured, each round also
-    * RELIABLY checkpoints: executor loss then recovers a round from storage
-    * instead of replaying the whole contraction lineage. The checkpoint
-    * write is one extra job per round, but recompute-free — it reads the
-    * copy the persist below just cached. Local runs without a checkpoint
-    * dir keep the persist-only path. Enable
-    * `spark.cleaner.referenceTracking.cleanCheckpoints` to reclaim
-    * superseded rounds' checkpoint files automatically. */
-  private def materialize(session: SparkSession, df: DataFrame)
-      : (DataFrame, org.apache.spark.rdd.RDD[Row], (Long, Long)) = {
-    val rdd = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-    if (session.sparkContext.getCheckpointDir.isDefined) rdd.checkpoint()
-    val out = session.createDataFrame(rdd, edgeSchema)
-    // bit_xor, not sum: order-independent, and cannot overflow under ANSI.
-    val r = out.agg(count(lit(1)),
-      coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L))).first()
-    (out, rdd, (r.getLong(0), r.getLong(1)))
+  private def smallStar(e: RDD[Edge], hotDegree: Option[Long],
+                        p: HashPartitioner): RDD[Edge] = {
+    val or = e.map { case (s, d) => if (s >= d) (s, d) else (d, s) }
+    val mins = srcMinDeg(or, p)
+    minJoin(or, mins, hotDegree, p)
+      .map { case (_, (v, m)) => (v, m) }
+      .union(mins.map { case (u, (m, _)) => (u, m) })
+      .filter { case (s, d) => s != d }
+      .distinct(p.numPartitions)
   }
 
   /** @param nodes  one column `idCol`; isolated nodes keep their own label
@@ -175,11 +184,14 @@ object Graph {
 
   /** [[connectedComponents]] plus the number of contraction rounds actually
     * run — the scale-relevant diagnostic (rounds ≈ log₂ of the largest
-    * component's star depth; Spark job counts per round are an AQE
-    * implementation detail and NOT stable across versions).
+    * component's star depth).
     *
-    * @param loopConfs extra SQL confs applied to the loop's isolated child
-    *                  session only (e.g. AQE coalescing floors); the
+    * @param loopConfs loop sizing overrides. The RDD rounds read
+    *                  `spark.sql.shuffle.partitions` (parallelism cap) and
+    *                  `spark.graft.cc.rowsPerPartition` (per-partition row
+    *                  budget for the manual round re-sizing) from here
+    *                  first, then from the caller's session conf; other
+    *                  keys are ignored (the rounds plan no SQL). The
     *                  caller's session is never mutated.
     * @param hotDegree nodes with more than this many incident edge rows in
     *                  a round resolve their neighborhood min via broadcast
@@ -195,92 +207,70 @@ object Graph {
                                     hotDegree: Long = 1000000L)
       : (DataFrame, Int) = {
     val spark = nodes.sparkSession
+    val sc = spark.sparkContext
     val cleaned = edges
-      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
-      .where(col("src") =!= col("dst"))
+      .select(col(srcCol).cast("long").as("_1"), col(dstCol).cast("long").as("_2"))
+      .where(col("_1") =!= col("_2"))
       .distinct()
-    // Child session: same SparkContext/cache, fresh conf state. The round
-    // frames are re-planned from persisted RDDs each iteration, so only the
-    // loop's own joins/aggregates see these settings; the input derivation
-    // (`cleaned`, evaluated once below) and the RETURNED label plan stay on
-    // the caller's session with the caller's confs.
-    val loop = spark.newSession()
-    val baseParts = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    loop.conf.set("spark.sql.shuffle.partitions", baseParts)
-    // AQE OFF for the loop: on an adaptive plan every shuffle stage runs as
-    // its own driver job (measured ~4× the job count per round), which
-    // amplifies any scheduler degradation O(rounds)-fold — and AQE buys
-    // nothing here: skew is handled structurally by the hot/cold min join
-    // (AQE's skew rule cannot even match this join shape — see the
-    // scaladoc), and tail-round coalescing is done manually below from the
-    // previous round's exact edge count. All on the child session — the
-    // caller never sees these settings.
-    loop.conf.set("spark.sql.adaptive.enabled", "false")
-    loopConfs.foreach { case (k, v) => loop.conf.set(k, v) }
-    // Parallelism cap and per-partition row budget for the manual sizing
-    // below. Read AFTER loopConfs so a caller-supplied partition count (or
-    // a test's smaller row budget, via the graft-specific key) is honored.
-    val basePartsN = loop.conf.get("spark.sql.shuffle.partitions").toInt
-    val rowsPerPart = loop.conf
-      .get("spark.graft.cc.rowsPerPartition", "100000").toLong
-    var (cur, curRdd, curStats) = (null: DataFrame, null: org.apache.spark.rdd.RDD[Row], (0L, 0L))
-    var midKeep: org.apache.spark.rdd.RDD[Row] = null
+    val basePartsN = loopConfs.getOrElse("spark.sql.shuffle.partitions",
+      spark.conf.get("spark.sql.shuffle.partitions", "200")).toInt
+    val rowsPerPart = loopConfs.getOrElse("spark.graft.cc.rowsPerPartition",
+      spark.conf.get("spark.graft.cc.rowsPerPartition", "100000")).toLong
+    // ONE Catalyst plan enters the loop: the cleaned edge derivation,
+    // decoded straight to primitive tuples by the typed deserializer (no
+    // Row boxing). Everything after this line is RDD-only until the final
+    // label derivation.
+    var cur: RDD[Edge] = cleaned
+      .as[Edge](Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)).rdd
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (sc.getCheckpointDir.isDefined) cur.checkpoint()
+    var midKeep: RDD[Edge] = null
     var converged = false
     var it = 0
     try {
-      val m0 = materialize(loop, cleaned)
-      cur = m0._1; curRdd = m0._2; curStats = m0._3
+      // One job: populates the persist and returns the convergence stats.
+      var curStats = cur.mapPartitions(it0 => Iterator.single(statPart(it0)))
+        .fold((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b ^ d) }
       converged = curStats._1 == 0L // no edges: already a (trivial) fixpoint
       while (!converged && it < maxIters) {
-        // Manual adaptive coalescing: size the action's shuffles from the
+        // Manual adaptive coalescing: size the round's shuffles from the
         // PREVIOUS action's exact edge count — contraction shrinks the set
         // every round, and a tiny round on the caller's full partition
         // count is pure task overhead. Never exceeds the caller's setting,
         // so cluster-scale inputs keep full parallelism.
         val parts = math.max(1L,
-          math.min(basePartsN.toLong, curStats._1 / rowsPerPart + 1L))
-        loop.conf.set("spark.sql.shuffle.partitions", parts.toString)
-        // Engage the hot/cold join only when this action COULD contain a
+          math.min(basePartsN.toLong, curStats._1 / rowsPerPart + 1L)).toInt
+        val p = new HashPartitioner(parts)
+        // Engage the hot/cold join only when this round COULD contain a
         // hot node (total edges > hotDegree); otherwise the plain join is
-        // provably skew-safe and saves the broadcast jobs. Decided from
-        // the fused pair's INPUT edge count — conservative, since
+        // provably skew-safe and saves the hot-map collect jobs. Decided
+        // from the fused pair's INPUT edge count — conservative, since
         // contraction never mints a hot node the input's total-edge bound
         // didn't already cover.
         val hd = if (curStats._1 > hotDegree) Some(hotDegree) else None
         // TWO large/small-star alternations per driver action: the action
-        // (scheduling + the convergence aggregate) is the per-round fixed
+        // (scheduling + the convergence stats) is the per-round fixed
         // bill, and contraction needs O(log n) rounds either way, so
-        // fusing halves the job count. Two details make it not-slower:
-        //  - the intermediate round persists LAZILY (no action of its
-        //    own): the second pair's joins/unions reference it from
-        //    several branches, and the one job's stages run sequentially,
-        //    so the first stage to touch it computes-and-caches and the
-        //    rest hit cache (without this the fused plan re-evaluated the
-        //    first round ~4×: measured 2.5× q65 wall);
-        //  - the convergence aggregate reads BOTH halves in the same
-        //    action (a tagged union), so the fixpoint is detected at the
-        //    exact round it happens — a pair-boundary-only check ran two
-        //    provably-no-op extra rounds per query (measured: rounds 4→6
-        //    on the q65 graph).
-        val mid = smallStar(largeStar(cur, hd), hd)
-        val midRdd = mid.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-        midKeep = midRdd
-        val midDf = loop.createDataFrame(midRdd, edgeSchema)
-        val nextRdd = smallStar(largeStar(midDf, hd), hd).rdd
+        // fusing halves the job count. The intermediate round persists and
+        // is read back by the second pair from cache (the one job's stages
+        // run in dependency order, so the first stage to touch it
+        // computes-and-caches and the union's re-read hits cache); the
+        // convergence stats read BOTH halves in the same action (a tagged
+        // union), so the fixpoint is detected at the exact round it
+        // happens.
+        val mid = smallStar(largeStar(cur, hd, p), hd, p)
           .persist(StorageLevel.MEMORY_AND_DISK)
-        if (loop.sparkContext.getCheckpointDir.isDefined) nextRdd.checkpoint()
-        val next = loop.createDataFrame(nextRdd, edgeSchema)
-        // bit_xor, not sum: order-independent, and cannot overflow under
-        // ANSI. One collect materializes next (and therefore mid) and
-        // returns both halves' (count, checksum).
-        val statRows = next.select(lit(1).as("__half"), col("src"), col("dst"))
-          .union(midDf.select(lit(0).as("__half"), col("src"), col("dst")))
-          .groupBy(col("__half"))
-          .agg(count(lit(1)).as("__n"),
-            coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)).as("__x"))
+        midKeep = mid
+        val next = smallStar(largeStar(mid, hd, p), hd, p)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        if (sc.getCheckpointDir.isDefined) next.checkpoint()
+        val statRows = next
+          .mapPartitions(it0 => Iterator.single((1, statPart(it0))))
+          .union(mid.mapPartitions(it0 => Iterator.single((0, statPart(it0)))))
           .collect()
-        def statsOf(h: Int): (Long, Long) = statRows.find(_.getInt(0) == h)
-          .map(r => (r.getLong(1), r.getLong(2))).getOrElse((0L, 0L))
+        def statsOf(h: Int): (Long, Long) =
+          statRows.iterator.filter(_._1 == h).map(_._2)
+            .foldLeft((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b ^ d) }
         val midStats = statsOf(0)
         val nextStats = statsOf(1)
         // midStats == curStats ⇒ cur was already the fixpoint (the pair
@@ -290,36 +280,38 @@ object Graph {
         // fixpoint, so content equality across one or two rounds can
         // never be a cycle.
         converged = nextStats == midStats || midStats == curStats
-        curRdd.unpersist(blocking = false)
-        midRdd.unpersist(blocking = false)
+        cur.unpersist(blocking = false)
+        mid.unpersist(blocking = false)
         midKeep = null
-        cur = next; curRdd = nextRdd; curStats = nextStats
+        cur = next; curStats = nextStats
         it += 2
+      }
+      if (!converged) {
+        val n = curStats._1
+        cur.unpersist(blocking = false)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIters rounds " +
+            s"($n edges at round $it) — labels would NOT be " +
+            "connected components; raise maxIters")
       }
     } catch {
       // On any failure, release this round's caches — nothing downstream
       // can use them.
       case e: Throwable =>
-        if (curRdd != null) curRdd.unpersist(blocking = false)
+        if (cur != null) cur.unpersist(blocking = false)
         if (midKeep != null) midKeep.unpersist(blocking = false)
         throw e
-    }
-    if (!converged) {
-      // Same contract as the catch block: nothing downstream can use the
-      // final round's cache once we throw — release it.
-      if (curRdd != null) curRdd.unpersist(blocking = false)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIters rounds " +
-          s"(${curStats._1} edges at round $it) — labels would NOT be " +
-          "connected components; raise maxIters")
     }
     // At the star fixpoint each node's symmetric neighborhood contains its
     // component root (the root's neighbors are all larger), so
     // comp = min(neighbors ∪ self). `least` skips the null an unmatched
-    // left join leaves for isolated nodes. Built on the CALLER session from
-    // the final persisted RDD (the last round's cache is reclaimed by the
-    // ContextCleaner once the returned plan is unreachable).
-    val fin = spark.createDataFrame(curRdd, edgeSchema)
+    // left join leaves for isolated nodes. Built as ONE Catalyst plan on
+    // the caller session over the final persisted RDD (the last round's
+    // cache is reclaimed by the ContextCleaner once the returned plan is
+    // unreachable).
+    val fin = spark.createDataset(cur)(
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("src", "dst")
     val symF = fin.union(fin.select(col("dst").as("src"), col("src").as("dst")))
     val nbrMin = symF.groupBy(col("src")).agg(min(col("dst")).as("nmin"))
       .select(col("src").as("id"), col("nmin"))
