@@ -2,8 +2,10 @@ package graft.operators
 
 import org.apache.spark.HashPartitioner
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /** Distributed connected components — the dedup-cluster resolver: near-dup
@@ -21,44 +23,58 @@ import org.apache.spark.storage.StorageLevel
   *
   * The fixpoint is a forest of stars rooted at each component's min id.
   *
-  * The ROUND LOOP runs on raw RDDs of (Long, Long) edges, not DataFrames
-  * (r18 optimization). Rationale, measured: a DataFrame round re-enters
-  * Catalyst on every iteration — `df.rdd` alone cost 0.25-0.45 s per round
-  * plan at any data size (driver-side RDD-DAG construction dominated by
-  * ClosureCleaner serializing each operator closure's captured plan state,
-  * plus a second `rddQueryExecution` planning pass and a Row-deserialization
-  * stage) — ~1-1.5 s of pure driver time per CC query, O(rounds) at every
-  * scale, and the Row objects it persisted cost boxed-object memory. The
-  * RDD rounds plan NOTHING per iteration (the lambdas are tiny, cleaned in
-  * ~1 ms), persist compact primitive tuples, and run the identical
-  * contraction algebra: A/B on the q65 graph read 4.9-6.2 s (SQL rounds)
-  * vs 1.2-2.4 s (RDD rounds) for bit-identical labels, and the 2M-doc
-  * LargeScaleSpec drill holds its ~linear scaling (the per-round transforms
-  * are min/compare/swap on primitive longs — no expression complex enough
-  * for codegen to matter, while every shuffle stays map-side-combined).
+  * TWO round engines run the identical contraction algebra, dispatched on
+  * the MEASURED initial edge count (r18 optimization):
   *
-  * Scale design, per round (unchanged from the SQL rounds, same shapes):
+  *  - **RDD rounds** (edge count < `spark.graft.cc.catalystRoundsMinEdges`,
+  *    default 2e6): raw (Long, Long) transforms, zero Catalyst work per
+  *    iteration. A Catalyst round re-enters planning every iteration —
+  *    measured 0.25-0.45 s per round plan at ANY data size (`df.rdd`'s
+  *    RDD-DAG construction is dominated by ClosureCleaner serializing each
+  *    operator closure's captured plan state, plus a second
+  *    `rddQueryExecution` pass and a Row-deserialization stage) — ~1-1.5 s
+  *    of pure driver time per CC query, which DOMINATES small-graph calls:
+  *    A/B on the q65 graph (9k candidate edges) read 4.9-6.2 s (Catalyst
+  *    rounds) vs 1.2-2.4 s (RDD rounds) for bit-identical labels.
+  *  - **Catalyst rounds** (edge count ≥ the threshold): the pre-r18 loop,
+  *    unchanged — whole-stage-codegen'd stars over compact UnsafeRows. At
+  *    large edge counts the per-round shuffle/processing efficiency beats
+  *    the planning overhead: measured at 4.4M chain+star edges the
+  *    Catalyst rounds run ~1.7× FASTER than the RDD rounds (72.8 s vs
+  *    122.1 s warm) even with Kryo shuffle serialization, while at 1.1M
+  *    edges the two cross (22.7 s vs 32.8 s in the RDD rounds' favor).
+  *    The threshold conf is deliberately below the measured crossover
+  *    band's upper end so the big-data regime always gets the engine
+  *    whose cost grows slower in bytes.
+  *
+  * Both engines share ONE seed materialization (typed tuple decode of the
+  * cleaned edges — no Row boxing) whose single job also computes the
+  * convergence stats, and one final label derivation; the convergence
+  * checksum is the same bit_xor(xxhash64(src, dst)) in both (the RDD
+  * rounds call Spark's own XxHash64 kernel), so the stats are
+  * interchangeable across the dispatch.
+  *
+  * Scale design, per round (same shapes in both engines):
   *  - The per-node neighborhood minimum is a map-side-combined
-  *    `aggregateByKey` (min, degree) JOINED back to the edges — never a
+  *    (min, degree) aggregate JOINED back to the edges — never a
   *    whole-partition window min. A window partition is one unsplittable
   *    task, and the root of a giant duplicate cluster (the common dedup
   *    degeneracy) has degree ≈ cluster size, so a window would serialize
   *    one cluster-sized task per round. The aggregate reduces each map
   *    partition to one row per node before its shuffle, so the agg itself
   *    never concentrates a hot key.
-  *  - The join back is HOT/COLD split: the degree of every node comes out
-  *    of the SAME aggregate for free; nodes above `hotDegree` resolve
-  *    map-side via a broadcast of the (few) hot mins — their edge rows
-  *    never shuffle, so a 10⁸-degree cluster root costs zero reducer-side
-  *    concentration. At most 2·|E|/hotDegree hot nodes can exist, so the
-  *    broadcast is small by construction; cold srcs take the ordinary
-  *    shuffle join, whose per-key row count is ≤ hotDegree by construction.
-  *    The cold join re-reads the aggregate's shuffle output (skipped
-  *    stage), not a recompute.
+  *  - The join back is HOT/COLD split (AQE's skew-join rule cannot match
+  *    this join shape — verified empirically): the degree of every node
+  *    comes out of the SAME aggregate for free; nodes above `hotDegree`
+  *    resolve map-side via a broadcast of the (few) hot mins — their edge
+  *    rows never shuffle, so a 10⁸-degree cluster root costs zero
+  *    reducer-side concentration. At most 2·|E|/hotDegree hot nodes can
+  *    exist, so the broadcast is small by construction; cold srcs take the
+  *    ordinary shuffle join, whose per-key row count is ≤ hotDegree by
+  *    construction.
   *  - ONE blocking action per fused round pair: both halves' edge sets
   *    materialize inside the same job that computes the convergence signal
-  *    (edge count + mixed-64-bit checksum) — no separate
-  *    checkpoint-then-count pair.
+  *    (edge count + checksum) — no separate checkpoint-then-count pair.
   *  - The superseded round's RDD is unpersisted DETERMINISTICALLY as soon as
   *    its successor is materialized — memory use is 2 edge sets, not
   *    O(rounds). If `sparkContext.setCheckpointDir` is configured, each
@@ -69,7 +85,8 @@ import org.apache.spark.storage.StorageLevel
   *    round's exact edge count (contraction shrinks the set every round),
   *    capped at the caller's `spark.sql.shuffle.partitions` — cluster-scale
   *    inputs keep full parallelism, tail rounds stop paying empty-task
-  *    overhead. The caller's session confs are never touched.
+  *    overhead. The caller's session confs are never touched (the Catalyst
+  *    rounds plan on a child session; the RDD rounds plan nothing).
   *
   * Non-convergence is an ERROR: if `maxIters` rounds don't reach the
   * fixpoint the call throws instead of silently returning labels that are
@@ -80,24 +97,30 @@ object Graph {
 
   private type Edge = (Long, Long)
 
-  /** splitmix64 finalizer — the convergence checksum's 64-bit mixer.
-    * Internal to the loop (never compared against an engine), so any
-    * well-mixed deterministic hash works; XOR across rows makes the
-    * aggregate order-independent, pair-mixing makes (a,b) ≠ (b,a). */
-  private def mix64(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  private val edgeSchema = StructType(Seq(
+    StructField("src", LongType, nullable = false),
+    StructField("dst", LongType, nullable = false)))
 
-  /** One partition's convergence contribution: (row count, XORed pair
-    * checksum). */
+  private val tupleEnc =
+    Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+
+  /** One partition's convergence contribution: (row count, bit_xor of
+    * xxhash64(src, dst)) — the SAME function the Catalyst rounds compute
+    * in SQL (XxHash64 folds fields left-to-right from seed 42), so stats
+    * from either engine are directly comparable. */
   private def statPart(it: Iterator[Edge]): (Long, Long) = {
     var n = 0L; var x = 0L
-    while (it.hasNext) { val p = it.next(); n += 1; x ^= mix64(mix64(p._1) ^ p._2) }
+    while (it.hasNext) {
+      val p = it.next(); n += 1
+      x ^= XxHash64Function.hash(p._2, LongType,
+        XxHash64Function.hash(p._1, LongType, 42L))
+    }
     (n, x)
   }
+
+  // ------------------------------------------------------------------
+  // RDD round engine (small regime): zero Catalyst work per iteration.
+  // ------------------------------------------------------------------
 
   /** Per-src (min(dst), degree) — one map-side-combined pass. */
   private def srcMinDeg(edges: RDD[Edge], p: HashPartitioner)
@@ -169,69 +192,21 @@ object Graph {
       .distinct(p.numPartitions)
   }
 
-  /** @param nodes  one column `idCol`; isolated nodes keep their own label
-    * @param edges  undirected pairs (`srcCol`, `dstCol`); direction ignored
-    * @return (id, comp) — comp = min node id reachable from id
-    * @throws IllegalStateException if `maxIters` rounds don't converge
-    */
-  def connectedComponents(nodes: DataFrame, idCol: String, edges: DataFrame,
-                          srcCol: String, dstCol: String,
-                          maxIters: Int = 30,
-                          loopConfs: Map[String, String] = Map.empty,
-                          hotDegree: Long = 1000000L): DataFrame =
-    connectedComponentsWithRounds(nodes, idCol, edges, srcCol, dstCol,
-      maxIters, loopConfs, hotDegree)._1
-
-  /** [[connectedComponents]] plus the number of contraction rounds actually
-    * run — the scale-relevant diagnostic (rounds ≈ log₂ of the largest
-    * component's star depth).
-    *
-    * @param loopConfs loop sizing overrides. The RDD rounds read
-    *                  `spark.sql.shuffle.partitions` (parallelism cap) and
-    *                  `spark.graft.cc.rowsPerPartition` (per-partition row
-    *                  budget for the manual round re-sizing) from here
-    *                  first, then from the caller's session conf; other
-    *                  keys are ignored (the rounds plan no SQL). The
-    *                  caller's session is never mutated.
-    * @param hotDegree nodes with more than this many incident edge rows in
-    *                  a round resolve their neighborhood min via broadcast
-    *                  instead of the shuffle join (see [[minJoin]]); at most
-    *                  2·|E|/hotDegree such nodes can exist, so the default
-    *                  bounds the broadcast at a few MB even for trillion-edge
-    *                  inputs while capping any one join key at ~10⁶ rows.
-    */
-  def connectedComponentsWithRounds(nodes: DataFrame, idCol: String,
-                                    edges: DataFrame, srcCol: String,
-                                    dstCol: String, maxIters: Int = 30,
-                                    loopConfs: Map[String, String] = Map.empty,
-                                    hotDegree: Long = 1000000L)
+  /** RDD rounds from a persisted seed until the fixpoint. Returns the
+    * final persisted edge set wrapped as a caller-session DataFrame plus
+    * the round count. The seed is unpersisted when its first successor
+    * materializes (it enters as `cur`). */
+  private def rddRounds(spark: SparkSession, seed: RDD[Edge],
+                        seedStats: (Long, Long), basePartsN: Int,
+                        rowsPerPart: Long, maxIters: Int, hotDegree: Long)
       : (DataFrame, Int) = {
-    val spark = nodes.sparkSession
     val sc = spark.sparkContext
-    val cleaned = edges
-      .select(col(srcCol).cast("long").as("_1"), col(dstCol).cast("long").as("_2"))
-      .where(col("_1") =!= col("_2"))
-      .distinct()
-    val basePartsN = loopConfs.getOrElse("spark.sql.shuffle.partitions",
-      spark.conf.get("spark.sql.shuffle.partitions", "200")).toInt
-    val rowsPerPart = loopConfs.getOrElse("spark.graft.cc.rowsPerPartition",
-      spark.conf.get("spark.graft.cc.rowsPerPartition", "100000")).toLong
-    // ONE Catalyst plan enters the loop: the cleaned edge derivation,
-    // decoded straight to primitive tuples by the typed deserializer (no
-    // Row boxing). Everything after this line is RDD-only until the final
-    // label derivation.
-    var cur: RDD[Edge] = cleaned
-      .as[Edge](Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)).rdd
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    if (sc.getCheckpointDir.isDefined) cur.checkpoint()
+    var cur = seed
+    var curStats = seedStats
     var midKeep: RDD[Edge] = null
-    var converged = false
+    var converged = curStats._1 == 0L
     var it = 0
     try {
-      // One job: populates the persist and returns the convergence stats.
-      var curStats = cur.mapPartitions(it0 => Iterator.single(statPart(it0)))
-        .fold((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b ^ d) }
-      converged = curStats._1 == 0L // no edges: already a (trivial) fixpoint
       while (!converged && it < maxIters) {
         // Manual adaptive coalescing: size the round's shuffles from the
         // PREVIOUS action's exact edge count — contraction shrinks the set
@@ -302,16 +277,218 @@ object Graph {
         if (midKeep != null) midKeep.unpersist(blocking = false)
         throw e
     }
+    (spark.createDataset(cur)(tupleEnc).toDF("src", "dst"), it)
+  }
+
+  // ------------------------------------------------------------------
+  // Catalyst round engine (large regime): the pre-r18 loop, unchanged.
+  // ------------------------------------------------------------------
+
+  /** Per-src (min(dst), degree) — one map-side-combined pass. */
+  private def srcMinsSql(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("__nmin"), count(lit(1)).as("__deg"))
+
+  /** [[minJoin]]'s Catalyst twin: hot srcs via broadcast join, cold srcs
+    * via the ordinary shuffle join whose per-key row count is ≤ hotDegree.
+    * `__nmin` is never null for a matched src, so the null test identifies
+    * broadcast misses exactly. */
+  private def minJoinSql(rows: DataFrame, mins: DataFrame,
+                         hotDegree: Option[Long]): DataFrame = hotDegree match {
+    case None =>
+      rows.join(mins.drop("__deg"), Seq("src"))
+    case Some(t) =>
+      val hot = broadcast(mins.where(col("__deg") > t).drop("__deg"))
+      val cold = mins.where(col("__deg") <= t).drop("__deg")
+      val viaHot = rows.join(hot, Seq("src"), "left")
+      viaHot.where(col("__nmin").isNotNull)
+        .union(viaHot.where(col("__nmin").isNull).drop("__nmin")
+          .join(cold, Seq("src")))
+  }
+
+  private def largeStarSql(e: DataFrame, hotDegree: Option[Long]): DataFrame = {
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    minJoinSql(sym.where(col("dst") > col("src")), srcMinsSql(sym), hotDegree)
+      .select(col("dst").as("src"),
+        least(col("__nmin"), col("src")).as("dst"))
+  }
+
+  private def smallStarSql(e: DataFrame, hotDegree: Option[Long]): DataFrame = {
+    val or = e.select(greatest(col("src"), col("dst")).as("src"),
+      least(col("src"), col("dst")).as("dst"))
+    val mins = srcMinsSql(or)
+    minJoinSql(or, mins, hotDegree)
+      .select(col("dst").as("src"), col("__nmin").as("dst"))
+      .union(mins.select(col("src"), col("__nmin").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Catalyst rounds from a persisted seed until the fixpoint — the
+    * pre-r18 loop: a CHILD session (same SparkContext/cache, fresh
+    * SQL-conf state) with AQE off (one driver job per round, not one per
+    * shuffle stage — measured ~4× the job count per round otherwise) and
+    * per-round shuffle-partition re-sizing; the caller's session is never
+    * mutated. Same return/unpersist contract as [[rddRounds]]. */
+  private def sqlRounds(spark: SparkSession, seed: RDD[Edge],
+                        seedStats: (Long, Long),
+                        loopConfs: Map[String, String], maxIters: Int,
+                        hotDegree: Long): (DataFrame, Int) = {
+    val loop = spark.newSession()
+    loop.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    loop.conf.set("spark.sql.adaptive.enabled", "false")
+    loopConfs.foreach { case (k, v) => loop.conf.set(k, v) }
+    val basePartsN = loop.conf.get("spark.sql.shuffle.partitions").toInt
+    val rowsPerPart = loop.conf
+      .get("spark.graft.cc.rowsPerPartition", "100000").toLong
+    // One eager narrow pass converts the tuple seed to the cached Row form
+    // the round plans read (ExistingRDD) — without it, every round-1
+    // traversal of the fused star plan pays the typed serialize-from-object
+    // decode over the full edge set (measured ~1.3× the whole contraction
+    // at 4.4M edges). The tuple cache is released as soon as the Row copy
+    // is materialized.
+    val seedRows = seed.map(t => Row(t._1, t._2))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (loop.sparkContext.getCheckpointDir.isDefined) seedRows.checkpoint()
+    seedRows.count()
+    seed.unpersist(blocking = false)
+    var cur: DataFrame = loop.createDataFrame(seedRows, edgeSchema)
+    var curRdd: RDD[_] = seedRows
+    var curStats = seedStats
+    var midKeep: RDD[Row] = null
+    var converged = curStats._1 == 0L
+    var it = 0
+    try {
+      while (!converged && it < maxIters) {
+        val parts = math.max(1L,
+          math.min(basePartsN.toLong, curStats._1 / rowsPerPart + 1L))
+        loop.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        val hd = if (curStats._1 > hotDegree) Some(hotDegree) else None
+        // Fused pair + lazily-persisted intermediate + tagged-union
+        // convergence aggregate — rationale in [[rddRounds]] (the shapes
+        // are the same; these are their Catalyst spellings).
+        val mid = smallStarSql(largeStarSql(cur, hd), hd)
+        val midRdd = mid.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+        midKeep = midRdd
+        val midDf = loop.createDataFrame(midRdd, edgeSchema)
+        val nextRdd = smallStarSql(largeStarSql(midDf, hd), hd).rdd
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        if (loop.sparkContext.getCheckpointDir.isDefined) nextRdd.checkpoint()
+        val next = loop.createDataFrame(nextRdd, edgeSchema)
+        // bit_xor, not sum: order-independent, and cannot overflow under
+        // ANSI. One collect materializes next (and therefore mid) and
+        // returns both halves' (count, checksum).
+        val statRows = next.select(lit(1).as("__half"), col("src"), col("dst"))
+          .union(midDf.select(lit(0).as("__half"), col("src"), col("dst")))
+          .groupBy(col("__half"))
+          .agg(count(lit(1)).as("__n"),
+            coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)).as("__x"))
+          .collect()
+        def statsOf(h: Int): (Long, Long) = statRows.find(_.getInt(0) == h)
+          .map(r => (r.getLong(1), r.getLong(2))).getOrElse((0L, 0L))
+        val midStats = statsOf(0)
+        val nextStats = statsOf(1)
+        converged = nextStats == midStats || midStats == curStats
+        curRdd.unpersist(blocking = false)
+        midRdd.unpersist(blocking = false)
+        midKeep = null
+        cur = next; curRdd = nextRdd; curStats = nextStats
+        it += 2
+      }
+      if (!converged) {
+        val n = curStats._1
+        curRdd.unpersist(blocking = false)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIters rounds " +
+            s"($n edges at round $it) — labels would NOT be " +
+            "connected components; raise maxIters")
+      }
+    } catch {
+      case e: Throwable =>
+        if (curRdd != null) curRdd.unpersist(blocking = false)
+        if (midKeep != null) midKeep.unpersist(blocking = false)
+        throw e
+    }
+    val fin =
+      if (it == 0) spark.createDataset(seed)(tupleEnc).toDF("src", "dst")
+      else spark.createDataFrame(curRdd.asInstanceOf[RDD[Row]], edgeSchema)
+    (fin, it)
+  }
+
+  /** @param nodes  one column `idCol`; isolated nodes keep their own label
+    * @param edges  undirected pairs (`srcCol`, `dstCol`); direction ignored
+    * @return (id, comp) — comp = min node id reachable from id
+    * @throws IllegalStateException if `maxIters` rounds don't converge
+    */
+  def connectedComponents(nodes: DataFrame, idCol: String, edges: DataFrame,
+                          srcCol: String, dstCol: String,
+                          maxIters: Int = 30,
+                          loopConfs: Map[String, String] = Map.empty,
+                          hotDegree: Long = 1000000L): DataFrame =
+    connectedComponentsWithRounds(nodes, idCol, edges, srcCol, dstCol,
+      maxIters, loopConfs, hotDegree)._1
+
+  /** [[connectedComponents]] plus the number of contraction rounds actually
+    * run — the scale-relevant diagnostic (rounds ≈ log₂ of the largest
+    * component's star depth).
+    *
+    * @param loopConfs loop overrides, read first, then the caller's session
+    *                  conf: `spark.sql.shuffle.partitions` (parallelism
+    *                  cap), `spark.graft.cc.rowsPerPartition` (per-partition
+    *                  row budget for the manual round re-sizing), and
+    *                  `spark.graft.cc.catalystRoundsMinEdges` (the measured
+    *                  initial edge count at which the Catalyst round engine
+    *                  takes over — see the object scaladoc for the measured
+    *                  crossover). In the Catalyst regime all keys also
+    *                  reach the loop's child session. The caller's session
+    *                  is never mutated.
+    * @param hotDegree nodes with more than this many incident edge rows in
+    *                  a round resolve their neighborhood min via broadcast
+    *                  instead of the shuffle join (see [[minJoin]]); at most
+    *                  2·|E|/hotDegree such nodes can exist, so the default
+    *                  bounds the broadcast at a few MB even for trillion-edge
+    *                  inputs while capping any one join key at ~10⁶ rows.
+    */
+  def connectedComponentsWithRounds(nodes: DataFrame, idCol: String,
+                                    edges: DataFrame, srcCol: String,
+                                    dstCol: String, maxIters: Int = 30,
+                                    loopConfs: Map[String, String] = Map.empty,
+                                    hotDegree: Long = 1000000L)
+      : (DataFrame, Int) = {
+    val spark = nodes.sparkSession
+    val sc = spark.sparkContext
+    val cleaned = edges
+      .select(col(srcCol).cast("long").as("_1"), col(dstCol).cast("long").as("_2"))
+      .where(col("_1") =!= col("_2"))
+      .distinct()
+    def conf(key: String, dflt: String): String =
+      loopConfs.getOrElse(key, spark.conf.get(key, dflt))
+    val basePartsN = conf("spark.sql.shuffle.partitions", "200").toInt
+    val rowsPerPart = conf("spark.graft.cc.rowsPerPartition", "100000").toLong
+    val catalystMin =
+      conf("spark.graft.cc.catalystRoundsMinEdges", "2000000").toLong
+    // ONE Catalyst plan derives the cleaned edges, decoded straight to
+    // primitive tuples by the typed deserializer (no Row boxing); its one
+    // seed job both populates the persist and computes the convergence
+    // stats — whose edge count then picks the round engine.
+    val seed: RDD[Edge] = cleaned.as[Edge](tupleEnc).rdd
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (sc.getCheckpointDir.isDefined) seed.checkpoint()
+    val seedStats = seed.mapPartitions(it0 => Iterator.single(statPart(it0)))
+      .fold((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b ^ d) }
+    val (fin, it) =
+      if (seedStats._1 >= catalystMin)
+        sqlRounds(spark, seed, seedStats, loopConfs, maxIters, hotDegree)
+      else
+        rddRounds(spark, seed, seedStats, basePartsN, rowsPerPart,
+          maxIters, hotDegree)
     // At the star fixpoint each node's symmetric neighborhood contains its
     // component root (the root's neighbors are all larger), so
     // comp = min(neighbors ∪ self). `least` skips the null an unmatched
     // left join leaves for isolated nodes. Built as ONE Catalyst plan on
-    // the caller session over the final persisted RDD (the last round's
-    // cache is reclaimed by the ContextCleaner once the returned plan is
-    // unreachable).
-    val fin = spark.createDataset(cur)(
-        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
-      .toDF("src", "dst")
+    // the caller session over the final persisted RDD (reclaimed by the
+    // ContextCleaner once the returned plan is unreachable).
     val symF = fin.union(fin.select(col("dst").as("src"), col("src").as("dst")))
     val nbrMin = symF.groupBy(col("src")).agg(min(col("dst")).as("nmin"))
       .select(col("src").as("id"), col("nmin"))
@@ -337,7 +514,11 @@ object Graph {
     * frame instead of re-deriving the candidate pairs each round. A fixed
     * small `iters` keeps the lineage depth bounded, so no per-round RDD
     * re-wrapping is needed (contrast [[connectedComponents]], whose round
-    * count is data-dependent).
+    * count is data-dependent). An RDD-round rewrite was tried in r18 and
+    * REJECTED on measurement: with the whole 3-iteration recurrence in ONE
+    * Catalyst plan there is no per-round planning to save, and the
+    * mega-hub drill regressed 4.7 s → 35.5 s at 1M nodes (Tungsten rows
+    * beat serialized tuples once per-round data is large).
     *
     * All arithmetic is integral and floored (`div`), so ranks are
     * bit-identical across engines, partitionings and merge orders:

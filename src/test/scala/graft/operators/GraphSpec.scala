@@ -248,6 +248,35 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("catalyst-round engine (forced via threshold 0) matches union-find") {
+    // The dispatcher picks the Catalyst rounds above
+    // spark.graft.cc.catalystRoundsMinEdges (measured initial edge count);
+    // forcing the threshold to 0 runs the large-regime engine on the spec
+    // fixtures so both engines stay pinned to the same algebra.
+    val force = Map("spark.graft.cc.catalystRoundsMinEdges" -> "0")
+    for (seed <- 1 to 3) {
+      val n = 20 + seed * 7
+      val nodes = (0L until n.toLong).toSeq
+      val edges = (0 until n + seed * 9).map { i =>
+        val a = (i * 7L + seed) % n; val b = (i * 13L + 5L * seed) % n; (a, b)
+      }.filter { case (a, b) => a != b } ++ Seq((1L, 2L), (2L, 1L))
+      val got = Graph.connectedComponentsWithRounds(
+          nodes.toDF("id"), "id", edges.toDF("src", "dst"), "src", "dst",
+          loopConfs = force)._1
+        .as[(Long, Long)].collect().toMap
+      assert(got == unionFind(nodes, edges), s"seed=$seed")
+    }
+    // A long chain exercises multi-pair convergence through the Catalyst
+    // engine specifically (rounds > 2).
+    val nodes = (0L until 64L).toSeq
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    val (labels, rounds) = Graph.connectedComponentsWithRounds(
+      nodes.toDF("id"), "id", edges.toDF("src", "dst"), "src", "dst",
+      loopConfs = force)
+    assert(labels.as[(Long, Long)].collect().toMap.values.toSet == Set(0L))
+    assert(rounds > 2 && rounds <= 10)
+  }
+
   test("iteration exhaustion throws instead of returning wrong labels") {
     // A 40-node path cannot converge in 1 round; the old implementation
     // silently returned non-component labels here.
