@@ -45,15 +45,40 @@ object GraftSession {
     "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "64k",
     "spark.locality.wait" -> "0",
     // Kryo for RDD shuffle/broadcast payloads (SQL exchanges use the
-    // UnsafeRow serializer regardless — this only reaches the RDD round
-    // loops). Measured on the CC contraction at 1M edges (r18): the
+    // UnsafeRow serializer regardless — this reaches RDD shuffles,
+    // persist spills, checkpoints and broadcasts app-wide, e.g. the CC
+    // round loops, dedup's BloomFilter broadcast, ScanOps' persisted
+    // Option[Double] rows; validated on the CC family + the full test
+    // suite). Measured on the CC contraction at 1M edges (r18): the
     // RDD rounds' (Long, Long) shuffles under the default JavaSerializer
     // ran ~25% SLOWER than the old Catalyst rounds; under Kryo they run
-    // ~30% FASTER (warm A/B 22.7 s vs 32.8 s), which is what lets the
-    // planning-free RDD rounds win at EVERY scale instead of only on
-    // small graphs. Takes effect at SparkContext creation, so it must
-    // ride the builder, not a post-hoc conf.set.
-    "spark.serializer" -> "org.apache.spark.serializer.KryoSerializer")
+    // ~30% FASTER (warm A/B 22.7 s vs 32.8 s). Kryo therefore moves the
+    // RDD/Catalyst round crossover UP (1.1M edges favors the RDD engine
+    // with it) — it does NOT make RDD rounds win everywhere: Graph.scala's
+    // measured 4.4M-edge point still runs ~1.7× faster on the Catalyst
+    // engine, which is why the catalystRoundsMinEdges dispatcher exists.
+    // Takes effect at SparkContext creation, so it must ride the builder,
+    // not a post-hoc conf.set.
+    "spark.serializer" -> "org.apache.spark.serializer.KryoSerializer",
+    // Never use the bypass-merge shuffle writer (r19, guide §2.2 "many
+    // small blocks"): for a non-aggregating shuffle with R ≤ this
+    // threshold (default 200) Spark writes R separate partition files
+    // per map task, concatenates them (FileChannel map/transferTo), and
+    // commits index+checksum under a per-shuffle lock — jstack on the
+    // 32-thread sf0.1 bench showed executor threads convoyed exactly
+    // there (13/33 in the synchronized writeMetadataFileAndCommit,
+    // more in map0/unmap0), which made 32 cores run the shingle/join
+    // cluster ~2× SLOWER than 8 cores (the r18 "negative scaling"
+    // mystery). With the threshold at 0 those shuffles take the
+    // serialized-sort path instead: ONE spill file per map task,
+    // in-memory partition sort. Measured (5-rep medians, quiet host,
+    // local[32]): q111 3.06→1.32 s, q133 1.47→0.65, q76 0.53→0.24,
+    // 10-query cluster total 18.4→10.9 s; local[8] A/B/A neutral
+    // (4.07/4.11/4.33 s). Scale-safe by construction: production
+    // shuffles have R ≫ 200, where the bypass writer never engages and
+    // this conf is inert — it only changes the small-R tail, where the
+    // single-file writer wins on any disk-backed local dir.
+    "spark.shuffle.sort.bypassMergeThreshold" -> "0")
 
   /** Thread count: `SPARK_GRAFT_CPUS` env, else the caller's default
     * (mains differ — Bench wants many, Analyze is modest). */
@@ -64,24 +89,43 @@ object GraftSession {
     * (local mode — one shuffle task per core; a cluster deployment sizes
     * this to data volume instead), [[sharedConfs]], log level, then the
     * `SPARK_GRAFT_CONF_a_b=c` env passthrough (underscores become dots —
-    * the A/B knob for conf-gated behaviors, now uniform across mains). */
+    * the A/B knob for conf-gated behaviors, now uniform across mains).
+    * Env confs ride the BUILDER as well as the post-create set: static
+    * confs (`spark.shuffle.*`, `spark.serializer`, `spark.local.dir`)
+    * only take effect at SparkContext creation and the runtime `conf.set`
+    * rejects them — without the builder pass they were un-A/B-able
+    * (discovered in r19 when the shuffle-writer experiment needed one). */
   def create(defaultCpus: String, logLevel: String = "WARN"): SparkSession = {
     val c = cpus(defaultCpus)
     val b = SparkSession.builder()
       .master(s"local[$c]")
       .config("spark.sql.shuffle.partitions", c)
-    val spark = sharedConfs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+    val spark = (sharedConfs ++ envConfs).foldLeft(b) {
+      case (bb, (k, v)) => bb.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel(logLevel)
     applyEnvConfs(spark)
     spark
   }
 
-  /** Apply `SPARK_GRAFT_CONF_*` env overrides to an existing session. */
-  def applyEnvConfs(spark: SparkSession): Unit =
-    sys.env.foreach {
+  /** `SPARK_GRAFT_CONF_*` env overrides as (dotted key, value) pairs. */
+  private[graft] def envConfs: Seq[(String, String)] =
+    sys.env.toSeq.collect {
       case (k, v) if k.startsWith("SPARK_GRAFT_CONF_") =>
-        spark.conf.set(k.stripPrefix("SPARK_GRAFT_CONF_").replace("_", "."), v)
-      case _ => ()
+        k.stripPrefix("SPARK_GRAFT_CONF_").replace("_", ".") -> v
+    }
+
+  /** Apply `SPARK_GRAFT_CONF_*` env overrides to an existing session.
+    * A static conf the builder already carries (same value) is tolerated —
+    * the runtime set would throw CANNOT_MODIFY_CONFIG even for a no-op
+    * re-set; a static conf the running context does NOT carry still throws
+    * loudly (a silent skip would fake a measured A/B). */
+  def applyEnvConfs(spark: SparkSession): Unit =
+    envConfs.foreach { case (k, v) =>
+      try spark.conf.set(k, v)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          if (!spark.conf.getOption(k).contains(v)) throw e
+      }
     }
 }

@@ -72,9 +72,15 @@ import org.apache.spark.storage.StorageLevel
   *    exist, so the broadcast is small by construction; cold srcs take the
   *    ordinary shuffle join, whose per-key row count is ≤ hotDegree by
   *    construction.
-  *  - ONE blocking action per fused round pair: both halves' edge sets
-  *    materialize inside the same job that computes the convergence signal
-  *    (edge count + checksum) — no separate checkpoint-then-count pair.
+  *  - ONE blocking action per fused round pair for the convergence signal:
+  *    both halves' edge sets materialize inside the same job that computes
+  *    it (edge count + checksum) — no separate checkpoint-then-count pair.
+  *    Caveat (mirrors the old broadcast-job note): in the RDD engine's hot
+  *    regime (round edge count > hotDegree) each minJoin(Some(t)) runs an
+  *    eager collectAsMap() driver job at DAG-construction time to build
+  *    the hot-min broadcast — 4 extra blocking jobs per fused pair, each
+  *    bounded by the 2·|E|/hotDegree map. The Catalyst engine builds the
+  *    same map via a BroadcastExchange inside the round plan instead.
   *  - The superseded round's RDD is unpersisted DETERMINISTICALLY as soon as
   *    its successor is materialized — memory use is 2 edge sets, not
   *    O(rounds). If `sparkContext.setCheckpointDir` is configured, each
@@ -92,6 +98,13 @@ import org.apache.spark.storage.StorageLevel
   * fixpoint the call throws instead of silently returning labels that are
   * not connected components. (log₂-style contraction makes the default
   * bound generous: 30 rounds cover any graph a 64-bit id space can hold.)
+  *
+  * Convergence detection is PROBABILISTIC in both engines: rounds are
+  * declared equal on (count, bit_xor(xxhash64(src, dst))) — a 64-bit
+  * checksum collision between two DIFFERENT equal-count edge sets would
+  * terminate a pair early and return non-component labels. Accepted risk
+  * (~2⁻⁶⁴ per round pair); an exact comparison would cost a join per
+  * round, and the oracle gate re-verifies every CC consumer's labels.
   */
 object Graph {
 
@@ -410,10 +423,12 @@ object Graph {
         if (midKeep != null) midKeep.unpersist(blocking = false)
         throw e
     }
-    val fin =
-      if (it == 0) spark.createDataset(seed)(tupleEnc).toDF("src", "dst")
-      else spark.createDataFrame(curRdd.asInstanceOf[RDD[Row]], edgeSchema)
-    (fin, it)
+    // it == 0 (empty seed under a forced-low dispatch threshold): curRdd is
+    // still seedRows — the persisted Row copy — so the uniform branch below
+    // returns it directly instead of rebuilding from `seed`, which was
+    // already unpersisted after seedRows.count() and would force a full
+    // lineage recompute while leaking the persisted seedRows (ADVICE r18).
+    (spark.createDataFrame(curRdd.asInstanceOf[RDD[Row]], edgeSchema), it)
   }
 
   /** @param nodes  one column `idCol`; isolated nodes keep their own label

@@ -31,6 +31,12 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(m("spark.sql.adaptive.enabled") == "true")
     assert(m("spark.sql.adaptive.coalescePartitions.minPartitionSize") == "64k")
     assert(m("spark.locality.wait") == "0")
+    assert(m("spark.serializer") ==
+      "org.apache.spark.serializer.KryoSerializer")
+    // r19: tiny-R non-agg shuffles take the single-file serialized-sort
+    // writer, not the R-files-per-map-task bypass writer (measured 2×
+    // on the 32-thread shingle cluster; inert at production R > 200).
+    assert(m("spark.shuffle.sort.bypassMergeThreshold") == "0")
     // No duplicate keys hiding a lost value.
     assert(GraftSession.sharedConfs.size == m.size)
   }

@@ -35,12 +35,15 @@ class LargeScaleSpec extends AnyFunSuite {
   // `testOnly graft.LargeScaleSpec` run. The ratio assertions stay valid
   // either way — both measured runs share whatever session exists.
   private lazy val spark: SparkSession = {
-    val s = SparkSession.builder()
+    // sharedConfs ride this builder too (ADVICE r18): a standalone
+    // LargeScaleSpec run otherwise measures under a different serializer
+    // and shuffle writer than every production entry point.
+    val b = SparkSession.builder()
       .master("local[8]")
       .appName("graft-large-scale")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val s = GraftSession.sharedConfs
+      .foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
